@@ -1,0 +1,94 @@
+import os
+
+import numpy as np
+import pytest
+
+from imageprocess_tpu.core import roiio, tiffio
+
+
+def test_tiff_u16_roundtrip(tmp_path):
+    img = (np.random.default_rng(0).random((64, 48)) * 65535).astype(np.uint16)
+    p = str(tmp_path / "a.tif")
+    tiffio.write_tiff16(p, img)
+    back = tiffio.read_tiff(p)
+    assert back.dtype == np.uint16
+    np.testing.assert_array_equal(back, img)
+
+
+def test_tiff_f32_roundtrip(tmp_path):
+    img = np.random.default_rng(1).random((32, 32)).astype(np.float32)
+    p = str(tmp_path / "f.tif")
+    tiffio.write_tiff32(p, img)
+    back = tiffio.read_tiff(p)
+    assert back.dtype == np.float32
+    np.testing.assert_array_equal(back, img)
+
+
+def test_read_2d_squeeze_modes():
+    a3 = np.zeros((4, 8, 3), dtype=np.uint16)
+    a3[..., 0] = 7
+    assert tiffio.squeeze_first_channel(a3).shape == (4, 8)
+    assert (tiffio.squeeze_first_channel(a3) == 7).all()
+    # smallest-axis heuristic picks axis 2 (size 3)
+    assert tiffio.squeeze_smallest_axis(a3).shape == (4, 8)
+    chw = np.zeros((3, 4, 8), dtype=np.uint16)
+    assert tiffio.squeeze_smallest_axis(chw).shape == (4, 8)
+
+
+def test_normalize_to_u16():
+    img = np.array([[0.0, 50.0, 100.0]], dtype=np.float32)
+    out = tiffio.normalize_to_u16(img, 0.0, 100.0)
+    assert out.dtype == np.uint16
+    assert out[0, 0] == 0 and out[0, 2] == 65535 and 32000 < out[0, 1] < 33500
+
+
+def test_roi_bundle_roundtrip(tmp_path):
+    polys = [np.array([[1.0, 2.0], [10.0, 2.0], [10.0, 12.0]]),
+             np.array([[0.0, 0.0], [5.0, 0.0], [5.0, 5.0], [0.0, 5.0]])]
+    p = str(tmp_path / "roi" / "S01.json")
+    roiio.save_roi_bundle(p, "S01", (100, 200), polys, view_params={"gamma": 1.0})
+    loaded = roiio.load_roi_polygons(p)
+    assert len(loaded) == 2
+    np.testing.assert_allclose(loaded[0], polys[0])
+    bundle = roiio.load_roi_bundle(p)
+    assert bundle["image_shape"] == {"height": 100, "width": 200}
+    assert bundle["view_params"]["gamma"] == 1.0
+
+
+def test_mask_png_pad_crop(tmp_path):
+    from PIL import Image
+
+    m = np.zeros((10, 10), dtype=np.uint8)
+    m[2:5, 3:7] = 255
+    p = str(tmp_path / "S01.png")
+    Image.fromarray(m).save(p)
+    mask = roiio.load_mask_png(p)
+    assert mask.sum() == 12
+    padded = roiio.load_mask_png(p, img_shape=(12, 8))
+    assert padded.shape == (12, 8)
+    assert padded.sum() == 3 * 4  # cols 3..6 all kept within width 8
+
+
+def test_imagej_roi_roundtrip(tmp_path):
+    polys = [np.array([[10.0, 20.0], [30.0, 20.0], [30.0, 40.0], [10.0, 40.0]]),
+             np.array([[1.0, 1.0], [4.0, 2.0], [2.0, 6.0]])]
+    zp = str(tmp_path / "S01.zip")
+    roiio.save_imagej_roi_zip(zp, polys, "S01")
+    back = roiio.load_imagej_roi_zip(zp)
+    assert len(back) == 2
+    np.testing.assert_allclose(back[0], polys[0])
+    np.testing.assert_allclose(back[1], polys[1])
+
+
+def test_golden_roi_json(golden_intensity_dir):
+    p = os.path.join(golden_intensity_dir, "e1_P0", "roi", "S01.json")
+    polys = roiio.load_roi_polygons(p)
+    assert len(polys) == 18
+    assert all(poly.shape[1] == 2 for poly in polys)
+
+
+def test_golden_tiff_decode(golden_intensity_dir):
+    p = os.path.join(golden_intensity_dir, "e1_P0", "S01_2.TIF")
+    a = tiffio.read_2d(p)
+    assert a.shape == (1536, 2048)
+    assert a.dtype == np.float32
