@@ -1,0 +1,92 @@
+"""Background estimation & subtraction.
+
+Semantics of src/INT/Fluor_INT.py:461-492 (with ``stride`` subsampling) and
+src/FRET/fret_ratio_builder.py:314-336 (stride=1):
+
+- scope: full frame or the ROI-union mask;
+- mode "percentile": B = percentile(scoped strided values, p);
+- mode "hist-mode": 2048-bin histogram -> CDF -> first bin with
+  CDF >= p/100 -> bin-edge midpoint (falls back to the percentile when the
+  histogram is empty);
+- J = img - B, optionally clipped at 0.
+
+The stride is applied to the scoped value *sequence* (every stride-th masked
+pixel in row-major order), matching ``vals[::stride]``.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax.numpy as jnp
+
+from .percentile import masked_quantile, strided_submask
+
+HIST_BINS = 2048
+
+
+def histogram_mode_value(x: jnp.ndarray, mask: jnp.ndarray, p1000: int) -> jnp.ndarray:
+    """The reference's "hist-mode" background: CDF threshold over a
+    2048-bin histogram of the scoped values, returning the midpoint of the
+    first bin whose CDF reaches p/100."""
+    vals = jnp.where(mask, x, jnp.nan)
+    lo = jnp.nanmin(vals)
+    hi = jnp.nanmax(vals)
+    span = jnp.where(hi > lo, hi - lo, 1.0)
+    idx = jnp.clip(
+        ((x - lo) / span * HIST_BINS).astype(jnp.int32), 0, HIST_BINS - 1
+    )
+    hist = jnp.zeros(HIST_BINS, jnp.int32).at[idx.ravel()].add(
+        mask.ravel().astype(jnp.int32)
+    )
+    total = hist.sum()
+    cdf = jnp.cumsum(hist).astype(jnp.float32) / jnp.maximum(total, 1).astype(
+        jnp.float32
+    )
+    target = jnp.float32(p1000) / 100000.0
+    first = jnp.argmax(cdf >= target)  # searchsorted(cdf, target, 'left')
+    none_reaches = cdf[-1] < target
+    bin_w = span / HIST_BINS
+    mid = lo + (first.astype(jnp.float32) + 0.5) * bin_w
+    thr = jnp.where(none_reaches, hi, mid)
+    # empty histogram -> percentile fallback (reference behavior)
+    fallback = masked_quantile(x, mask, p1000)
+    return jnp.where(total > 0, thr, fallback)
+
+
+def bg_value(
+    img: jnp.ndarray,
+    p1000: int,
+    scope_mask: Optional[jnp.ndarray] = None,
+    mode: str = "percentile",
+    stride: int = 4,
+) -> jnp.ndarray:
+    """Scalar background level of one 2-D frame."""
+    base = (
+        jnp.ones(img.shape, bool) if scope_mask is None else scope_mask.astype(bool)
+    )
+    eff = strided_submask(base, stride)
+    if mode == "percentile":
+        b = masked_quantile(img, eff, p1000)
+    elif mode == "hist-mode":
+        b = histogram_mode_value(img, eff, p1000)
+    else:
+        return jnp.float32(0.0)
+    # empty scope -> 0.0 (reference: bg_value returns 0.0 for no values)
+    return jnp.where(eff.sum() > 0, b, 0.0).astype(jnp.float32)
+
+
+def bg_correct(
+    img: jnp.ndarray,
+    p1000: int,
+    scope_mask: Optional[jnp.ndarray] = None,
+    mode: str = "percentile",
+    stride: int = 4,
+    clip_neg: bool = True,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """(corrected image, background scalar)."""
+    b = bg_value(img, p1000, scope_mask, mode, stride)
+    out = img - b
+    if clip_neg:
+        out = jnp.maximum(out, 0.0)
+    return out, b

@@ -7,12 +7,22 @@ the first ``import jax`` anywhere in the test session.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# The TPU harness environment may pre-load a sitecustomize that imports jax
+# and registers a tunneled TPU backend whose compiles run remotely (~25 s
+# each).  Correctness tests run on the local CPU backend with 8 virtual
+# devices for the multi-chip sharding paths, so we must (a) switch platforms
+# via jax.config (env vars are too late — jax is already imported) and
+# (b) set XLA_FLAGS before the CPU backend initializes (it's lazy).
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
         _flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 import pytest  # noqa: E402
 

@@ -1,0 +1,181 @@
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from imageprocess_tpu.ops import (
+    auto_minmax,
+    bg_correct,
+    bg_value,
+    clip_ratio_to_nan,
+    exact_quantile_pos,
+    masked_quantile,
+    masked_stats,
+    pick_epsilon,
+    ratio_with_eps,
+    roi_stats,
+    saturation_to_nan,
+    spectral_correct,
+    strided_submask,
+)
+from imageprocess_tpu.ops.percentile import p1000_of
+
+RNG = np.random.default_rng(7)
+
+
+@pytest.mark.parametrize("n", [1, 2, 3, 99, 100, 101, 786432, 3145728, 20_000_000])
+@pytest.mark.parametrize("p", [0.0, 1.0, 5.0, 50.0, 95.0, 99.0, 100.0, 2.5, 0.1])
+def test_exact_quantile_pos(n, p):
+    k, g = exact_quantile_pos(jnp.int32(n), p1000_of(p))
+    h = (n - 1) * p / 100.0  # exact in python floats
+    assert int(k) == int(np.floor(h + 1e-12)) or abs(h - round(h)) < 1e-9
+    np.testing.assert_allclose(float(k) + float(g), h, atol=1e-6 * max(h, 1))
+
+
+@pytest.mark.parametrize("p", [1.0, 5.0, 50.0, 95.0, 99.0])
+@pytest.mark.parametrize("kind", ["u16", "float"])
+def test_masked_quantile_matches_numpy(p, kind):
+    if kind == "u16":
+        x = RNG.integers(0, 4096, size=(257, 129)).astype(np.float32)
+    else:
+        x = (RNG.random((257, 129)) * 1000).astype(np.float32)
+    mask = RNG.random((257, 129)) < 0.7
+    ours = float(masked_quantile(jnp.asarray(x), jnp.asarray(mask), p1000_of(p)))
+    ref = float(np.percentile(x[mask], p))
+    np.testing.assert_allclose(ours, ref, rtol=1e-6, atol=1e-4)
+
+
+def test_masked_quantile_empty():
+    x = jnp.zeros((4, 4))
+    assert np.isnan(float(masked_quantile(x, jnp.zeros((4, 4), bool), 50000)))
+
+
+def test_strided_submask_matches_slicing():
+    x = (RNG.random((64, 48)) * 100).astype(np.float32)
+    mask = RNG.random((64, 48)) < 0.5
+    for stride in (1, 2, 4, 7):
+        sub = np.asarray(strided_submask(jnp.asarray(mask), stride))
+        ref_vals = x[mask][::stride]
+        np.testing.assert_array_equal(np.sort(x[sub]), np.sort(ref_vals))
+
+
+@pytest.mark.parametrize("stride", [1, 4])
+@pytest.mark.parametrize("scoped", [False, True])
+def test_bg_value_percentile_parity(stride, scoped):
+    img = RNG.integers(0, 4096, size=(128, 96)).astype(np.float32)
+    scope = (RNG.random((128, 96)) < 0.3) if scoped else None
+    # reference semantics
+    vals = img[scope] if scoped else img.ravel()
+    vals = vals[::stride] if stride > 1 else vals
+    ref = float(np.percentile(vals, 1.0))
+    ours = float(
+        bg_value(
+            jnp.asarray(img),
+            1000,
+            None if scope is None else jnp.asarray(scope),
+            "percentile",
+            stride,
+        )
+    )
+    np.testing.assert_allclose(ours, ref, rtol=1e-6, atol=1e-4)
+
+
+def test_bg_correct_clip():
+    img = jnp.asarray(np.array([[0.0, 10.0, 100.0]], np.float32))
+    out, b = bg_correct(img, 50000, stride=1)  # median = 10
+    assert float(b) == 10.0
+    np.testing.assert_allclose(np.asarray(out), [[0.0, 0.0, 90.0]])
+    out2, _ = bg_correct(img, 50000, stride=1, clip_neg=False)
+    np.testing.assert_allclose(np.asarray(out2), [[-10.0, 0.0, 90.0]])
+
+
+def test_bg_hist_mode_close_to_numpy_reference():
+    img = RNG.integers(0, 4000, size=(256, 256)).astype(np.float32)
+    # reference hist-mode
+    vals = img.ravel()
+    hist, bins = np.histogram(vals, bins=2048)
+    cdf = np.cumsum(hist).astype(float)
+    cdf /= cdf[-1]
+    idx = int(np.searchsorted(cdf, 0.01, side="left"))
+    ref = bins[-1] if idx >= len(bins) - 1 else 0.5 * (bins[idx] + bins[idx + 1])
+    ours = float(bg_value(jnp.asarray(img), 1000, None, "hist-mode", 1))
+    np.testing.assert_allclose(ours, ref, rtol=1e-3, atol=2.0)
+
+
+def _np_stats(vals):
+    vals = vals[np.isfinite(vals)]
+    return dict(
+        mean=np.mean(vals), median=np.median(vals), std=np.std(vals),
+        p5=np.percentile(vals, 5), p95=np.percentile(vals, 95),
+        vmin=np.min(vals), vmax=np.max(vals), vsum=np.sum(vals), npx=vals.size,
+    )
+
+
+def test_masked_stats_matches_numpy():
+    img = RNG.integers(0, 4096, size=(200, 150)).astype(np.float32)
+    img[5, 5] = np.nan
+    mask = RNG.random((200, 150)) < 0.4
+    mask[5, 5] = True
+    ours = masked_stats(jnp.asarray(img), jnp.asarray(mask))
+    ref = _np_stats(img[mask])
+    for k, v in ref.items():
+        np.testing.assert_allclose(
+            float(ours[k]), float(v), rtol=1e-5, atol=1e-4, err_msg=k
+        )
+
+
+def test_masked_stats_empty():
+    ours = masked_stats(jnp.zeros((8, 8)), jnp.zeros((8, 8), bool))
+    assert int(ours["npx"]) == 0
+    for k in ("mean", "median", "std", "p5", "p95", "vmin", "vmax", "vsum"):
+        assert np.isnan(float(ours[k])), k
+
+
+def test_roi_stats_shapes():
+    imgs = jnp.asarray(RNG.random((2, 64, 64)).astype(np.float32))
+    masks = jnp.asarray(RNG.random((3, 64, 64)) < 0.5)
+    out = roi_stats(imgs, masks)
+    assert out["mean"].shape == (2, 3)
+    for c in range(2):
+        for r in range(3):
+            ref = _np_stats(np.asarray(imgs[c])[np.asarray(masks[r])])
+            np.testing.assert_allclose(float(out["mean"][c, r]), ref["mean"], rtol=1e-5)
+            np.testing.assert_allclose(float(out["median"][c, r]), ref["median"], rtol=1e-5)
+
+
+def test_auto_minmax():
+    img = jnp.asarray(np.arange(10000, dtype=np.float32).reshape(100, 100))
+    lo, hi = auto_minmax(img)
+    np.testing.assert_allclose(float(lo), np.percentile(np.arange(10000), 1), rtol=1e-6)
+    np.testing.assert_allclose(float(hi), np.percentile(np.arange(10000), 99), rtol=1e-6)
+    # degenerate
+    lo, hi = auto_minmax(jnp.zeros((4, 4)))
+    assert float(hi) > float(lo)
+
+
+def test_ratio_and_qc():
+    d = jnp.asarray(np.array([[10.0, 100.0]], np.float32))
+    a = jnp.asarray(np.array([[20.0, 4095.0]], np.float32))
+    eps = pick_epsilon(d, eps_abs=5.0, p_floor1000=1000)
+    assert float(eps) >= 5.0
+    r = ratio_with_eps(a, d, 5.0)
+    np.testing.assert_allclose(np.asarray(r), [[25.0 / 15.0, 4100.0 / 105.0]], rtol=1e-6)
+    sat = saturation_to_nan(a, 4095.0)
+    assert np.isnan(np.asarray(sat)[0, 1]) and not np.isnan(np.asarray(sat)[0, 0])
+    rc = clip_ratio_to_nan(r, 10.0)
+    assert np.isnan(np.asarray(rc)[0, 1])
+
+
+def test_pick_epsilon_percentile_floor():
+    d = jnp.asarray(np.full((100,), 50.0, np.float32))
+    eps = pick_epsilon(d, eps_abs=5.0, p_floor1000=1000)
+    assert float(eps) == 50.0
+
+
+def test_spectral_correct():
+    f = jnp.asarray(np.array([100.0], np.float32))
+    d = jnp.asarray(np.array([10.0], np.float32))
+    ao = jnp.asarray(np.array([20.0], np.float32))
+    out = spectral_correct(f, d, ao, alpha=0.5, beta=0.25, g_factor=2.0)
+    np.testing.assert_allclose(np.asarray(out), [(100 - 5 - 5) * 2.0])
+    out2 = spectral_correct(f, d, None, alpha=0.5, beta=0.25, g_factor=1.0)
+    np.testing.assert_allclose(np.asarray(out2), [95.0])
