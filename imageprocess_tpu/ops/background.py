@@ -62,10 +62,16 @@ def bg_value(
     stride: int = 4,
 ) -> jnp.ndarray:
     """Scalar background level of one 2-D frame."""
-    base = (
-        jnp.ones(img.shape, bool) if scope_mask is None else scope_mask.astype(bool)
-    )
-    eff = strided_submask(base, stride)
+    if scope_mask is None:
+        # full-frame scope: the i-th masked pixel IS flat index i, so the
+        # stride pattern is a plain iota test (avoids a megapixel cumsum).
+        if stride <= 1:
+            eff = jnp.ones(img.shape, bool)
+        else:
+            n = img.size
+            eff = (jnp.arange(n, dtype=jnp.int32) % stride == 0).reshape(img.shape)
+    else:
+        eff = strided_submask(scope_mask.astype(bool), stride)
     if mode == "percentile":
         b = masked_quantile(img, eff, p1000)
     elif mode == "hist-mode":

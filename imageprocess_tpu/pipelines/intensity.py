@@ -1,0 +1,290 @@
+"""Per-ROI fluorescence intensity pipeline (the reference's Fluor_INT).
+
+Reference semantics: src/INT/Fluor_INT.py — worker ``_process_key_task``
+(:795-1143), quantification ``quantify_per_roi_multi`` (:509-538), background
+``bg_correct`` (:461-492), report ``save_excel`` (:728-791).
+
+TPU-native design: the entire numeric path for one (stage, time) key —
+polygon rasterization, background percentile, correction, nine masked
+statistics per (channel, ROI) — is ONE jit-compiled XLA program with static
+shapes.  ROIs are padded to a bucket size and vmapped; channels are a leading
+batch axis.  The host does TIFF decode, ROI JSON parsing and report writing.
+
+The per-image program is wrapped by ``shard_map`` over a 1-D device mesh in
+``parallel.runner`` so a whole experiment batches across chips (the TPU
+equivalent of the reference's ProcessPoolExecutor, SURVEY §2.3).
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+from functools import partial
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core import naming, roiio, tiffio
+from ..core.naming import ChannelGrammar
+from ..geom.polygon import pad_polygons
+from ..geom.rasterize import rasterize_polygons
+from ..ops.background import bg_value
+from ..ops.percentile import p1000_of
+from ..ops.stats import STAT_FIELDS, masked_stats
+
+
+# --------------------------------------------------------------------------
+# configuration (defaults = the reference GUI defaults, Fluor_INT.py:2034-2090)
+# --------------------------------------------------------------------------
+
+@dataclass
+class IntensityConfig:
+    channels: Tuple[int, ...] = (1,)          # chs_to_quant
+    timelapse: bool = False
+    bg_mode: str = "percentile"               # "percentile" | "hist-mode" | "none"
+    bg_scope: str = "full"                    # "full" | "roi_union"
+    percentile: float = 1.0
+    per_channel_p: Dict[int, float] = field(default_factory=dict)
+    clip_neg: bool = True
+    bg_stride: int = 4
+    skip_no_roi: bool = True
+    channel_colors: Dict[int, str] = field(default_factory=dict)
+    # outputs
+    do_xls: bool = True
+    do_tif: bool = False
+    do_png: bool = False
+    tif_mask_outside: bool = False
+    auto_lo: float = 1.0
+    auto_hi: float = 99.0
+    px_um: Optional[float] = None
+    png_full: "object" = None     # report.render.PanelPngOptions
+    png_crop: "object" = None
+    fixed_crop: bool = True
+    crop_size: int = 500
+    grammar: ChannelGrammar = ChannelGrammar.TOKEN_OR_LAST
+
+    def __post_init__(self):
+        from ..report.render import PanelPngOptions
+
+        if self.png_full is None:
+            self.png_full = PanelPngOptions()
+        if self.png_crop is None:
+            self.png_crop = PanelPngOptions()
+
+
+def _bucket(n: int, step: int = 8) -> int:
+    """Round up to a multiple of *step* to bound jit recompiles."""
+    return max(step, ((n + step - 1) // step) * step)
+
+
+# --------------------------------------------------------------------------
+# device program
+# --------------------------------------------------------------------------
+
+@partial(
+    jax.jit,
+    static_argnames=("bg_mode", "bg_scope", "clip_neg", "bg_stride", "use_masks"),
+)
+def intensity_step(
+    imgs: jnp.ndarray,            # (C, H, W) float32
+    polys: jnp.ndarray,           # (N, V, 2) float32, padded
+    roi_valid: jnp.ndarray,       # (N,) bool
+    p1000s: jnp.ndarray,          # (C,) int32 percentile-in-thousandths per ch
+    masks_in: Optional[jnp.ndarray] = None,  # (N, H, W) bool overrides rasterize
+    *,
+    bg_mode: str = "percentile",
+    bg_scope: str = "full",
+    clip_neg: bool = True,
+    bg_stride: int = 4,
+    use_masks: bool = False,
+):
+    """One (stage, time) key on device.
+
+    Returns (stats, area_px, bgs, imgs_bc):
+      stats: dict of (C, N) float32 per STAT_FIELDS, npx int32;
+      area_px: (N,) int32 mask popcounts;
+      bgs: (C,) float32 background levels;
+      imgs_bc: (C, H, W) float32 background-corrected frames.
+    """
+    C, H, W = imgs.shape
+    if use_masks:
+        masks = masks_in & roi_valid[:, None, None]
+    else:
+        masks = rasterize_polygons(polys, (H, W)) & roi_valid[:, None, None]
+    union = masks.any(axis=0)
+
+    scope = union if bg_scope == "roi_union" else None
+    if bg_mode == "none":
+        bgs = jnp.zeros((C,), jnp.float32)
+    else:
+        bgs = jax.vmap(
+            lambda im, p: bg_value(im, p, scope, bg_mode, bg_stride)
+        )(imgs, p1000s)
+
+    imgs_bc = imgs - bgs[:, None, None]
+    if clip_neg:
+        imgs_bc = jnp.maximum(imgs_bc, 0.0)
+
+    per_roi = jax.vmap(lambda m, im: masked_stats(im, m), in_axes=(0, None))
+    stats = jax.vmap(lambda im: per_roi(masks, im))(imgs_bc)  # (C, N) each
+    area_px = masks.sum(axis=(1, 2)).astype(jnp.int32)
+    return stats, area_px, bgs, imgs_bc
+
+
+# --------------------------------------------------------------------------
+# host orchestration
+# --------------------------------------------------------------------------
+
+def _device_inputs(
+    imgs: np.ndarray,
+    polys: Optional[List[np.ndarray]],
+    union_mask: Optional[np.ndarray],
+):
+    """Pad ragged host inputs to bucketed static shapes."""
+    H, W = imgs.shape[1:]
+    if polys is not None:
+        n = len(polys)
+        nb = _bucket(n)
+        vb = _bucket(max(len(p) for p in polys), 32)
+        pv = np.zeros((nb, vb, 2), np.float32)
+        for i, p in enumerate(polys):
+            pv[i] = pad_polygons([np.asarray(p, np.float32)], vb)[0]
+        valid = np.zeros(nb, bool)
+        valid[:n] = True
+        return pv, valid, None, n
+    if union_mask is not None:
+        m = np.asarray(union_mask, bool)[None]
+        return np.zeros((1, 32, 2), np.float32), np.ones(1, bool), m, 1
+    # whole frame as ROI 0 (Fluor_INT.py:530-537)
+    return (
+        np.zeros((1, 32, 2), np.float32),
+        np.ones(1, bool),
+        np.ones((1, H, W), bool),
+        1,
+    )
+
+
+def process_key(
+    key: naming.Key,
+    chmap: Dict[int, str],
+    roi_dir: str,
+    cfg: IntensityConfig,
+) -> Tuple[List[dict], List[str], Optional[dict]]:
+    """One (stage, time) key: returns (rows, logs, extras-for-rendering)."""
+    s, t_code = key
+    stid = s if t_code is None else f"{s}_{t_code}"
+
+    chs, paths = [], []
+    for ch in cfg.channels:
+        p = chmap.get(ch)
+        if p is not None:
+            chs.append(ch)
+            paths.append(p)
+    if not chs:
+        return [], [f"[SKIP] {stid} — no channels"], None
+
+    imgs = np.stack([tiffio.read_2d(p) for p in paths])
+    H, W = imgs.shape[1:]
+
+    base = naming.find_roi_basepath(
+        roi_dir, os.path.basename(paths[0]), cfg.timelapse, cfg.grammar
+    )
+    polys, union_mask = roiio.load_polys_or_mask(base, (H, W))
+    if polys is None and union_mask is None and cfg.skip_no_roi:
+        return [], [f"[SKIP] {stid} — no ROI"], None
+
+    pv, valid, masks, n_roi = _device_inputs(imgs, polys, union_mask)
+    p1000s = np.array(
+        [
+            p1000_of(cfg.per_channel_p.get(ch, cfg.percentile))
+            for ch in chs
+        ],
+        np.int32,
+    )
+    stats, area_px, bgs, imgs_bc = intensity_step(
+        jnp.asarray(imgs),
+        jnp.asarray(pv),
+        jnp.asarray(valid),
+        jnp.asarray(p1000s),
+        None if masks is None else jnp.asarray(masks),
+        bg_mode=cfg.bg_mode,
+        bg_scope=cfg.bg_scope,
+        clip_neg=cfg.clip_neg,
+        bg_stride=cfg.bg_stride,
+        use_masks=masks is not None,
+    )
+    stats = jax.device_get(stats)
+    area_px = np.asarray(area_px)
+    bgs = np.asarray(bgs)
+
+    whole_frame = polys is None and union_mask is None
+    rows = []
+    for i in range(n_roi):
+        row = {
+            "stage": s,
+            "time": t_code if cfg.timelapse else None,
+            "roi": 0 if whole_frame else i + 1,
+            "area_px": int(area_px[i]),
+            "bg_mode": cfg.bg_mode,
+            "bg_scope": cfg.bg_scope,
+            "clip_neg": bool(cfg.clip_neg),
+            "bg_stride": int(cfg.bg_stride),
+        }
+        for ci, ch in enumerate(chs):
+            for f in STAT_FIELDS:
+                v = stats[f][ci, i]
+                row[f"ch{ch}_{f}"] = int(v) if f == "npx" else float(v)
+            row[f"ch{ch}_bg"] = float(bgs[ci])
+            row[f"ch{ch}_p"] = float(cfg.per_channel_p.get(ch, cfg.percentile))
+            row[f"ch{ch}_color"] = cfg.channel_colors.get(ch, "Grayscale")
+        rows.append(row)
+
+    logs = [f"[DONE-QUANT] {stid} ROI={n_roi}"]
+    extras = {
+        "stid": stid,
+        "chs": chs,
+        "imgs_bc": np.asarray(imgs_bc),
+        "polys": polys,
+        "union_mask": union_mask,
+        "shape": (H, W),
+    }
+    return rows, logs, extras
+
+
+def run_intensity(
+    folder: str,
+    cfg: IntensityConfig,
+    out_root: Optional[str] = None,
+    log=print,
+) -> List[dict]:
+    """Run the intensity workload over an experiment *folder*.
+
+    Mirrors Fluor_INT._run_pipeline (Fluor_INT.py:2094-2260): discover TIFFs,
+    build the (stage, time) -> {channel: path} keymap, quantify every key,
+    then write the per-ROI report under ``RES/``.
+    """
+    from ..report.excel import save_intensity_excel
+    from ..report import render
+
+    files = naming.list_tifs(folder)
+    keymap = naming.build_keymap(files, cfg.timelapse, cfg.grammar)
+    roi_dir = os.path.join(folder, "roi")
+    out_root = out_root or os.path.join(folder, "RES")
+
+    rows_all: List[dict] = []
+    for key, chmap in keymap.items():
+        rows, logs, extras = process_key(key, chmap, roi_dir, cfg)
+        rows_all.extend(rows)
+        for line in logs:
+            log(line)
+        if extras is not None and (cfg.do_tif or cfg.do_png):
+            render.save_intensity_images(extras, cfg, out_root)
+
+    if cfg.do_xls and rows_all:
+        xls_dir = os.path.join(out_root, "xls")
+        os.makedirs(xls_dir, exist_ok=True)
+        save_intensity_excel(rows_all, keymap, xls_dir)
+        log(f"[SAVED] {xls_dir}")
+    return rows_all

@@ -1,0 +1,130 @@
+"""Tabular report writers (pandas -> CSV/XLSX).
+
+Column orders, derived columns, sheet layouts and filenames replicate the
+reference writers so downstream analysis notebooks keep working:
+
+- intensity: src/INT/Fluor_INT.py:728-791 (``save_excel``)
+- FRET:      src/FRET/fret_ratio_builder.py:980-1011
+- Nesprin2:  src/FRET/Nesprin2_FRET_Builder.py:1287-1326
+- morphology: src/MOR_by_ROI.py:461-500
+- FA:        src/INT/FA_Analyzer.py:1054-1113
+"""
+
+from __future__ import annotations
+
+import os
+import re
+from typing import Dict, List, Sequence
+
+import pandas as pd
+
+from ..core.naming import natural_key
+from .xlsxlite import write_xlsx, _df_rows
+
+
+def intensity_dataframe(rows_all: List[dict]) -> pd.DataFrame:
+    """per-ROI table with the reference's column order and derived columns
+    (Fluor_INT.py:731-751)."""
+    df = pd.DataFrame(rows_all)
+    if df.empty:
+        return df
+    base_cols = [
+        "stage", "time", "roi", "area_px",
+        "bg_mode", "bg_scope", "clip_neg", "bg_stride",
+    ]
+    dyn_cols = sorted(
+        [c for c in df.columns if c not in base_cols], key=natural_key
+    )
+    df = df[base_cols + dyn_cols]
+    df["stage_idx"] = df["stage"].str.extract(r"S(\d+)", expand=False).astype(int)
+    if df["time"].notna().any():
+        df["time_idx"] = (
+            df["time"].fillna("t0").str.extract(r"t(\d+)", expand=False).astype(int)
+        )
+    else:
+        df["time_idx"] = 0
+    df["roi_lab"] = "s" + df["stage_idx"].astype(str) + "c" + df["roi"].astype(str)
+    df["roi_id"] = df["stage"] + "_roi" + df["roi"].astype(str)
+    return df
+
+
+def save_intensity_excel(rows_all: List[dict], keymap: Dict, xls_dir: str) -> None:
+    """``fluor_intensity_perROI.{xlsx,csv}`` with per-channel sheets
+    (non-timelapse) or time x roi pivot matrices (timelapse)."""
+    df = intensity_dataframe(rows_all)
+    if df.empty:
+        return
+    xlsx = os.path.join(xls_dir, "fluor_intensity_perROI.xlsx")
+    csv = os.path.join(xls_dir, "fluor_intensity_perROI.csv")
+
+    ch_list = sorted(
+        {int(m.group(1)) for col in df.columns
+         if (m := re.match(r"ch(\d+)_mean", col))}
+    )
+    sheets = {"per_ROI": _df_rows(df)}
+    is_tl = any(k[1] is not None for k in keymap.keys())
+    if not is_tl:
+        for ch in ch_list:
+            keep = ["stage", "roi", "roi_id", "area_px"] + [
+                c for c in df.columns if c.startswith(f"ch{ch}_")
+            ]
+            keep = [c for c in keep if c in df.columns]
+            sub = df[keep].copy().sort_values(["stage", "roi"])
+            sub.insert(0, "No.", range(1, len(sub) + 1))
+            sheets[f"ch{ch}"] = _df_rows(sub)
+    else:
+        for ch in ch_list:
+            for stat in ("mean", "median"):
+                mat = df.pivot(
+                    index="time_idx", columns="roi_lab",
+                    values=f"ch{ch}_{stat}",
+                ).sort_index()
+                sheets[f"ch{ch}_{stat}_matrix"] = _df_rows(mat, index=True)
+    write_xlsx(xlsx, sheets)
+    df.to_csv(csv, index=False)
+
+
+def save_ratio_excel(
+    rows_all: List[dict],
+    xls_dir: str,
+    filename: str = "fret_ratio_perROI",
+    ratio_col: str = "ratio_mean",
+    median_col: str = "ratio_median",
+) -> None:
+    """FRET per-ROI table + mean/median pivot matrices
+    (fret_ratio_builder.py:980-1011)."""
+    df = pd.DataFrame(rows_all)
+    if df.empty:
+        return
+    df["stage_idx"] = df["stage"].str.extract(r"S(\d+)", expand=False).astype(int)
+    if df["time"].notna().any():
+        df["time_idx"] = (
+            df["time"].fillna("t0").str.extract(r"t(\d+)", expand=False).astype(int)
+        )
+    else:
+        df["time_idx"] = 0
+    df["roi_lab"] = "s" + df["stage_idx"].astype(str) + "c" + df["roi"].astype(str)
+
+    xlsx = os.path.join(xls_dir, f"{filename}.xlsx")
+    csv = os.path.join(xls_dir, f"{filename}.csv")
+    sheets = {"per_ROI": _df_rows(df)}
+    for col, sheet in ((ratio_col, "ratio_mean_matrix"),
+                       (median_col, "ratio_median_matrix")):
+        if col in df.columns:
+            mat = df.pivot(
+                index="time_idx", columns="roi_lab", values=col
+            ).sort_index()
+            sheets[sheet] = _df_rows(mat, index=True)
+    write_xlsx(xlsx, sheets)
+    df.to_csv(csv, index=False)
+
+
+def save_simple_table(
+    rows_all: Sequence[dict], xls_dir: str, filename: str, sheet: str = "data"
+) -> None:
+    df = pd.DataFrame(list(rows_all))
+    if df.empty:
+        return
+    os.makedirs(xls_dir, exist_ok=True)
+    write_xlsx(os.path.join(xls_dir, f"{filename}.xlsx"), {sheet: _df_rows(df)})
+    df.to_csv(os.path.join(xls_dir, f"{filename}.csv"), index=False)

@@ -1,0 +1,214 @@
+"""Self-contained XLSX writer (no openpyxl/xlsxwriter dependency).
+
+Writes the minimal Office Open XML SpreadsheetML package: workbook,
+worksheets with inline strings, shared rels, content types.  Feature set is
+exactly what the report layer needs — multiple sheets, str/int/float/bool
+cells, NaN -> blank — producing files that Excel / LibreOffice / pandas
+(with openpyxl) read back fine.
+
+The reference emits .xlsx via openpyxl/xlsxwriter (src/INT/Fluor_INT.py:753,
+src/FRET/fret_ratio_builder.py:994-1001); this module is the rebuild's
+zero-dependency equivalent.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import re
+import zipfile
+from typing import Dict, Iterable, List, Sequence
+
+_XML_ESCAPES = {"&": "&amp;", "<": "&lt;", ">": "&gt;", '"': "&quot;"}
+
+
+def _esc(s: str) -> str:
+    return re.sub(r'[&<>"]', lambda m: _XML_ESCAPES[m.group(0)], s)
+
+
+def _col_ref(idx: int) -> str:
+    """0-based column index -> A, B, ..., AA, ..."""
+    ref = ""
+    idx += 1
+    while idx:
+        idx, rem = divmod(idx - 1, 26)
+        ref = chr(ord("A") + rem) + ref
+    return ref
+
+
+def _cell_xml(ref: str, value) -> str:
+    if value is None:
+        return ""
+    if isinstance(value, bool):
+        return f'<c r="{ref}" t="b"><v>{int(value)}</v></c>'
+    if isinstance(value, (int,)) and not isinstance(value, bool):
+        return f'<c r="{ref}"><v>{value}</v></c>'
+    if isinstance(value, float):
+        if math.isnan(value):
+            return ""
+        if math.isinf(value):
+            value = "Infinity" if value > 0 else "-Infinity"
+            return f'<c r="{ref}" t="inlineStr"><is><t>{value}</t></is></c>'
+        return f'<c r="{ref}"><v>{value!r}</v></c>'
+    return f'<c r="{ref}" t="inlineStr"><is><t>{_esc(str(value))}</t></is></c>'
+
+
+def _sheet_xml(rows: Iterable[Sequence]) -> str:
+    body: List[str] = []
+    for r, row in enumerate(rows, 1):
+        cells = "".join(
+            _cell_xml(f"{_col_ref(c)}{r}", v) for c, v in enumerate(row)
+        )
+        body.append(f'<row r="{r}">{cells}</row>')
+    return (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        '<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">'
+        f"<sheetData>{''.join(body)}</sheetData></worksheet>"
+    )
+
+
+_INVALID_SHEET = re.compile(r"[\\/?*\[\]:]")
+
+
+def write_xlsx(path: str, sheets: Dict[str, Iterable[Sequence]]) -> None:
+    """Write ``{sheet_name: rows}`` (rows = iterable of cell sequences) to
+    *path* atomically."""
+    names = [(_INVALID_SHEET.sub("_", n)[:31] or f"Sheet{i+1}")
+             for i, n in enumerate(sheets)]
+    sheet_entries = "".join(
+        f'<sheet name="{_esc(n)}" sheetId="{i+1}" r:id="rId{i+1}"/>'
+        for i, n in enumerate(names)
+    )
+    workbook = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        '<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" '
+        'xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">'
+        f"<sheets>{sheet_entries}</sheets></workbook>"
+    )
+    wb_rels = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        '<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">'
+        + "".join(
+            f'<Relationship Id="rId{i+1}" '
+            'Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" '
+            f'Target="worksheets/sheet{i+1}.xml"/>'
+            for i in range(len(names))
+        )
+        + "</Relationships>"
+    )
+    root_rels = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        '<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">'
+        '<Relationship Id="rId1" '
+        'Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/officeDocument" '
+        'Target="xl/workbook.xml"/></Relationships>'
+    )
+    content_types = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        '<Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types">'
+        '<Default Extension="rels" '
+        'ContentType="application/vnd.openxmlformats-package.relationships+xml"/>'
+        '<Default Extension="xml" ContentType="application/xml"/>'
+        '<Override PartName="/xl/workbook.xml" '
+        'ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.sheet.main+xml"/>'
+        + "".join(
+            f'<Override PartName="/xl/worksheets/sheet{i+1}.xml" '
+            'ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.worksheet+xml"/>'
+            for i in range(len(names))
+        )
+        + "</Types>"
+    )
+
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    tmp = path + ".tmp"
+    with zipfile.ZipFile(tmp, "w", zipfile.ZIP_DEFLATED) as zf:
+        zf.writestr("[Content_Types].xml", content_types)
+        zf.writestr("_rels/.rels", root_rels)
+        zf.writestr("xl/workbook.xml", workbook)
+        zf.writestr("xl/_rels/workbook.xml.rels", wb_rels)
+        for i, rows in enumerate(sheets.values()):
+            zf.writestr(f"xl/worksheets/sheet{i+1}.xml", _sheet_xml(rows))
+    os.replace(tmp, path)
+
+
+def _df_rows(df, index: bool = False) -> List[List]:
+    """pandas DataFrame -> rows of plain Python cells (NaN kept; the cell
+    writer blanks them)."""
+    import numpy as np
+
+    def py(v):
+        if v is None:
+            return None
+        if isinstance(v, (np.integer,)):
+            return int(v)
+        if isinstance(v, (np.floating,)):
+            return float(v)
+        if isinstance(v, (np.bool_,)):
+            return bool(v)
+        if isinstance(v, float) and math.isnan(v):
+            return None
+        return v
+
+    if index:
+        header = [df.index.name or ""] + [str(c) for c in df.columns]
+        rows = [header]
+        for idx, row in zip(df.index, df.itertuples(index=False)):
+            rows.append([py(idx)] + [py(v) for v in row])
+    else:
+        rows = [[str(c) for c in df.columns]]
+        for row in df.itertuples(index=False):
+            rows.append([py(v) for v in row])
+    return rows
+
+
+def read_xlsx(path: str) -> Dict[str, List[List]]:
+    """Minimal reader for files written by :func:`write_xlsx` (inline
+    strings + numeric cells) — used by round-trip tests."""
+    import xml.etree.ElementTree as ET
+
+    ns = {"m": "http://schemas.openxmlformats.org/spreadsheetml/2006/main",
+          "r": "http://schemas.openxmlformats.org/officeDocument/2006/relationships"}
+    out: Dict[str, List[List]] = {}
+    with zipfile.ZipFile(path) as zf:
+        wb = ET.fromstring(zf.read("xl/workbook.xml"))
+        rels = ET.fromstring(zf.read("xl/_rels/workbook.xml.rels"))
+        rel_map = {
+            rel.get("Id"): rel.get("Target")
+            for rel in rels.findall(
+                "{http://schemas.openxmlformats.org/package/2006/relationships}Relationship"
+            )
+        }
+        for sheet in wb.find("m:sheets", ns).findall("m:sheet", ns):
+            name = sheet.get("name")
+            target = rel_map[sheet.get(
+                "{http://schemas.openxmlformats.org/officeDocument/2006/relationships}id")]
+            ws = ET.fromstring(zf.read("xl/" + target.lstrip("/")))
+            rows = []
+            for row in ws.find("m:sheetData", ns).findall("m:row", ns):
+                cells: Dict[int, object] = {}
+                for c in row.findall("m:c", ns):
+                    ref = c.get("r")
+                    col = 0
+                    for ch in ref:
+                        if ch.isalpha():
+                            col = col * 26 + (ord(ch.upper()) - ord("A") + 1)
+                        else:
+                            break
+                    col -= 1
+                    t = c.get("t")
+                    if t == "inlineStr":
+                        tnode = c.find("m:is/m:t", ns)
+                        cells[col] = tnode.text if tnode is not None else ""
+                    else:
+                        v = c.find("m:v", ns)
+                        if v is None or v.text is None:
+                            cells[col] = None
+                        elif t == "b":
+                            cells[col] = bool(int(v.text))
+                        else:
+                            num = float(v.text)
+                            cells[col] = int(num) if num.is_integer() else num
+                width = max(cells) + 1 if cells else 0
+                rows.append([cells.get(i) for i in range(width)])
+            out[name] = rows
+    return out
