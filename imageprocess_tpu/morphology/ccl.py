@@ -1,0 +1,151 @@
+"""Connected-component labeling on device (XLA, jit/vmap-safe).
+
+The reference uses three CCL entry points (SURVEY §2.2):
+
+- ``skimage.measure.label(bw)`` — 8-connected, labels numbered in raster
+  order of each component's first pixel (src/INT/FA_Analyzer.py:157);
+- ``scipy.ndimage.label`` — 4-connected (src/roi_manual_drawer.py:391);
+- ``skimage.morphology.remove_small_objects`` — 4-connected
+  (src/INT/FA_Analyzer.py:150);
+- ``scipy.ndimage.binary_fill_holes`` — 4-connected complement flood
+  (src/roi_manual_drawer.py:395).
+
+Algorithm: **min-index label propagation with pointer jumping**.  Every
+foreground pixel starts labeled with its own flat index; each round takes
+the min over its (4/8-) neighborhood, then path-compresses twice
+(``L <- L[L]``), which makes long snaky components converge in
+O(log diameter) rounds instead of O(diameter).  The fixpoint label of a
+component is its minimum flat index = its first pixel in raster order, so
+compacting the surviving roots by rank reproduces skimage/scipy label
+numbering exactly.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+
+def _neighbor_min(L: jnp.ndarray, sentinel, connectivity: int) -> jnp.ndarray:
+    """Min label over the pixel's neighborhood (out-of-image = sentinel)."""
+    H, W = L.shape
+    rows = jnp.arange(H)[:, None]
+    cols = jnp.arange(W)[None, :]
+
+    def shifted(dy, dx):
+        s = jnp.roll(L, (dy, dx), (0, 1))
+        if dy:
+            s = jnp.where(
+                (rows >= dy) if dy > 0 else (rows < H + dy), s, sentinel
+            )
+        if dx:
+            s = jnp.where(
+                (cols >= dx) if dx > 0 else (cols < W + dx), s, sentinel
+            )
+        return s
+
+    offsets = [(-1, 0), (1, 0), (0, -1), (0, 1)]
+    if connectivity == 2:
+        offsets += [(-1, -1), (-1, 1), (1, -1), (1, 1)]
+    out = L
+    for dy, dx in offsets:
+        out = jnp.minimum(out, shifted(dy, dx))
+    return out
+
+
+@partial(jax.jit, static_argnames=("connectivity",))
+def label_roots(fg: jnp.ndarray, connectivity: int = 1) -> jnp.ndarray:
+    """(H, W) bool -> (H, W) int32: for each foreground pixel, the flat index
+    of its component's first (raster-order) pixel; background = H*W."""
+    H, W = fg.shape
+    sentinel = jnp.int32(H * W)
+    idx = jnp.arange(H * W, dtype=jnp.int32).reshape(H, W)
+    L0 = jnp.where(fg, idx, sentinel)
+
+    def jump(L):
+        flat = L.ravel()
+        ptr = jnp.clip(flat, 0, H * W - 1)
+        return jnp.where(fg, jnp.minimum(flat, flat[ptr]).reshape(H, W), sentinel)
+
+    def body(state):
+        L, _ = state
+        Ln = jnp.where(fg, _neighbor_min(L, sentinel, connectivity), sentinel)
+        Ln = jump(jump(Ln))
+        return Ln, jnp.any(Ln != L)
+
+    def cond(state):
+        return state[1]
+
+    L, _ = jax.lax.while_loop(cond, body, (L0, jnp.bool_(True)))
+    return L
+
+
+def _root_sizes(roots: jnp.ndarray) -> jnp.ndarray:
+    """(H*W + 1,) pixel count per root flat-index (index H*W = background)."""
+    H, W = roots.shape
+    return (
+        jnp.zeros(H * W + 1, jnp.int32).at[roots.ravel()].add(1)
+    )
+
+
+@partial(jax.jit, static_argnames=("connectivity", "max_labels"))
+def label(
+    fg: jnp.ndarray, connectivity: int = 2, max_labels: int = 1024
+) -> jnp.ndarray:
+    """skimage.measure.label parity: int32 labels 1..n in raster order of
+    first pixels, 0 = background.  *max_labels* is the static bound on the
+    number of components (excess components would alias; size it to the
+    workload)."""
+    H, W = fg.shape
+    roots = label_roots(fg, connectivity)
+    sentinel = jnp.int32(H * W)
+    uniq = jnp.unique(roots, size=max_labels + 1, fill_value=sentinel)
+    comp = jnp.searchsorted(uniq, roots.ravel()).astype(jnp.int32)
+    lab = jnp.where(fg.ravel(), comp + 1, 0)
+    return lab.reshape(H, W)
+
+
+@partial(jax.jit, static_argnames=("connectivity",))
+def remove_small_objects(
+    fg: jnp.ndarray, min_size: int, connectivity: int = 1
+) -> jnp.ndarray:
+    """skimage.morphology.remove_small_objects parity (default 4-connected,
+    strict ``< min_size`` removal)."""
+    roots = label_roots(fg, connectivity)
+    sizes = _root_sizes(roots)
+    keep = sizes[roots.ravel()].reshape(fg.shape) >= min_size
+    return fg & keep
+
+
+@jax.jit
+def fill_holes(fg: jnp.ndarray) -> jnp.ndarray:
+    """scipy.ndimage.binary_fill_holes parity: background components not
+    connected (4-conn) to the image border become foreground."""
+    H, W = fg.shape
+    bg_roots = label_roots(~fg, connectivity=1)
+    border = jnp.zeros((H, W), bool).at[0, :].set(True).at[-1, :].set(True)
+    border = border.at[:, 0].set(True).at[:, -1].set(True)
+    border_bg = border & ~fg
+    touched = (
+        jnp.zeros(H * W + 1, jnp.int32)
+        .at[jnp.where(border_bg, bg_roots, H * W).ravel()]
+        .add(1)
+    )
+    reachable = touched[bg_roots.ravel()].reshape(H, W) > 0
+    return fg | (~fg & ~reachable)
+
+
+@partial(jax.jit, static_argnames=("connectivity",))
+def largest_component(fg: jnp.ndarray, connectivity: int = 1):
+    """(mask of the largest component, its size).  Ties break to the
+    component whose first pixel comes first in raster order — matching
+    ``np.argmax`` over scipy.ndimage label sizes
+    (src/roi_manual_drawer.py:391-394)."""
+    H, W = fg.shape
+    roots = label_roots(fg, connectivity)
+    sizes = _root_sizes(roots)
+    sizes = sizes.at[H * W].set(0)  # background doesn't compete
+    best = jnp.argmax(sizes).astype(jnp.int32)
+    return (roots == best) & fg, sizes[best]

@@ -1,0 +1,230 @@
+"""Oracle tests for the device morphology kernels.
+
+Oracles: scipy.ndimage (label 4-conn, dilation, EDT, fill_holes), cv2
+(8-connected components), and hand-built semantics for the skimage calls the
+reference makes (skimage itself is not installed in this environment)."""
+
+import numpy as np
+import pytest
+import scipy.ndimage as ndi
+
+from imageprocess_tpu.morphology import (
+    annulus_mask,
+    binary_closing_skimage,
+    binary_dilation,
+    binary_erosion,
+    clamped_sq_edt,
+    disk,
+    fill_holes,
+    find_contours,
+    label,
+    largest_component,
+    region_props,
+    remove_small_objects,
+    rim_mask,
+    square_dilation,
+)
+from imageprocess_tpu.morphology.ccl import label_roots
+
+
+def _random_blobs(shape=(64, 96), p=0.35, seed=0, smooth=1):
+    rng = np.random.default_rng(seed)
+    img = rng.random(shape)
+    img = ndi.gaussian_filter(img, smooth)
+    return img > np.quantile(img, 1 - p)
+
+
+# --- binary morphology -------------------------------------------------------
+
+def test_disk_matches_l2_ball():
+    d = disk(3)
+    y, x = np.mgrid[-3:4, -3:4]
+    assert np.array_equal(d, x * x + y * y <= 9)
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+@pytest.mark.parametrize("r", [1, 2, 3])
+def test_dilation_erosion_vs_scipy(seed, r):
+    fg = _random_blobs(seed=seed)
+    se = disk(r)
+    assert np.array_equal(
+        np.asarray(binary_dilation(fg, se)), ndi.binary_dilation(fg, se)
+    )
+    assert np.array_equal(
+        np.asarray(binary_erosion(fg, se, border_true=False)),
+        ndi.binary_erosion(fg, se, border_value=0),
+    )
+    assert np.array_equal(
+        np.asarray(binary_erosion(fg, se, border_true=True)),
+        ndi.binary_erosion(fg, se, border_value=1),
+    )
+
+
+@pytest.mark.parametrize("r", [1, 2])
+def test_closing_skimage_semantics(r):
+    """skimage.binary_closing == dilate(border 0) then erode(border 1)."""
+    fg = _random_blobs(seed=3)
+    se = disk(r)
+    expect = ndi.binary_erosion(ndi.binary_dilation(fg, se), se, border_value=1)
+    assert np.array_equal(np.asarray(binary_closing_skimage(fg, se)), expect)
+
+
+@pytest.mark.parametrize("k", [1, 3, 5])
+def test_square_dilation_vs_scipy(k):
+    fg = _random_blobs(seed=4, p=0.1)
+    expect = ndi.binary_dilation(fg, np.ones((2 * k + 1, 2 * k + 1), bool))
+    assert np.array_equal(np.asarray(square_dilation(fg, k)), expect)
+
+
+def test_annulus_mask_reference_semantics():
+    """Nesprin2_FRET_Builder.py:416-427 with its parameter clamping."""
+    base = np.zeros((40, 40), bool)
+    base[15:25, 15:25] = True
+    for inner, outer in [(2, 5), (0, 3), (4, 2)]:
+        inner_c = max(1, inner)
+        outer_c = outer if outer > inner_c else inner_c + 1
+        expect = ndi.binary_dilation(
+            base, np.ones((2 * outer_c + 1,) * 2)
+        ) & ~ndi.binary_dilation(base, np.ones((2 * inner_c + 1,) * 2))
+        assert np.array_equal(np.asarray(annulus_mask(base, inner, outer)), expect)
+
+
+# --- connected components ----------------------------------------------------
+
+@pytest.mark.parametrize("seed", [0, 1, 5])
+def test_label_4conn_matches_ndi(seed):
+    fg = _random_blobs(seed=seed, p=0.3, smooth=0)
+    ours = np.asarray(label(fg, connectivity=1, max_labels=2048))
+    ref, n = ndi.label(fg)
+    assert ours.max() == n
+    assert np.array_equal(ours, ref)  # numbering = raster order of 1st pixel
+
+
+@pytest.mark.parametrize("seed", [0, 2])
+def test_label_8conn_partition_matches_cv2(seed):
+    import cv2
+
+    fg = _random_blobs(seed=seed, p=0.3, smooth=0)
+    ours = np.asarray(label(fg, connectivity=2, max_labels=2048))
+    n_ref, ref = cv2.connectedComponents(fg.astype(np.uint8), connectivity=8)
+    assert ours.max() == n_ref - 1
+    # same partition: bijective mapping between label sets
+    pairs = {(int(a), int(b)) for a, b in zip(ours.ravel(), ref.ravel())}
+    assert len(pairs) == n_ref  # one ref label per our label (incl. bg)
+
+
+def test_label_snake():
+    """Long snaky component exercises pointer jumping."""
+    fg = np.zeros((32, 64), bool)
+    fg[0, :] = True
+    for i in range(1, 31, 2):
+        fg[i, -1 if (i // 2) % 2 == 0 else 0] = True
+        fg[i + 1, :] = True
+    ours = np.asarray(label(fg, connectivity=1, max_labels=8))
+    ref, n = ndi.label(fg)
+    assert np.array_equal(ours, ref) and n == 1
+
+
+def test_remove_small_objects():
+    fg = np.zeros((30, 30), bool)
+    fg[2:4, 2:4] = True          # 4 px
+    fg[10:15, 10:15] = True      # 25 px
+    fg[20, 20] = True            # 1 px
+    out = np.asarray(remove_small_objects(fg, min_size=5))
+    expect = np.zeros_like(fg)
+    expect[10:15, 10:15] = True
+    assert np.array_equal(out, expect)
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_fill_holes_vs_ndi(seed):
+    fg = _random_blobs(seed=seed, p=0.45, smooth=1)
+    assert np.array_equal(np.asarray(fill_holes(fg)), ndi.binary_fill_holes(fg))
+
+
+def test_largest_component():
+    fg = np.zeros((20, 40), bool)
+    fg[2:5, 2:5] = True          # 9 px
+    fg[10:16, 10:16] = True      # 36 px
+    mask, size = largest_component(fg)
+    assert int(size) == 36
+    expect = np.zeros_like(fg)
+    expect[10:16, 10:16] = True
+    assert np.array_equal(np.asarray(mask), expect)
+
+
+# --- EDT / rim ---------------------------------------------------------------
+
+@pytest.mark.parametrize("seed", [0, 1])
+@pytest.mark.parametrize("rim_px", [1, 3, 6])
+def test_rim_mask_vs_scipy_edt(seed, rim_px):
+    union = _random_blobs(seed=seed, p=0.4, smooth=2)
+    dist = ndi.distance_transform_edt(union)
+    expect = (dist > 0) & (dist <= rim_px)
+    assert np.array_equal(np.asarray(rim_mask(union, rim_px)), expect)
+
+
+def test_clamped_sq_edt_exact_within_radius():
+    union = _random_blobs(seed=3, p=0.5, smooth=2)
+    r = 5
+    sq = np.asarray(clamped_sq_edt(union, r))
+    ref = ndi.distance_transform_edt(union) ** 2
+    sel = ref <= r * r
+    assert np.allclose(sq[sel], ref[sel], atol=1e-3)
+    assert (sq[~sel] > r * r).all()
+
+
+# --- region props ------------------------------------------------------------
+
+def test_region_props_vs_numpy():
+    fg = _random_blobs(seed=7, p=0.3, smooth=0)
+    lab = np.asarray(label(fg, connectivity=2, max_labels=2048))
+    img = np.random.default_rng(0).random(fg.shape).astype(np.float32)
+    props = {k: np.asarray(v) for k, v in
+             region_props(lab, img, max_labels=2048).items()}
+    n = int(props["n_labels"])
+    assert n == lab.max()
+    for l in range(1, min(n, 20) + 1):
+        m = lab == l
+        i = l - 1
+        assert props["area"][i] == m.sum()
+        assert np.isclose(props["mean"][i], img[m].mean(), rtol=1e-5)
+        rr, cc = np.nonzero(m)
+        assert np.isclose(props["centroid_r"][i], rr.mean(), rtol=1e-5)
+        assert props["min_r"][i] == rr.min() and props["max_r"][i] == rr.max()
+        assert props["min_c"][i] == cc.min() and props["max_c"][i] == cc.max()
+
+
+# --- contours ----------------------------------------------------------------
+
+def test_find_contours_closed_blob():
+    fg = np.zeros((40, 40), float)
+    fg[10:30, 8:32] = 1.0
+    cs = find_contours(fg, 0.5)
+    assert len(cs) == 1
+    c = cs[0]
+    assert np.allclose(c[0], c[-1])  # closed
+    # 0.5-contour of a solid 20 x 24-pixel rectangle spans rows 9.5..29.5 and
+    # cols 7.5..31.5 with the 4 corners chamfered by 0.5*0.5/2 triangles
+    rows = c[:, 0]
+    cols = c[:, 1]
+    area = 0.5 * abs(np.dot(rows, np.roll(cols, -1)) - np.dot(cols, np.roll(rows, -1)))
+    assert area == 20 * 24 - 4 * 0.125
+
+
+def test_find_contours_hole():
+    fg = np.zeros((30, 30), float)
+    fg[5:25, 5:25] = 1.0
+    fg[12:18, 12:18] = 0.0
+    cs = find_contours(fg, 0.5)
+    assert len(cs) == 2
+    for c in cs:
+        assert np.allclose(c[0], c[-1])
+
+
+def test_find_contours_open_at_edge():
+    fg = np.zeros((20, 20), float)
+    fg[0:10, 0:10] = 1.0  # touches two edges -> open contour
+    cs = find_contours(fg, 0.5)
+    assert len(cs) == 1
+    assert not np.allclose(cs[0][0], cs[0][-1])
