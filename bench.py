@@ -1,0 +1,116 @@
+#!/usr/bin/env python
+"""Headline benchmark: end-to-end intensity-pipeline throughput on 16-bit
+LZW TIFF stacks (decode -> rasterize -> BG -> per-ROI stats -> CSV).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "Mpix/s", "vs_baseline": N}
+
+Baseline: the reference's only measured number — 0.8 Mpix/s end-to-end for
+the same workload shape on the author's CPU (BASELINE.md: 8 s for 1 stage,
+18 ROIs, 2 channels of 2048x1536 u16 LZW, XLS on).
+"""
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np
+
+H, W = 1536, 2048
+N_STAGES = 16
+CHANNELS = (2, 3)
+DATA_DIR = os.environ.get("IP_BENCH_DATA", "/tmp/ip_bench_data")
+GOLDEN_ROI = (
+    "/root/reference/Testsamples/1Flu_Intensity(BCC P0 and P1)/ANA/e1_P0/roi/S01.json"
+)
+
+
+def _make_dataset():
+    """Synthesize an N_STAGES x 2-channel u16 LZW TIFF experiment with the
+    golden 18-ROI polygon set per stage (or synthetic blobs if absent)."""
+    from PIL import Image
+
+    from imageprocess_tpu.core import roiio
+
+    os.makedirs(os.path.join(DATA_DIR, "roi"), exist_ok=True)
+    rng = np.random.default_rng(42)
+    yy, xx = np.mgrid[0:H, 0:W]
+    for s in range(1, N_STAGES + 1):
+        for ch in CHANNELS:
+            blobs = np.zeros((H, W), np.float32)
+            for _ in range(20):
+                cy, cx = rng.integers(100, H - 100), rng.integers(100, W - 100)
+                r = rng.integers(20, 60)
+                blobs += 3000.0 * np.exp(
+                    -((yy - cy) ** 2 + (xx - cx) ** 2) / (2.0 * r * r)
+                )
+            img = (blobs + rng.normal(120, 15, (H, W))).clip(0, 65535).astype(np.uint16)
+            Image.fromarray(img).save(
+                os.path.join(DATA_DIR, f"S{s:02d}_{ch}.TIF"),
+                format="TIFF", compression="tiff_lzw",
+            )
+    if os.path.exists(GOLDEN_ROI):
+        polys = roiio.load_roi_polygons(GOLDEN_ROI)
+    else:
+        th = np.linspace(0, 2 * np.pi, 24, endpoint=False)
+        polys = [
+            np.stack([
+                150 + 200 * (i % 8) + 60 * np.cos(th),
+                150 + 300 * (i // 8) + 60 * np.sin(th),
+            ], -1)
+            for i in range(18)
+        ]
+    for s in range(1, N_STAGES + 1):
+        roiio.save_roi_bundle(
+            os.path.join(DATA_DIR, "roi", f"S{s:02d}.json"),
+            f"S{s:02d}", (H, W), polys,
+        )
+
+
+def main():
+    if not os.path.exists(os.path.join(DATA_DIR, f"S{N_STAGES:02d}_{CHANNELS[-1]}.TIF")):
+        shutil.rmtree(DATA_DIR, ignore_errors=True)
+        _make_dataset()
+
+    from imageprocess_tpu.pipelines.intensity import IntensityConfig, run_intensity
+
+    cfg = IntensityConfig(
+        channels=CHANNELS,
+        channel_colors={2: "Green", 3: "Red"},
+        do_xls=True,
+    )
+    out_root = os.path.join(DATA_DIR, "RES_bench")
+    devnull = lambda *_: None
+
+    # warm-up: compile + cache
+    t0 = time.perf_counter()
+    run_intensity(DATA_DIR, cfg, out_root=out_root, log=devnull)
+    warm = time.perf_counter() - t0
+
+    # time as many full runs as fit a ~90 s budget (first compile can eat
+    # minutes on the CPU backend; steady-state is what we're measuring)
+    best = 0.0
+    mpix = N_STAGES * len(CHANNELS) * H * W / 1e6
+    reps = 3 if warm < 60 else 1
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        rows = run_intensity(DATA_DIR, cfg, out_root=out_root, log=devnull)
+        dt = time.perf_counter() - t0
+        best = max(best, mpix / dt)
+    assert len(rows) == N_STAGES * 18, f"unexpected row count {len(rows)}"
+
+    baseline = 0.8  # Mpix/s, BASELINE.md reference log
+    print(json.dumps({
+        "metric": "intensity_e2e_throughput",
+        "value": round(best, 2),
+        "unit": "Mpix/s",
+        "vs_baseline": round(best / baseline, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

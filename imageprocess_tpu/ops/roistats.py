@@ -1,0 +1,105 @@
+"""ROI-local (tiled) per-ROI statistics.
+
+The naive per-ROI stats path sorts the FULL frame once per (ROI, channel) —
+O(N*C*H*W log HW) — although each ROI only covers its bounding box.  Here
+every ROI is processed in a fixed-size tile dynamically sliced around its
+bbox: rasterization, masking and the stats sorts all shrink from the frame
+(3.1 Mpx) to the tile (e.g. 256^2 = 65 Kpx), a 30-50x cut in both FLOPs and
+HBM traffic.  Tile size is a static power-of-two bucket chosen on host, so
+jit recompiles are bounded.
+
+Numerically identical to the full-frame path: the polygon rasterizer is
+shift-exact (integer tile offsets on the half-integer vertex lattice), and
+each tile fully covers its polygon's image-clipped bbox (host guarantees).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..geom.rasterize import rasterize_polygons
+from .stats import masked_stats
+
+
+def choose_tile(
+    polys, H: int, W: int, min_tile: int = 128, margin: int = 0
+) -> Optional[int]:
+    """Smallest power-of-two tile covering every polygon's image-clipped
+    bbox grown by *margin* (with a 1px guard), or None if some ROI needs
+    the full frame.  *margin* accommodates neighborhood ops (annulus
+    dilations) that must see pixels around the polygon."""
+    need = min_tile
+    for p in polys:
+        p = np.asarray(p)
+        x0 = max(0.0, np.floor(p[:, 0].min()) - margin)
+        x1 = min(float(W), np.ceil(p[:, 0].max()) + 1 + margin)
+        y0 = max(0.0, np.floor(p[:, 1].min()) - margin)
+        y1 = min(float(H), np.ceil(p[:, 1].max()) + 1 + margin)
+        need = max(need, int(x1 - x0) + 2, int(y1 - y0) + 2)
+    if need > min(H, W):
+        return None
+    tile = min_tile
+    while tile < need:
+        tile *= 2
+    return tile
+
+
+def tile_offsets(polys, H: int, W: int, tile: int, margin: int = 0) -> np.ndarray:
+    """(N, 2) int32 [row, col] tile origins placing each margin-grown bbox
+    inside its tile, clamped to the image."""
+    offs = np.zeros((len(polys), 2), np.int32)
+    for i, p in enumerate(polys):
+        p = np.asarray(p)
+        y0 = int(max(0, np.floor(p[:, 1].min()) - margin))
+        x0 = int(max(0, np.floor(p[:, 0].min()) - margin))
+        offs[i, 0] = min(max(y0, 0), max(H - tile, 0))
+        offs[i, 1] = min(max(x0, 0), max(W - tile, 0))
+    return offs
+
+
+def pad_local_polys(polys, offsets: np.ndarray, n_bucket: int, v_bucket: int):
+    """Shift polygons into tile-local [x, y] coords and pad to
+    (n_bucket, v_bucket, 2) float32 + validity flags."""
+    from ..geom.polygon import pad_polygons
+
+    pv = np.zeros((n_bucket, v_bucket, 2), np.float32)
+    valid = np.zeros(n_bucket, bool)
+    for i, p in enumerate(polys):
+        local = np.asarray(p, np.float32) - np.array(
+            [offsets[i, 1], offsets[i, 0]], np.float32
+        )
+        pv[i] = pad_polygons([local], v_bucket)[0]
+        valid[i] = True
+    offs_pad = np.zeros((n_bucket, 2), np.int32)
+    offs_pad[: len(polys)] = offsets
+    return pv, offs_pad, valid
+
+
+@partial(jax.jit, static_argnames=("tile",))
+def roi_stats_tiled(
+    imgs: jnp.ndarray,         # (C, H, W) float32 (already bg-corrected)
+    local_polys: jnp.ndarray,  # (N, V, 2) float32, tile-local coords
+    offsets: jnp.ndarray,      # (N, 2) int32 [row, col]
+    roi_valid: jnp.ndarray,    # (N,) bool
+    tile: int,
+) -> Tuple[Dict[str, jnp.ndarray], jnp.ndarray]:
+    """Per-(channel, ROI) stats + per-ROI pixel areas, computed on tiles.
+
+    Returns (stats dict of (C, N) arrays, area_px (N,) int32).
+    """
+    C = imgs.shape[0]
+    masks = rasterize_polygons(local_polys, (tile, tile)) & roi_valid[:, None, None]
+
+    def per_roi(mask_i, off):
+        t = jax.lax.dynamic_slice(imgs, (0, off[0], off[1]), (C, tile, tile))
+        return jax.vmap(lambda im: masked_stats(im, mask_i))(t)
+
+    stats = jax.vmap(per_roi)(masks, offsets)              # dict of (N, C)
+    stats = {k: v.T for k, v in stats.items()}             # -> (C, N)
+    area = masks.sum(axis=(1, 2)).astype(jnp.int32)
+    return stats, area

@@ -1,0 +1,336 @@
+"""Focal-adhesion detection & quantification pipeline (the reference's
+FA_Analyzer batch path).
+
+Reference semantics: src/INT/FA_Analyzer.py — core ``analyze_fa_crop``
+(:123-195: threshold mu+alpha*sigma over the WHOLE image, remove_small
+(4-conn), binary_closing(disk), 8-conn label, regionprops, area
+classification OK/Large/Small, mean_corr = max(0, mean_raw - bg)), global
+stats with bg from a ``[::10, ::10]`` subsample (:624-626, 985-987), batch
+loop ``_run_batch_process`` (:939-1052), merge report (:1054-1113), crop
+export (:213-264, 1119-1279).
+
+Device design: one jitted program per image computes the global stats and,
+vmapped over ROI bbox tiles, the full segmentation chain (threshold, CCL,
+morphology, region reductions).  Contour tracing for figures runs on host
+per detected FA.  Numerics note: the reference runs morphology inside a
+bbox+5 crop; our tile is larger, which is identical for closing radii <= 5
+(the pad) since the skimage border-True erosion rule only differs at crop
+edges.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+from functools import partial
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pandas as pd
+
+from ..core import roiio, tiffio
+from ..geom.rasterize import EdgeRule, rasterize_polygons
+from ..morphology.binary import binary_closing_skimage, disk
+from ..morphology.ccl import label
+from ..morphology.regions import region_props
+from ..ops.percentile import masked_quantile
+from .intensity import _bucket
+
+FA_CSV_COLS = ["File", "Cell_ID", "Category", "Area_px", "Area_um2",
+               "Mean_Intensity_Raw", "Mean_Intensity_Corr",
+               "Int_Density_Raw", "Int_Density_Corr", "Background_Level",
+               "Used_Alpha", "Global_Threshold", "Min_Area_Setting",
+               "Max_Area_Setting", "Close_Radius_Setting",
+               "Subtract_BG_Setting"]
+
+
+@dataclass
+class FaConfig:
+    channel: int = 0
+    px_size: float = 0.112          # µm/px (presets 0.112 / 0.223)
+    alpha: float = 3.0
+    min_area_um: float = 1.5
+    max_area_um: float = 30.0
+    close_radius: int = 1
+    subtract_bg: bool = True
+    save_ok_only: bool = False
+    max_fa_per_cell: int = 256      # static bound for the device label pass
+    do_master_report: bool = True
+    master_name: str = "FA_Results_Master.xlsx"
+
+    @property
+    def min_px(self) -> float:
+        return self.min_area_um / self.px_size ** 2
+
+    @property
+    def max_px(self) -> float:
+        return self.max_area_um / self.px_size ** 2
+
+
+@jax.jit
+def fa_global_stats(img: jnp.ndarray):
+    """(nanmean, nanstd ddof=0, bg = p1 of img[::10, ::10])
+    — FA_Analyzer.py:624-626."""
+    finite = jnp.isfinite(img)
+    n = jnp.maximum(finite.sum().astype(jnp.float32), 1.0)
+    x = jnp.where(finite, img, 0.0)
+    m = x.sum() / n
+    var = (jnp.where(finite, (img - m) ** 2, 0.0)).sum() / n
+    H, W = img.shape
+    rows = jax.lax.broadcasted_iota(jnp.int32, (H, W), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
+    sample = (rows % 10 == 0) & (cols % 10 == 0)
+    bg = masked_quantile(jnp.where(jnp.isfinite(img), img, jnp.inf),
+                         sample & finite, 1000)
+    return m, jnp.sqrt(var), bg
+
+
+@partial(jax.jit, static_argnames=("tile", "close_radius", "max_labels",
+                                   "do_remove_small"))
+def fa_analyze_tiled(
+    img: jnp.ndarray,            # (H, W) float32
+    local_polys: jnp.ndarray,    # (N, V, 2) tile-local
+    offsets: jnp.ndarray,        # (N, 2)
+    roi_valid: jnp.ndarray,      # (N,)
+    threshold: jnp.ndarray,      # () float32 = mu + alpha*sigma
+    min_px: jnp.ndarray,         # () float32
+    *,
+    tile: int,
+    close_radius: int,
+    max_labels: int,
+    do_remove_small: bool,
+):
+    """Per-cell FA segmentation + region reductions on bbox tiles.
+
+    ROI masks use the skimage.draw.polygon fill rule (PNPOLY), matching
+    FA_Analyzer.py:1016-1018.  Returns per-cell label images and region
+    properties arrays (area/sum/mean/bbox/centroid)."""
+    masks = rasterize_polygons(local_polys, (tile, tile), EdgeRule.PNPOLY)
+    masks = masks & roi_valid[:, None, None]
+    se = disk(close_radius) if close_radius > 0 else None
+
+    from ..morphology.ccl import label_roots, _root_sizes
+
+    def per_cell(mask_i, off):
+        t = jax.lax.dynamic_slice(img, (off[0], off[1]), (tile, tile))
+        bw = (t > threshold) & mask_i
+        if do_remove_small:
+            # remove_small_objects with a traced float min_size
+            roots = label_roots(bw, 1)
+            sizes = _root_sizes(roots)
+            keep = sizes[roots.ravel()].reshape(bw.shape).astype(jnp.float32) >= min_px
+            bw = bw & keep
+        if se is not None:
+            bw = binary_closing_skimage(bw, se)
+        lab = label(bw, connectivity=2, max_labels=max_labels)
+        props = region_props(lab, t, max_labels=max_labels)
+        return lab, props
+
+    return jax.vmap(per_cell)(masks, offsets)
+
+
+def analyze_image(
+    img: np.ndarray,
+    rois: List[np.ndarray],
+    cfg: FaConfig,
+    stats: Optional[Tuple[float, float, float]] = None,
+) -> Tuple[List[dict], float, float, Dict]:
+    """All FA rows for one image (batch semantics, global settings).
+    Returns (raw per-FA dicts, threshold, bg, extras for rendering)."""
+    from ..ops.roistats import choose_tile, tile_offsets, pad_local_polys
+
+    H, W = img.shape
+    imgj = jnp.asarray(img, jnp.float32)
+    if stats is None:
+        m, s, bg = (float(v) for v in fa_global_stats(imgj))
+    else:
+        m, s, bg = stats
+    threshold = m + cfg.alpha * s
+
+    if not rois:
+        return [], threshold, bg, {}
+
+    margin = cfg.close_radius + 1
+    tile = choose_tile(rois, H, W, margin=margin)
+    if tile is None:
+        # pathological ROI larger than the short frame side: use the biggest
+        # square tile that fits (clips nothing for real cell-sized ROIs)
+        tile = min(H, W)
+    offs = tile_offsets(rois, H, W, tile, margin=margin)
+    nb = _bucket(len(rois))
+    vb = _bucket(max(len(p) for p in rois), 32)
+    lpv, offs_pad, valid = pad_local_polys(rois, offs, nb, vb)
+
+    labs, props = fa_analyze_tiled(
+        imgj, jnp.asarray(lpv), jnp.asarray(offs_pad), jnp.asarray(valid),
+        jnp.float32(threshold), jnp.float32(cfg.min_px),
+        tile=tile, close_radius=int(cfg.close_radius),
+        max_labels=cfg.max_fa_per_cell,
+        do_remove_small=cfg.min_px > 0,
+    )
+    labs = np.asarray(labs)
+    props = {k: np.asarray(v) for k, v in props.items()}
+
+    fa_rows: List[dict] = []
+    for i in range(len(rois)):
+        n = int(props["n_labels"][i])
+        for r in range(n):
+            area = float(props["area"][i, r])
+            mean_raw = float(props["mean"][i, r])
+            category = "OK"
+            if area < cfg.min_px:
+                category = "Small"
+            elif area > cfg.max_px:
+                category = "Large"
+            mean_corr = max(0.0, mean_raw - bg) if cfg.subtract_bg else mean_raw
+            fa_rows.append({
+                "cell": i + 1,
+                "label": r + 1,
+                "category": category,
+                "area": area,
+                "mean_int_raw": mean_raw,
+                "mean_int_corr": mean_corr,
+                "int_den_raw": mean_raw * area,
+                "int_den_corr": mean_corr * area,
+                "bg_level": bg,
+                "centroid": (float(props["centroid_r"][i, r]) + offs[i, 0],
+                             float(props["centroid_c"][i, r]) + offs[i, 1]),
+            })
+    extras = {"labels": labs, "offsets": offs, "tile": tile}
+    return fa_rows, threshold, bg, extras
+
+
+def _load_rois(json_path: str) -> List[np.ndarray]:
+    """FA's permissive ROI JSON reader (FA_Analyzer.py:650-658)."""
+    data = roiio.load_roi_bundle(json_path)
+    rois = []
+    for item in data.get("rois", []):
+        pts = item if isinstance(item, list) else item.get("rois", item)
+        if pts:
+            rois.append(np.array(pts))
+    return rois
+
+
+def list_fa_pairs(img_dir: str, roi_dir: str, channel: int):
+    """(img_path, json_path, s_tag) triples: plain-sorted ``*.tif`` filtered
+    by ``_{ch}.tif`` substring, s_tag = first ``_`` token, JSON must exist
+    (FA_Analyzer.py:544-564)."""
+    import glob as _glob
+
+    out = []
+    for img_path in sorted(_glob.glob(os.path.join(img_dir, "*.tif"))) + \
+            sorted(_glob.glob(os.path.join(img_dir, "*.TIF"))):
+        fname = os.path.basename(img_path)
+        if f"_{channel}.tif" in fname or f"_{channel}.TIF" in fname:
+            s_tag = fname.split("_")[0]
+            json_path = os.path.join(roi_dir, f"{s_tag}.json")
+            if os.path.exists(json_path):
+                out.append((img_path, json_path, s_tag))
+    return out
+
+
+def run_fa_batch(
+    img_dir: str,
+    roi_dir: str,
+    out_root: str,
+    cfg: FaConfig,
+    log=print,
+) -> Dict[str, pd.DataFrame]:
+    """Batch process (FA_Analyzer.py:939-1052): per-stage CSVs under
+    ``individual_results/`` + optional master report."""
+    indiv_dir = os.path.join(out_root, "individual_results")
+    os.makedirs(indiv_dir, exist_ok=True)
+    pairs = list_fa_pairs(img_dir, roi_dir, cfg.channel)
+    results: Dict[str, pd.DataFrame] = {}
+    for img_path, json_path, s_tag in pairs:
+        log(f"Processing {s_tag}...")
+        img = tiffio.read_2d(img_path, squeeze="smallest_axis")
+        rois = _load_rois(json_path)
+        fa_rows, th_val, bg, _ = analyze_image(img, rois, cfg)
+        file_rows = []
+        for fa in fa_rows:
+            if cfg.save_ok_only and fa["category"] != "OK":
+                continue
+            file_rows.append({
+                "File": s_tag,
+                "Cell_ID": fa["cell"],
+                "Category": fa["category"],
+                "Area_px": fa["area"],
+                "Area_um2": fa["area"] * cfg.px_size ** 2,
+                "Mean_Intensity_Raw": fa["mean_int_raw"],
+                "Mean_Intensity_Corr": fa["mean_int_corr"],
+                "Int_Density_Raw": fa["int_den_raw"],
+                "Int_Density_Corr": fa["int_den_corr"],
+                "Background_Level": fa["bg_level"],
+                "Used_Alpha": cfg.alpha,
+                "Global_Threshold": th_val,
+                "Min_Area_Setting": cfg.min_area_um,
+                "Max_Area_Setting": cfg.max_area_um,
+                "Close_Radius_Setting": cfg.close_radius,
+                "Subtract_BG_Setting": cfg.subtract_bg,
+            })
+        if file_rows:
+            df = pd.DataFrame(file_rows)[FA_CSV_COLS]
+            df.to_csv(os.path.join(indiv_dir, f"{s_tag}_results.csv"),
+                      index=False)
+            results[s_tag] = df
+    if cfg.do_master_report and results:
+        merge_fa_report(out_root, cfg.master_name, log=log)
+    return results
+
+
+def merge_fa_report(out_root: str, name: str = "FA_Results_Master.xlsx",
+                    log=print) -> Optional[pd.DataFrame]:
+    """File_Summary / Cell_Summary / All_Data master workbook
+    (FA_Analyzer.py:1054-1113)."""
+    import glob as _glob
+
+    from ..report.xlsxlite import write_xlsx, _df_rows
+
+    indiv_dir = os.path.join(out_root, "individual_results")
+    csvs = _glob.glob(os.path.join(indiv_dir, "*.csv"))
+    dfs = []
+    for c in csvs:
+        try:
+            dfs.append(pd.read_csv(c))
+        except Exception:
+            pass
+    if not dfs:
+        return None
+    full_df = pd.concat(dfs, ignore_index=True)
+
+    cell_grp = full_df.groupby(["File", "Cell_ID", "Category"]).size().unstack(
+        fill_value=0)
+    for cat in ["OK", "Large", "Small"]:
+        if cat not in cell_grp.columns:
+            cell_grp[cat] = 0
+    cell_grp = cell_grp[["OK", "Large", "Small"]]
+    cell_grp["Total_Count"] = cell_grp.sum(axis=1)
+
+    file_grp = full_df.groupby(["File", "Category"]).size().unstack(fill_value=0)
+    for cat in ["OK", "Large", "Small"]:
+        if cat not in file_grp.columns:
+            file_grp[cat] = 0
+    file_grp = file_grp[["OK", "Large", "Small"]]
+    cells_per_file = full_df.groupby("File")["Cell_ID"].nunique()
+    file_summary = file_grp.copy()
+    file_summary["Total_FA_Count"] = file_summary.sum(axis=1)
+    file_summary["Analyzed_Cells_Count"] = cells_per_file
+    file_summary["Avg_FA_per_Cell"] = (
+        file_summary["Total_FA_Count"] / file_summary["Analyzed_Cells_Count"]
+    )
+    file_summary["Avg_OK_FA_per_Cell"] = (
+        file_summary["OK"] / file_summary["Analyzed_Cells_Count"]
+    )
+    file_summary = file_summary.round(2)
+
+    out_xls = os.path.join(out_root, name)
+    write_xlsx(out_xls, {
+        "File_Summary": _df_rows(file_summary.reset_index()),
+        "Cell_Summary": _df_rows(cell_grp.reset_index()),
+        "All_Data": _df_rows(full_df),
+    })
+    log(f"[saved] {out_xls}")
+    return full_df

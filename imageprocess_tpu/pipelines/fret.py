@@ -1,0 +1,336 @@
+"""General two-channel ratiometric FRET pipeline (the reference's
+fret_ratio_builder).
+
+Reference semantics: src/FRET/fret_ratio_builder.py — stage worker
+``process_one_stage`` (:429-552), ``bg_correct`` (:331-336, stride-free),
+``pick_epsilon`` (:338-340), ``quantify_per_roi`` (:342-362), report block
+(:980-1011).
+
+Device design: one jitted program per (stage, time) pair computes masks,
+per-channel background, the ε-stabilized ratio and all per-ROI statistics of
+(ratio, donor, acceptor) in a single pass — the ratio math fuses into the
+stats reductions, nothing materializes in HBM beyond the two frames and the
+mask stack.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+from dataclasses import dataclass, field
+from functools import partial
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pandas as pd
+
+from ..core import naming, roiio, tiffio
+from ..core.naming import ChannelGrammar
+from ..geom.rasterize import rasterize_polygons
+from ..ops.background import bg_value
+from ..ops.percentile import p1000_of, masked_quantile
+from ..ops.stats import masked_stats
+from .intensity import _bucket
+
+
+@dataclass
+class FretConfig:
+    donor_ch: int = 1
+    acceptor_ch: int = 2
+    timelapse: bool = False
+    ratio_mode: str = "FRET/Donor"      # or "Donor/FRET"
+    bg_mode: str = "percentile"
+    bg_scope: str = "full"
+    percentile: float = 1.0
+    per_channel_p: bool = False
+    donor_p: float = 1.0
+    fret_p: float = 1.0
+    clip_neg: bool = True
+    eps_percentile: float = 1.0
+    eps_abs: float = 5.0
+    subset_stage: Optional[int] = None
+    subset_time: Optional[int] = None
+    # outputs
+    do_xls: bool = True
+    do_tif: bool = False
+    do_png: bool = False
+    save_full: bool = True
+    save_crop: bool = True
+    mask_outside: bool = True
+    apply_cmap: bool = True
+    cmap_name: str = "jet"
+    show_colorbar: bool = True
+    cmin_txt: str = ""
+    cmax_txt: str = ""
+    png_dpi: int = 300
+    add_scalebar: bool = False
+    scale_bar_um: Optional[float] = None
+    px_um: Optional[float] = None
+    fixed_crop: bool = True
+    crop_w: int = 500
+    crop_h: int = 500
+    grammar: ChannelGrammar = ChannelGrammar.TOKEN_OR_LAST
+
+
+@partial(jax.jit, static_argnames=("bg_mode", "bg_scope", "clip_neg", "flip"))
+def fret_step(
+    D: jnp.ndarray,               # (H, W) float32 donor
+    A: jnp.ndarray,               # (H, W) float32 acceptor
+    polys: jnp.ndarray,           # (N, V, 2)
+    roi_valid: jnp.ndarray,       # (N,)
+    d_p1000: jnp.ndarray,         # () int32
+    a_p1000: jnp.ndarray,
+    eps_p1000: jnp.ndarray,
+    eps_abs: jnp.ndarray,         # () float32
+    *,
+    bg_mode: str = "percentile",
+    bg_scope: str = "full",
+    clip_neg: bool = True,
+    flip: bool = False,           # False: FRET/Donor, True: Donor/FRET
+):
+    """Returns (stats dict of (3, N) arrays for [ratio, donor, yfret],
+    area_px (N,), (Db, Ab, eps) scalars, R_full, Dbc, Abc, union)."""
+    H, W = D.shape
+    masks = rasterize_polygons(polys, (H, W)) & roi_valid[:, None, None]
+    union = masks.any(axis=0)
+    scope = union if bg_scope == "roi_union" else None
+
+    def correct(img, p1000):
+        if bg_mode == "none":
+            return img, jnp.float32(0.0)
+        b = bg_value(img, p1000, scope, bg_mode, stride=1)
+        out = img - b
+        if clip_neg:
+            out = jnp.maximum(out, 0.0)
+        return out, b
+
+    Dbc, Db = correct(D, d_p1000)
+    Abc, Ab = correct(A, a_p1000)
+    numer, denom = (Dbc, Abc) if flip else (Abc, Dbc)
+
+    scope_eps = jnp.ones((H, W), bool) if scope is None else scope
+    eps_q = masked_quantile(denom, scope_eps, eps_p1000)
+    eps = jnp.maximum(eps_abs, jnp.where(jnp.isnan(eps_q), eps_abs, eps_q))
+    R_full = (numer + eps) / (denom + eps)
+
+    stacked = jnp.stack([R_full, Dbc, Abc])
+    per_roi = jax.vmap(lambda m, im: masked_stats(im, m), in_axes=(0, None))
+    stats = jax.vmap(lambda im: per_roi(masks, im))(stacked)  # (3, N)
+    area = masks.sum(axis=(1, 2)).astype(jnp.int32)
+    return stats, area, (Db, Ab, eps), R_full, Dbc, Abc, union
+
+
+@partial(jax.jit, static_argnames=(
+    "tile", "bg_mode", "bg_scope", "clip_neg", "flip",
+))
+def fret_step_tiled(
+    D, A, full_polys, local_polys, offsets, roi_valid,
+    d_p1000, a_p1000, eps_p1000, eps_abs,
+    *,
+    tile: int,
+    bg_mode="percentile", bg_scope="full", clip_neg=True, flip=False,
+):
+    """Tiled FRET step: union/eps/ratio on the full frame (elementwise +
+    one percentile), per-ROI stats on bbox tiles (ops.roistats rationale).
+
+    The full-frame union is still rasterized — it feeds the eps scope and
+    the RAT_ROI_masked TIFF — but the per-(image, ROI) megapixel sorts are
+    replaced by tile-sized ones."""
+    from ..ops.roistats import roi_stats_tiled
+
+    H, W = D.shape
+    union = rasterize_polygons(full_polys, (H, W)).any(axis=0)
+    scope = union if bg_scope == "roi_union" else None
+
+    def correct(img, p1000):
+        if bg_mode == "none":
+            return img, jnp.float32(0.0)
+        b = bg_value(img, p1000, scope, bg_mode, stride=1)
+        out = img - b
+        if clip_neg:
+            out = jnp.maximum(out, 0.0)
+        return out, b
+
+    Dbc, Db = correct(D, d_p1000)
+    Abc, Ab = correct(A, a_p1000)
+    numer, denom = (Dbc, Abc) if flip else (Abc, Dbc)
+    scope_eps = jnp.ones((H, W), bool) if scope is None else scope
+    eps_q = masked_quantile(denom, scope_eps, eps_p1000)
+    eps = jnp.maximum(eps_abs, jnp.where(jnp.isnan(eps_q), eps_abs, eps_q))
+    R_full = (numer + eps) / (denom + eps)
+
+    stacked = jnp.stack([R_full, Dbc, Abc])
+    stats, area = roi_stats_tiled(stacked, local_polys, offsets, roi_valid, tile)
+    return stats, area, (Db, Ab, eps), R_full, Dbc, Abc, union
+
+
+def _stage_sort_key(key: naming.Key):
+    s, t = key
+    return (int(re.search(r"\d+", s).group()),
+            int(re.search(r"\d+", t).group()) if t else -1)
+
+
+def build_fret_pairs(folder: str, cfg: FretConfig):
+    """(key, donor_path, acceptor_path) sorted by (stage, time)
+    (fret_ratio_builder.py:910-931)."""
+    files = naming.list_tifs(folder)
+    donors, accs = {}, {}
+    for path in files:
+        k = naming.parse_tokens(os.path.basename(path), cfg.timelapse, cfg.grammar)
+        if k.stage is None or k.channel is None:
+            continue
+        s = naming.fmt_stage(k.stage)
+        t = naming.fmt_time(k.time) if (cfg.timelapse and k.time is not None) else None
+        if k.channel == cfg.donor_ch:
+            donors[(s, t)] = path
+        elif k.channel == cfg.acceptor_ch:
+            accs[(s, t)] = path
+    keys = sorted(set(donors) & set(accs), key=_stage_sort_key)
+    pairs = [(k, donors[k], accs[k]) for k in keys]
+    if cfg.subset_stage is not None:
+        s_code = naming.fmt_stage(cfg.subset_stage)
+        if not cfg.timelapse or cfg.subset_time is None:
+            pairs = [p for p in pairs if p[0][0] == s_code]
+        else:
+            t_code = naming.fmt_time(cfg.subset_time)
+            pairs = [p for p in pairs if p[0] == (s_code, t_code)]
+    return pairs
+
+
+def process_pair(key, dpath, apath, roi_dir, cfg: FretConfig, out_dirs, log=print):
+    """One (stage, time) FRET pair -> per-ROI rows + TIF/PNG outputs."""
+    from ..report import render
+
+    s, t_code = key
+    stid = f"{s}_{t_code}" if (cfg.timelapse and t_code is not None) else s
+    D = tiffio.read_2d(dpath)
+    A = tiffio.read_2d(apath)
+    H, W = D.shape
+    base = naming.find_roi_basepath(
+        roi_dir, os.path.basename(dpath), cfg.timelapse, cfg.grammar,
+        exts=(".json",),
+    )
+    polys = roiio.load_roi_polygons(base + ".json") if os.path.exists(base + ".json") else None
+    if not polys:
+        polys = None
+        log(f"    [Warn] ROI missing: {stid}.json -> skip ROI-based outputs")
+
+    from ..geom.polygon import pad_polygons
+    from ..ops.roistats import choose_tile, tile_offsets, pad_local_polys
+
+    nb = _bucket(len(polys)) if polys else 1
+    vb = _bucket(max(len(p) for p in polys), 32) if polys else 32
+    pv = np.zeros((nb, vb, 2), np.float32)
+    valid = np.zeros(nb, bool)
+    if polys:
+        for i, p in enumerate(polys):
+            pv[i] = pad_polygons([np.asarray(p, np.float32)], vb)[0]
+        valid[: len(polys)] = True
+
+    flip = cfg.ratio_mode != "FRET/Donor"
+    suffix = "DoverF" if flip else "FoverD"
+    d_p = cfg.donor_p if cfg.per_channel_p else cfg.percentile
+    a_p = cfg.fret_p if cfg.per_channel_p else cfg.percentile
+
+    common = dict(bg_mode=cfg.bg_mode, bg_scope=cfg.bg_scope,
+                  clip_neg=cfg.clip_neg, flip=flip)
+    scalars = (jnp.int32(p1000_of(d_p)), jnp.int32(p1000_of(a_p)),
+               jnp.int32(p1000_of(cfg.eps_percentile)),
+               jnp.float32(cfg.eps_abs))
+    tile = choose_tile(polys, H, W) if polys else None
+    if tile is not None:
+        offs = tile_offsets(polys, H, W, tile)
+        lpv, offs_pad, lvalid = pad_local_polys(polys, offs, nb, vb)
+        stats, area, (Db, Ab, eps), R_full, Dbc, Abc, union = fret_step_tiled(
+            jnp.asarray(D), jnp.asarray(A), jnp.asarray(pv),
+            jnp.asarray(lpv), jnp.asarray(offs_pad), jnp.asarray(lvalid),
+            *scalars, tile=tile, **common,
+        )
+    else:
+        stats, area, (Db, Ab, eps), R_full, Dbc, Abc, union = fret_step(
+            jnp.asarray(D), jnp.asarray(A), jnp.asarray(pv),
+            jnp.asarray(valid), *scalars, **common,
+        )
+    stats = jax.device_get(stats)
+    area = np.asarray(area)
+    eps_f = float(eps)
+    R_np = np.asarray(R_full)
+    union_np = np.asarray(union) if polys else None
+
+    rows: List[dict] = []
+    if polys:
+        for i in range(len(polys)):
+            rows.append({
+                "roi": i + 1,
+                "area_px": int(area[i]),
+                "ratio_mean": float(stats["mean"][0, i]),
+                "ratio_median": float(stats["median"][0, i]),
+                "ratio_std": float(stats["std"][0, i]),
+                "ratio_p5": float(stats["p5"][0, i]),
+                "ratio_p95": float(stats["p95"][0, i]),
+                "donor_mean": float(stats["mean"][1, i]),
+                "donor_median": float(stats["median"][1, i]),
+                "yfret_mean": float(stats["mean"][2, i]),
+                "yfret_median": float(stats["median"][2, i]),
+                "stage": s,
+                "time": t_code if cfg.timelapse else None,
+                "eps": eps_f,
+                "p": cfg.percentile,
+                "donor_p": d_p,
+                "fret_p": a_p,
+                "ratio_mode": cfg.ratio_mode,
+                "bg_scope": cfg.bg_scope,
+                "bg_mode": cfg.bg_mode,
+                "clip_neg": cfg.clip_neg,
+                "eps_p": cfg.eps_percentile,
+            })
+
+    if cfg.do_tif or cfg.do_png:
+        render.save_fret_images(
+            stid=stid, suffix=suffix, R_full=R_np, union=union_np,
+            polys=polys, cfg=cfg, dirs=out_dirs,
+        )
+    return rows
+
+
+def run_fret(
+    folder: str,
+    cfg: FretConfig,
+    out_root: Optional[str] = None,
+    log=print,
+    prefetch_workers: int = 8,
+) -> List[dict]:
+    """Run the FRET workload over an experiment *folder*
+    (fret_ratio_builder.py:892-1023)."""
+    from ..report.excel import save_fret_excel
+
+    out_root = out_root or os.path.join(folder, "RES")
+    dirs = {
+        "RAT32": os.path.join(out_root, "RAT", "32bit"),
+        "RAT16": os.path.join(out_root, "RAT", "16bit"),
+        "RROI32": os.path.join(out_root, "RAT_ROI_masked", "32bit"),
+        "RROI16": os.path.join(out_root, "RAT_ROI_masked", "16bit"),
+        "PNG_FULL": os.path.join(out_root, "PNG_RAT", "full"),
+        "PNG_CROP": os.path.join(out_root, "PNG_RAT", "crop"),
+    }
+    roi_dir = os.path.join(folder, "roi")
+    pairs = build_fret_pairs(folder, cfg)
+    if not pairs:
+        log(f"No matched files for donor=_{cfg.donor_ch}, acceptor=_{cfg.acceptor_ch}.")
+        return []
+
+    rows_all: List[dict] = []
+    for key, dpath, apath in pairs:
+        log(f"  - Processing: {key[0] if key[1] is None else f'{key[0]}_{key[1]}'}")
+        rows_all.extend(
+            process_pair(key, dpath, apath, roi_dir, cfg, dirs, log=log)
+        )
+
+    if cfg.do_xls and rows_all:
+        save_fret_excel(rows_all, os.path.join(out_root, "xls"), cfg.timelapse)
+        log("[Saved] xls/fret_ratio_perROI.xlsx + csv")
+    elif cfg.do_xls:
+        log("[Warn] No ROI -> metric table not generated.")
+    return rows_all

@@ -133,6 +133,40 @@ def intensity_step(
     return stats, area_px, bgs, imgs_bc
 
 
+@partial(
+    jax.jit,
+    static_argnames=("tile", "bg_mode", "clip_neg", "bg_stride"),
+)
+def intensity_step_tiled(
+    imgs: jnp.ndarray,          # (C, H, W)
+    local_polys: jnp.ndarray,   # (N, V, 2) tile-local
+    offsets: jnp.ndarray,       # (N, 2) int32
+    roi_valid: jnp.ndarray,     # (N,)
+    p1000s: jnp.ndarray,        # (C,)
+    *,
+    tile: int,
+    bg_mode: str = "percentile",
+    clip_neg: bool = True,
+    bg_stride: int = 4,
+):
+    """Full-frame-scope background + ROI-local tiled stats (the fast path;
+    same results as :func:`intensity_step`)."""
+    from ..ops.roistats import roi_stats_tiled
+
+    C = imgs.shape[0]
+    if bg_mode == "none":
+        bgs = jnp.zeros((C,), jnp.float32)
+    else:
+        bgs = jax.vmap(
+            lambda im, p: bg_value(im, p, None, bg_mode, bg_stride)
+        )(imgs, p1000s)
+    imgs_bc = imgs - bgs[:, None, None]
+    if clip_neg:
+        imgs_bc = jnp.maximum(imgs_bc, 0.0)
+    stats, area = roi_stats_tiled(imgs_bc, local_polys, offsets, roi_valid, tile)
+    return stats, area, bgs, imgs_bc
+
+
 # --------------------------------------------------------------------------
 # host orchestration
 # --------------------------------------------------------------------------
@@ -166,16 +200,16 @@ def _device_inputs(
     )
 
 
-def process_key(
+def load_key(
     key: naming.Key,
     chmap: Dict[int, str],
     roi_dir: str,
     cfg: IntensityConfig,
-) -> Tuple[List[dict], List[str], Optional[dict]]:
-    """One (stage, time) key: returns (rows, logs, extras-for-rendering)."""
+):
+    """Host side of one (stage, time) key: TIFF decode + ROI load.
+    Returns (stid, chs, imgs, polys, union_mask) or (stid, skip_log)."""
     s, t_code = key
     stid = s if t_code is None else f"{s}_{t_code}"
-
     chs, paths = [], []
     for ch in cfg.channels:
         p = chmap.get(ch)
@@ -183,19 +217,33 @@ def process_key(
             chs.append(ch)
             paths.append(p)
     if not chs:
-        return [], [f"[SKIP] {stid} — no channels"], None
-
+        return stid, f"[SKIP] {stid} — no channels"
     imgs = np.stack([tiffio.read_2d(p) for p in paths])
     H, W = imgs.shape[1:]
-
     base = naming.find_roi_basepath(
         roi_dir, os.path.basename(paths[0]), cfg.timelapse, cfg.grammar
     )
     polys, union_mask = roiio.load_polys_or_mask(base, (H, W))
     if polys is None and union_mask is None and cfg.skip_no_roi:
-        return [], [f"[SKIP] {stid} — no ROI"], None
+        return stid, f"[SKIP] {stid} — no ROI"
+    return stid, (chs, imgs, polys, union_mask)
 
-    pv, valid, masks, n_roi = _device_inputs(imgs, polys, union_mask)
+
+def process_key(
+    key: naming.Key,
+    chmap: Dict[int, str],
+    roi_dir: str,
+    cfg: IntensityConfig,
+    loaded=None,
+) -> Tuple[List[dict], List[str], Optional[dict]]:
+    """One (stage, time) key: returns (rows, logs, extras-for-rendering)."""
+    s, t_code = key
+    stid, payload = loaded if loaded is not None else load_key(key, chmap, roi_dir, cfg)
+    if isinstance(payload, str):
+        return [], [payload], None
+    chs, imgs, polys, union_mask = payload
+    H, W = imgs.shape[1:]
+
     p1000s = np.array(
         [
             p1000_of(cfg.per_channel_p.get(ch, cfg.percentile))
@@ -203,18 +251,41 @@ def process_key(
         ],
         np.int32,
     )
-    stats, area_px, bgs, imgs_bc = intensity_step(
-        jnp.asarray(imgs),
-        jnp.asarray(pv),
-        jnp.asarray(valid),
-        jnp.asarray(p1000s),
-        None if masks is None else jnp.asarray(masks),
-        bg_mode=cfg.bg_mode,
-        bg_scope=cfg.bg_scope,
-        clip_neg=cfg.clip_neg,
-        bg_stride=cfg.bg_stride,
-        use_masks=masks is not None,
-    )
+
+    # Fast path: ROI-local tiles (numerically identical; see ops.roistats).
+    # Needs polygons and a background scope that doesn't require the union.
+    tile = None
+    if polys is not None and cfg.bg_scope == "full":
+        from ..ops.roistats import choose_tile, tile_offsets, pad_local_polys
+
+        tile = choose_tile(polys, H, W)
+    if tile is not None:
+        n_roi = len(polys)
+        offs = tile_offsets(polys, H, W, tile)
+        pv, offs_pad, valid = pad_local_polys(
+            polys, offs, _bucket(n_roi),
+            _bucket(max(len(p) for p in polys), 32),
+        )
+        stats, area_px, bgs, imgs_bc = intensity_step_tiled(
+            jnp.asarray(imgs), jnp.asarray(pv), jnp.asarray(offs_pad),
+            jnp.asarray(valid), jnp.asarray(p1000s),
+            tile=tile, bg_mode=cfg.bg_mode, clip_neg=cfg.clip_neg,
+            bg_stride=cfg.bg_stride,
+        )
+    else:
+        pv, valid, masks, n_roi = _device_inputs(imgs, polys, union_mask)
+        stats, area_px, bgs, imgs_bc = intensity_step(
+            jnp.asarray(imgs),
+            jnp.asarray(pv),
+            jnp.asarray(valid),
+            jnp.asarray(p1000s),
+            None if masks is None else jnp.asarray(masks),
+            bg_mode=cfg.bg_mode,
+            bg_scope=cfg.bg_scope,
+            clip_neg=cfg.clip_neg,
+            bg_stride=cfg.bg_stride,
+            use_masks=masks is not None,
+        )
     stats = jax.device_get(stats)
     area_px = np.asarray(area_px)
     bgs = np.asarray(bgs)
@@ -258,13 +329,17 @@ def run_intensity(
     cfg: IntensityConfig,
     out_root: Optional[str] = None,
     log=print,
+    prefetch_workers: int = 8,
 ) -> List[dict]:
     """Run the intensity workload over an experiment *folder*.
 
     Mirrors Fluor_INT._run_pipeline (Fluor_INT.py:2094-2260): discover TIFFs,
     build the (stage, time) -> {channel: path} keymap, quantify every key,
-    then write the per-ROI report under ``RES/``.
+    then write the per-ROI report under ``RES/``.  TIFF decode runs in a
+    thread pool *prefetch_workers* wide, overlapped with device compute
+    (the TPU-side replacement for the reference's process pool).
     """
+    from ..parallel.runner import PrefetchLoader
     from ..report.excel import save_intensity_excel
     from ..report import render
 
@@ -273,9 +348,15 @@ def run_intensity(
     roi_dir = os.path.join(folder, "roi")
     out_root = out_root or os.path.join(folder, "RES")
 
+    items = list(keymap.items())
+    loader = PrefetchLoader(
+        lambda kv: (kv[0], kv[1], load_key(kv[0], kv[1], roi_dir, cfg)),
+        items,
+        workers=max(1, prefetch_workers),
+    )
     rows_all: List[dict] = []
-    for key, chmap in keymap.items():
-        rows, logs, extras = process_key(key, chmap, roi_dir, cfg)
+    for key, chmap, loaded in loader:
+        rows, logs, extras = process_key(key, chmap, roi_dir, cfg, loaded=loaded)
         rows_all.extend(rows)
         for line in logs:
             log(line)

@@ -1,0 +1,452 @@
+"""Nesprin-2 nuclear-rim FRET pipeline.
+
+Reference semantics: src/FRET/Nesprin2_FRET_Builder.py —
+``run_pipeline`` (:1331-1736), ``make_inside_rim_mask`` (:409-414, EDT),
+``annulus_mask_from_poly`` (:416-427), ``spectral_correct`` (:460-468),
+``bg_correct`` with isfinite filter (:432-458), QC saturation->NaN
+(:1415-1421) and ratio clip->NaN (:1502-1504), per-ROI annulus local-BG
+re-ratio (:1515-1535), ``save_xls`` (:1287-1326).
+
+Known reference divergence (documented, SURVEY §7.7): the reference writes
+its i18n *function object* into the "time" column when timelapse=True
+(``(t if timelapse else None)``, :1542 — ``t`` is the translator, shadowing
+the time code).  We write the actual time code instead.
+
+TPU design: saturation QC, background, spectral correction, both ratio
+orientations, the EDT rim mask and ALL per-ROI work (annulus medians,
+re-ratio, masked stats) run in one jitted program; the per-ROI stage is
+vmapped over the padded ROI axis.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+from functools import partial
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core import naming, roiio, tiffio
+from ..core.naming import ChannelGrammar
+from ..geom.polygon import pad_polygons
+from ..geom.rasterize import rasterize_polygons
+from ..morphology.binary import square_dilation
+from ..morphology.edt import rim_mask as make_rim_mask
+from ..ops.percentile import p1000_of, masked_quantile
+from ..ops.background import histogram_mode_value
+from ..ops.stats import masked_stats
+from .intensity import _bucket
+
+# rim/annulus presets (µm): thin/medium/thick (Nesprin2:632-637)
+RIM_PRESETS = {
+    "thin": (0.45, 0.6, 1.5),
+    "medium": (0.67, 0.9, 1.8),
+    "thick": (1.00, 1.2, 2.0),
+}
+
+
+@dataclass
+class Nesprin2Config:
+    donor_ch: int = 1
+    fret_ch: int = 2
+    intensity_ch: int = 3
+    aonly_ch: Optional[int] = None
+    timelapse: bool = False
+    ratio_mode: str = "FRET/Donor"
+    bg_mode: str = "percentile"
+    bg_scope: str = "full"              # "full" | "roi_union" | "annulus"
+    percentile: float = 1.0
+    per_channel_p: bool = False
+    donor_p: float = 1.0
+    fret_p: float = 1.0
+    clip_neg: bool = True
+    eps_percentile: float = 1.0
+    eps_abs: float = 5.0
+    # spectral correction
+    use_spectral: bool = False
+    alpha: float = 0.0
+    beta: float = 0.0
+    g_factor: float = 1.0
+    # QC
+    sat_filter_on: bool = False
+    sat_threshold: float = 65535.0
+    clip_ratio_on: bool = False
+    clip_ratio_max: float = 10.0
+    # geometry
+    px_um: float = 0.112
+    rim_um: float = 0.45
+    annulus_on: bool = False
+    ann_in_um: float = 1.2
+    ann_out_um: float = 2.5
+    subset_stage: Optional[int] = None
+    subset_time: Optional[int] = None
+    # outputs
+    do_xls: bool = True
+    do_tif: bool = False
+    do_png: bool = False
+    save_full: bool = True
+    save_crop: bool = True
+    save_panel: bool = False
+    save_crop_intensity: bool = True
+    cmap_name: str = "turbo"
+    show_colorbar: bool = True
+    add_scalebar: bool = False
+    scale_bar_um: float = 5.0
+    fret_min: float = 0.0
+    fret_max: float = 0.7
+    crop_vmin_txt: str = ""
+    crop_vmax_txt: str = ""
+    crop_fixed: bool = True
+    crop_w: int = 500
+    crop_h: int = 500
+    grammar: ChannelGrammar = ChannelGrammar.END_ANCHORED
+
+    @property
+    def rim_px(self) -> int:
+        return max(1, int(round(self.rim_um / self.px_um)))
+
+    @property
+    def ann_in_px(self) -> int:
+        return max(1, int(round(self.ann_in_um / self.px_um))) if self.annulus_on or self.bg_scope == "annulus" else 0
+
+    @property
+    def ann_out_px(self) -> int:
+        if not (self.annulus_on or self.bg_scope == "annulus"):
+            return 0
+        return max(self.ann_in_px + 1, int(round(self.ann_out_um / self.px_um)))
+
+
+def _finite_bg(img, p1000, scope, mode: str):
+    """Nesprin2 bg_value: isfinite-filtered percentile / hist-mode."""
+    base = jnp.isfinite(img) if scope is None else (scope & jnp.isfinite(img))
+    if mode == "percentile":
+        b = masked_quantile(jnp.where(jnp.isfinite(img), img, jnp.inf), base, p1000)
+    elif mode == "hist-mode":
+        b = histogram_mode_value(jnp.where(jnp.isfinite(img), img, 0.0), base, p1000)
+    else:
+        return jnp.float32(0.0)
+    return jnp.where(base.sum() > 0, b, 0.0).astype(jnp.float32)
+
+
+@partial(jax.jit, static_argnames=(
+    "bg_mode", "bg_scope", "clip_neg", "flip", "sat_on", "clip_on",
+    "use_spectral", "has_aonly", "rim_px", "ann_on", "ann_in_px", "ann_out_px",
+    "tile",
+))
+def nesprin2_step(
+    D, A, Aonly, polys, roi_valid,
+    d_p1000, a_p1000, g_p1000, eps_p1000, eps_abs,
+    sat_thr, clip_max, alpha, beta, g_factor,
+    local_polys=None, offsets=None,
+    *,
+    bg_mode="percentile", bg_scope="full", clip_neg=True, flip=False,
+    sat_on=False, clip_on=False, use_spectral=False, has_aonly=False,
+    rim_px=4, ann_on=False, ann_in_px=0, ann_out_px=0,
+    tile: Optional[int] = None,
+):
+    """One (stage, time) pair fully on device.  Returns per-ROI stats and
+    full-frame images for rendering.
+
+    With ``tile`` set, the per-ROI stage (annulus medians, re-ratio, masked
+    stats) runs on bbox tiles dynamically sliced around each ROI — the host
+    guarantees each tile covers the ROI plus the annulus margin (see
+    ops.roistats) — instead of sorting the full frame per ROI."""
+    H, W = D.shape
+    if sat_on:
+        mask_sat = (D >= sat_thr) | (A >= sat_thr)
+        D = jnp.where(mask_sat, jnp.nan, D)
+        A = jnp.where(mask_sat, jnp.nan, A)
+
+    masks = rasterize_polygons(polys, (H, W)) & roi_valid[:, None, None]
+    union = masks.any(axis=0)
+    scope = None if bg_scope == "full" else union
+
+    def correct(img, p1000):
+        if bg_mode == "none":
+            return img
+        b = _finite_bg(img, p1000, scope, bg_mode)
+        out = img - b
+        if clip_neg:
+            out = jnp.maximum(out, 0.0)
+        return out
+
+    Dbc = correct(D, d_p1000)
+    Abc = correct(A, a_p1000)
+    if use_spectral:
+        if has_aonly:
+            Aonly_bc = correct(Aonly, g_p1000)
+            Acorr = (Abc - alpha * Dbc - beta * Aonly_bc) * g_factor
+        else:
+            Acorr = (Abc - alpha * Dbc) * g_factor
+        Dcorr = Dbc
+    else:
+        Dcorr, Acorr = Dbc, Abc
+
+    numer, denom = (Dcorr, Acorr) if flip else (Acorr, Dcorr)
+    numer_alt, denom_alt = (Acorr, Dcorr) if flip else (Dcorr, Acorr)
+
+    eps_scope = union & jnp.isfinite(denom)
+    eps_q = masked_quantile(jnp.where(jnp.isfinite(denom), denom, jnp.inf),
+                            eps_scope, eps_p1000)
+    eps = jnp.maximum(eps_abs, jnp.where(jnp.isnan(eps_q), eps_abs, eps_q))
+
+    def ratio(n, d):
+        r = (n + eps) / (d + eps)
+        if clip_on:
+            r = jnp.where(r > clip_max, jnp.nan, r)
+        return r
+
+    R_full = ratio(numer, denom)
+    R_alt = ratio(numer_alt, denom_alt)
+    rim = make_rim_mask(union, rim_px)
+
+    def roi_body(mask_i, rim_i, numer_i, denom_i, numer_alt_i, denom_alt_i,
+                 R_full_i, R_alt_i, Dcorr_i, Acorr_i):
+        roi_mask = mask_i & rim_i
+        if ann_on:
+            ann = square_dilation(mask_i, ann_out_px) & ~square_dilation(
+                mask_i, ann_in_px
+            )
+
+            def nanmed(img):
+                m = ann & jnp.isfinite(img)
+                v = masked_quantile(jnp.where(jnp.isfinite(img), img, jnp.inf),
+                                    m, 50000)
+                return jnp.where(m.sum() > 0, v, 0.0)
+
+            def eff(img, bg):
+                out = img - bg
+                return jnp.maximum(out, 0.0) if clip_neg else out
+
+            bg_n, bg_d = nanmed(numer_i), nanmed(denom_i)
+            R_roi = ratio(eff(numer_i, bg_n), eff(denom_i, bg_d))
+            R_roi_alt = ratio(
+                eff(numer_alt_i, nanmed(numer_alt_i)),
+                eff(denom_alt_i, nanmed(denom_alt_i)),
+            )
+        else:
+            bg_n = bg_d = jnp.float32(0.0)
+            R_roi, R_roi_alt = R_full_i, R_alt_i
+
+        st = masked_stats(R_roi, roi_mask)
+        alt_valid = roi_mask & jnp.isfinite(R_roi_alt)
+        alt_mean = jnp.where(alt_valid, R_roi_alt, 0.0).sum() / jnp.maximum(
+            alt_valid.sum().astype(jnp.float32), 1.0
+        )
+        alt_mean = jnp.where(alt_valid.sum() > 0, alt_mean, jnp.nan)
+
+        def nm(img):
+            v = roi_mask & jnp.isfinite(img)
+            m = jnp.where(v, img, 0.0).sum() / jnp.maximum(
+                v.sum().astype(jnp.float32), 1.0
+            )
+            return jnp.where(v.sum() > 0, m, jnp.nan)
+
+        return (st, alt_mean, nm(Dcorr_i), nm(Acorr_i),
+                roi_mask.sum().astype(jnp.int32), bg_n, bg_d)
+
+    if tile is not None:
+        frames = jnp.stack([numer, denom, numer_alt, denom_alt,
+                            R_full, R_alt, Dcorr, Acorr])
+        rim_f = rim.astype(jnp.float32)
+        masks_t = rasterize_polygons(local_polys, (tile, tile)) & \
+            roi_valid[:, None, None]
+
+        def per_roi_tiled(mask_i, off):
+            ft = jax.lax.dynamic_slice(
+                frames, (0, off[0], off[1]), (frames.shape[0], tile, tile)
+            )
+            rim_t = jax.lax.dynamic_slice(rim_f, (off[0], off[1]),
+                                          (tile, tile)) > 0.5
+            return roi_body(mask_i, rim_t, *ft)
+
+        results = jax.vmap(per_roi_tiled)(masks_t, offsets)
+    else:
+        results = jax.vmap(
+            lambda m: roi_body(m, rim, numer, denom, numer_alt, denom_alt,
+                               R_full, R_alt, Dcorr, Acorr)
+        )(masks)
+
+    (stats, alt_means, donor_means, fret_means, areas, bg_ns, bg_ds) = results
+    return (stats, alt_means, donor_means, fret_means, areas, bg_ns, bg_ds,
+            eps, R_full, R_alt, rim, union, Dcorr, Acorr)
+
+
+def process_pair_nesprin2(key, dpath, apath, roi_dir, cfg: Nesprin2Config,
+                          dirs, log=print) -> List[dict]:
+    from ..report import render
+
+    s, t_code = key
+    tag = f"{s}_{t_code}" if (cfg.timelapse and t_code is not None) else s
+    D = tiffio.read_2d(dpath)
+    A = tiffio.read_2d(apath)
+    H, W = D.shape
+
+    # intensity channel frame (swap_ch fallback chain, :1424-1427)
+    cand = naming.swap_channel_in_name(dpath, cfg.intensity_ch)
+    if not os.path.exists(cand):
+        cand = naming.swap_channel_in_name(apath, cfg.intensity_ch)
+    I = tiffio.read_2d(cand) if os.path.exists(cand) else D
+
+    Aonly = None
+    if cfg.aonly_ch is not None:
+        cand = naming.swap_channel_in_name(dpath, cfg.aonly_ch)
+        if not os.path.exists(cand):
+            cand = naming.swap_channel_in_name(apath, cfg.aonly_ch)
+        if os.path.exists(cand):
+            Aonly = tiffio.read_2d(cand)
+
+    base = naming.find_roi_basepath(roi_dir, os.path.basename(dpath),
+                                    cfg.timelapse, cfg.grammar, exts=(".json",))
+    polys = (roiio.load_roi_polygons(base + ".json")
+             if os.path.exists(base + ".json") else None)
+    if not polys:
+        log(f"[Warn] {tag}: no ROI — skipped")
+        return []
+
+    nb = _bucket(len(polys))
+    vb = _bucket(max(len(p) for p in polys), 32)
+    pv = np.zeros((nb, vb, 2), np.float32)
+    for i, p in enumerate(polys):
+        pv[i] = pad_polygons([np.asarray(p, np.float32)], vb)[0]
+    valid = np.zeros(nb, bool)
+    valid[: len(polys)] = True
+
+    flip = cfg.ratio_mode != "FRET/Donor"
+    suffix = "DoverF" if flip else "FoverD"
+    d_p = cfg.donor_p if cfg.per_channel_p else cfg.percentile
+    a_p = cfg.fret_p if cfg.per_channel_p else cfg.percentile
+    ann_active = cfg.annulus_on or cfg.bg_scope == "annulus"
+
+    from ..ops.roistats import choose_tile, tile_offsets, pad_local_polys
+
+    margin = (cfg.ann_out_px + 1) if ann_active else 0
+    tile = choose_tile(polys, H, W, margin=margin)
+    if tile is not None:
+        offs = tile_offsets(polys, H, W, tile, margin=margin)
+        lpv, offs_pad, _ = pad_local_polys(polys, offs, nb, vb)
+        tiled_args = (jnp.asarray(lpv), jnp.asarray(offs_pad))
+    else:
+        tiled_args = (None, None)
+
+    out = nesprin2_step(
+        jnp.asarray(D), jnp.asarray(A),
+        jnp.asarray(Aonly if Aonly is not None else np.zeros_like(D)),
+        jnp.asarray(pv), jnp.asarray(valid),
+        jnp.int32(p1000_of(d_p)), jnp.int32(p1000_of(a_p)),
+        jnp.int32(p1000_of(cfg.percentile)),
+        jnp.int32(p1000_of(cfg.eps_percentile)), jnp.float32(cfg.eps_abs),
+        jnp.float32(cfg.sat_threshold), jnp.float32(cfg.clip_ratio_max),
+        jnp.float32(cfg.alpha), jnp.float32(cfg.beta), jnp.float32(cfg.g_factor),
+        *tiled_args,
+        bg_mode=cfg.bg_mode, bg_scope=cfg.bg_scope, clip_neg=cfg.clip_neg,
+        flip=flip, sat_on=cfg.sat_filter_on, clip_on=cfg.clip_ratio_on,
+        use_spectral=cfg.use_spectral, has_aonly=Aonly is not None,
+        rim_px=cfg.rim_px, ann_on=ann_active,
+        ann_in_px=cfg.ann_in_px, ann_out_px=cfg.ann_out_px, tile=tile,
+    )
+    (stats, alt_means, donor_means, fret_means, areas, bg_ns, bg_ds,
+     eps, R_full, R_alt, rim, union, Dcorr, Acorr) = out
+    stats = jax.device_get(stats)
+    alt_means = np.asarray(alt_means)
+    donor_means = np.asarray(donor_means)
+    fret_means = np.asarray(fret_means)
+    areas = np.asarray(areas)
+    eps_f = float(eps)
+
+    rows = []
+    for i in range(len(polys)):
+        main_mean = float(stats["mean"][i])
+        alt_mean = float(alt_means[i])
+        rows.append({
+            "stage": s,
+            "time": t_code if cfg.timelapse else None,
+            "roi": i + 1,
+            "area_px": int(areas[i]),
+            "ratio_mean": main_mean,
+            "ratio_median": float(stats["median"][i]),
+            "ratio_std": float(stats["std"][i]),
+            "ratio_p5": float(stats["p5"][i]),
+            "ratio_p95": float(stats["p95"][i]),
+            "ratio_FoverD_mean": alt_mean if flip else main_mean,
+            "ratio_DoverF_mean": main_mean if flip else alt_mean,
+            "donor_mean": float(donor_means[i]),
+            "fret_mean": float(fret_means[i]),
+            "eps": eps_f, "p": cfg.percentile,
+            "donor_p": d_p, "fret_p": a_p,
+            "ratio_mode": cfg.ratio_mode,
+            "bg_scope": cfg.bg_scope, "bg_mode": cfg.bg_mode,
+            "clip_neg": cfg.clip_neg,
+            "sat_filter_on": cfg.sat_filter_on,
+            "sat_threshold": cfg.sat_threshold,
+            "clip_ratio_on": cfg.clip_ratio_on,
+            "clip_ratio_max": cfg.clip_ratio_max,
+        })
+
+    if cfg.do_tif or cfg.do_png:
+        Dc = np.asarray(Dcorr)
+        Ac = np.asarray(Acorr)
+        numer_np, denom_np = (Dc, Ac) if flip else (Ac, Dc)
+        render.save_nesprin2_images(
+            tag=tag, suffix=suffix,
+            R_full=np.asarray(R_full), rim=np.asarray(rim),
+            I=I, polys=polys, cfg=cfg, dirs=dirs, eps=eps_f,
+            ann_bgs=(np.asarray(bg_ns), np.asarray(bg_ds)) if ann_active else None,
+            numer=numer_np, denom=denom_np,
+        )
+    return rows
+
+
+def run_nesprin2(
+    folder: str,
+    cfg: Nesprin2Config,
+    out_root: Optional[str] = None,
+    log=print,
+) -> List[dict]:
+    """Run the rim-FRET workload (Nesprin2_FRET_Builder.py:1331-1736)."""
+    from ..report.excel import save_nesprin2_excel
+
+    out_root = out_root or os.path.join(folder, "RES")
+    roi_dir = os.path.join(folder, "roi")
+    files = naming.list_tifs(folder)
+    pairs, _ = naming.build_pairs_by_channel(
+        files, cfg.timelapse, cfg.donor_ch, cfg.fret_ch, cfg.grammar
+    )
+    log(f"[Info] pairs: {len(pairs)}")
+    if not pairs:
+        log("no matched (donor, fret) channel pairs")
+        return []
+
+    if cfg.subset_stage is not None:
+        s_code = naming.fmt_stage(cfg.subset_stage)
+        if not cfg.timelapse or cfg.subset_time is None:
+            pairs = [p for p in pairs if p[0][0] == s_code]
+        else:
+            t_code = naming.fmt_time(cfg.subset_time)
+            pairs = [p for p in pairs if p[0] == (s_code, t_code)]
+
+    dirs = {
+        "tif32_full": os.path.join(out_root, "TIF", "ratio32_full"),
+        "tif32_rim": os.path.join(out_root, "TIF", "ratio32_rim"),
+        "png_full_ratio": os.path.join(out_root, "PNG", "FULL_RATIO"),
+        "png_full_int": os.path.join(out_root, "PNG", "FULL_INT"),
+        "png_panel": os.path.join(out_root, "PNG", "panel"),
+        "png_crop_ratio": os.path.join(out_root, "PNG", "CROP_RATIO"),
+        "png_crop_int_no": os.path.join(out_root, "PNG", "CROP_INT", "no_rim"),
+        "png_crop_int_r": os.path.join(out_root, "PNG", "CROP_INT", "rim"),
+    }
+
+    rows_all: List[dict] = []
+    for key, dpath, apath in pairs:
+        tag = key[0] if key[1] is None else f"{key[0]}_{key[1]}"
+        log(f"[Processing] {tag} ...")
+        rows_all.extend(
+            process_pair_nesprin2(key, dpath, apath, roi_dir, cfg, dirs, log=log)
+        )
+
+    if cfg.do_xls:
+        save_nesprin2_excel(rows_all, os.path.join(out_root, "xls"), cfg.timelapse)
+    return rows_all

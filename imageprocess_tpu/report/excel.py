@@ -84,6 +84,67 @@ def save_intensity_excel(rows_all: List[dict], keymap: Dict, xls_dir: str) -> No
     df.to_csv(csv, index=False)
 
 
+def save_fret_excel(rows_all: List[dict], xls_dir: str, timelapse: bool) -> None:
+    """``fret_ratio_perROI.{xlsx,csv}`` with the reference's exact column
+    subset/order and pivot matrices (fret_ratio_builder.py:980-1011)."""
+    df = pd.DataFrame(rows_all)
+    if df.empty:
+        return
+    cols = ["stage", "time", "roi", "area_px", "ratio_mean", "ratio_median",
+            "ratio_std", "ratio_p5", "ratio_p95", "donor_mean", "donor_median",
+            "yfret_mean", "yfret_median", "eps", "p", "ratio_mode", "bg_mode"]
+    df = df[[c for c in cols if c in df.columns]]
+    if timelapse:
+        df["time_idx"] = df["time"].str.extract(r"t(\d+)", expand=False).astype(int)
+    else:
+        df["time_idx"] = 0
+    df["stage_idx"] = df["stage"].str.extract(r"S(\d+)", expand=False).astype(int)
+    df["roi_lab"] = "s" + df["stage_idx"].astype(str) + "c" + df["roi"].astype(str)
+    mean_mat = df.pivot(index="time_idx", columns="roi_lab",
+                        values="ratio_mean").sort_index()
+    med_mat = df.pivot(index="time_idx", columns="roi_lab",
+                       values="ratio_median").sort_index()
+    os.makedirs(xls_dir, exist_ok=True)
+    write_xlsx(os.path.join(xls_dir, "fret_ratio_perROI.xlsx"), {
+        "per_ROI": _df_rows(df),
+        "ratio_mean_matrix": _df_rows(mean_mat, index=True),
+        "ratio_median_matrix": _df_rows(med_mat, index=True),
+    })
+    df.to_csv(os.path.join(xls_dir, "fret_ratio_perROI.csv"), index=False)
+
+
+def save_nesprin2_excel(rows_all: List[dict], xls_dir: str, timelapse: bool) -> None:
+    """``nesprin2_fret_perROI.{csv,xlsx}``
+    (Nesprin2_FRET_Builder.py:1287-1326)."""
+    df = pd.DataFrame(rows_all)
+    if df.empty:
+        return
+    keep = ["stage", "time", "roi", "area_px", "ratio_mode",
+            "ratio_mean", "ratio_median", "ratio_std", "ratio_p5", "ratio_p95",
+            "ratio_FoverD_mean", "ratio_DoverF_mean",
+            "donor_mean", "fret_mean",
+            "eps", "p", "donor_p", "fret_p", "bg_scope", "bg_mode", "clip_neg",
+            "sat_filter_on", "sat_threshold", "clip_ratio_on", "clip_ratio_max"]
+    df = df[[c for c in keep if c in df.columns]].copy()
+    df["stage_idx"] = df["stage"].str.extract(r"S(\d+)", expand=False).astype(int)
+    if timelapse:
+        df["time_idx"] = df["time"].str.extract(r"t(\d+)", expand=False).astype(int)
+    else:
+        df["time_idx"] = 0
+    df["roi_lab"] = "s" + df["stage_idx"].astype(str) + "c" + df["roi"].astype(str)
+    mean_mat = df.pivot(index="time_idx", columns="roi_lab",
+                        values="ratio_mean").sort_index()
+    med_mat = df.pivot(index="time_idx", columns="roi_lab",
+                       values="ratio_median").sort_index()
+    os.makedirs(xls_dir, exist_ok=True)
+    df.to_csv(os.path.join(xls_dir, "nesprin2_fret_perROI.csv"), index=False)
+    write_xlsx(os.path.join(xls_dir, "nesprin2_fret_perROI.xlsx"), {
+        "per_ROI": _df_rows(df),
+        "ratio_mean_matrix": _df_rows(mean_mat, index=True),
+        "ratio_median_matrix": _df_rows(med_mat, index=True),
+    })
+
+
 def save_ratio_excel(
     rows_all: List[dict],
     xls_dir: str,

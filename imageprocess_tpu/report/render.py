@@ -188,6 +188,352 @@ class PanelPngOptions:
         return vmin, vmax
 
 
+def save_png_image(img, out_path, dpi=300, out_px=None, scalebar_um=None,
+                   px_um=None):
+    """The cropper's normalized-view PNG writer: gray [0,1] for 2-D input,
+    RGB for 3-D (src/roi_channel_cropper.py:321-345)."""
+    fig, ax = plt.subplots()
+    ax.set_facecolor("black")
+    fig.patch.set_facecolor("black")
+    if img.ndim == 2:
+        ax.imshow(img, cmap="gray", vmin=0.0, vmax=1.0)
+    else:
+        ax.imshow(np.clip(img, 0, 1))
+    ax.set_axis_off()
+    H, W = img.shape[:2]
+    if scalebar_um is not None and px_um is not None:
+        bar_px = int(round(float(scalebar_um) / float(px_um)))
+        bar_px = max(2, min(bar_px, int(0.8 * W)))
+        draw_scalebar(ax, W, H, bar_px, bar_px * float(px_um))
+    fig.tight_layout(pad=0)
+    if out_px:
+        fig.set_size_inches(out_px[0] / dpi, out_px[1] / dpi)
+    os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
+    fig.savefig(out_path, dpi=dpi, facecolor=fig.get_facecolor())
+    plt.close(fig)
+
+
+def save_png_gray(img2d, out_path, vmin=None, vmax=None, dpi=300, out_px=None):
+    """Gray black-background PNG (fret_ratio_builder.py:371-380)."""
+    fig, ax = plt.subplots()
+    ax.set_facecolor("black")
+    fig.patch.set_facecolor("black")
+    ax.imshow(img2d, cmap="gray", vmin=vmin, vmax=vmax)
+    ax.set_axis_off()
+    fig.tight_layout(pad=0)
+    if out_px:
+        fig.set_size_inches(out_px[0] / dpi, out_px[1] / dpi)
+    os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
+    fig.savefig(out_path, dpi=dpi, facecolor=fig.get_facecolor())
+    plt.close(fig)
+
+
+def save_fret_images(stid, suffix, R_full, union, polys, cfg, dirs) -> None:
+    """RAT 32/16-bit TIFs, RAT_ROI_masked variants, PNG full/crop for one
+    FRET pair (fret_ratio_builder.py:478-549)."""
+    H, W = R_full.shape
+
+    def tif_pair(img, d32, d16):
+        os.makedirs(dirs[d32], exist_ok=True)
+        os.makedirs(dirs[d16], exist_ok=True)
+        tiffio.write_tiff32(
+            os.path.join(dirs[d32], f"{stid}_ratio_{suffix}.tif"), img
+        )
+        vals = img[np.isfinite(img)]
+        out16 = os.path.join(dirs[d16], f"{stid}_ratio_{suffix}_preview.tif")
+        if vals.size > 0:
+            lo, hi = _auto_minmax_np(vals, 1.0, 99.0)
+            tiffio.write_tiff16(out16, tiffio.normalize_to_u16(img, lo, hi))
+        else:
+            tiffio.write_tiff16(out16, np.zeros_like(img, dtype=np.uint16))
+
+    if cfg.do_tif:
+        tif_pair(R_full, "RAT32", "RAT16")
+
+    if cfg.do_png and cfg.save_full:
+        vals = R_full[np.isfinite(R_full)]
+        lo, hi = _auto_minmax_np(vals, 1.0, 99.0)
+        save_png_gray(
+            R_full, os.path.join(dirs["PNG_FULL"], f"{stid}_ratio_{suffix}.png"),
+            vmin=lo, vmax=hi, dpi=cfg.png_dpi,
+        )
+
+    if polys is None:
+        return
+
+    if cfg.do_tif and union is not None:
+        R_roi = R_full.copy()
+        R_roi[~union] = np.nan
+        tif_pair(R_roi, "RROI32", "RROI16")
+
+    if not (cfg.do_png and cfg.save_crop):
+        return
+    out_px = (cfg.crop_w, cfg.crop_h) if cfg.fixed_crop else None
+    for i, P in enumerate(polys, 1):
+        pts = np.asarray(P)
+        pad = max(10, int(0.05 * max(W, H)))
+        x0 = max(int(pts[:, 0].min()) - pad, 0)
+        x1 = min(int(pts[:, 0].max()) + pad, W - 1)
+        y0 = max(int(pts[:, 1].min()) - pad, 0)
+        y1 = min(int(pts[:, 1].max()) + pad, H - 1)
+        crop = R_full[y0:y1 + 1, x0:x1 + 1]
+        P2 = pts.copy()
+        P2[:, 0] -= x0
+        P2[:, 1] -= y0
+        mask = rasterize_polygon_np(P2, crop.shape)
+        out_path = os.path.join(dirs["PNG_CROP"], f"{stid}_roi{i}_{suffix}.png")
+        if cfg.apply_cmap:
+            vmin = vmax = None
+            try:
+                vmin = float(cfg.cmin_txt) if cfg.cmin_txt != "" else None
+            except ValueError:
+                vmin = None
+            try:
+                vmax = float(cfg.cmax_txt) if cfg.cmax_txt != "" else None
+            except ValueError:
+                vmax = None
+            if vmin is None or vmax is None or vmax <= vmin:
+                lo, hi = _auto_minmax_np(crop[mask], 1.0, 99.0)
+                if vmin is None:
+                    vmin = lo
+                if vmax is None or vmax <= vmin:
+                    vmax = hi
+            save_png_colormap(
+                crop, out_path, vmin=vmin, vmax=vmax, cmap=cfg.cmap_name,
+                mask=mask if cfg.mask_outside else None,
+                scalebar_um=cfg.scale_bar_um if cfg.add_scalebar else None,
+                px_um=cfg.px_um, show_colorbar=cfg.show_colorbar,
+                dpi=cfg.png_dpi, out_px=out_px, cbar_label="FRET ratio",
+            )
+        else:
+            crop_vis = np.array(crop, copy=True)
+            if cfg.mask_outside:
+                crop_vis[~mask] = 0.0
+            lo, hi = _auto_minmax_np(crop_vis[np.isfinite(crop_vis)], 1.0, 99.0)
+            save_png_gray(crop_vis, out_path, vmin=lo, vmax=hi,
+                          dpi=cfg.png_dpi, out_px=out_px)
+
+
+def save_panel_intensity_ratio(int_img, ratio_img, rim, out_png, px_um,
+                               add_scalebar=False, sb_um=5.0, cmap="turbo",
+                               vmin=0.0, vmax=0.7, show_colorbar=True,
+                               title_left="Intensity", title_right="FRET"):
+    """2-up rim-masked intensity/ratio panel
+    (Nesprin2_FRET_Builder.py:498-530)."""
+    I = np.where(rim, int_img, np.nan)
+    R = np.where(rim, ratio_img, np.nan)
+    ivals = I[np.isfinite(I)]
+    ilo, ihi = (np.percentile(ivals, 1), np.percentile(ivals, 99)) if ivals.size else (0.0, 1.0)
+    fig, axes = plt.subplots(1, 2, figsize=(6, 3))
+    axes[0].imshow(I, vmin=ilo, vmax=ihi, cmap="gray")
+    axes[0].set_title(title_left)
+    axes[0].axis("off")
+    im = axes[1].imshow(R, vmin=vmin, vmax=vmax, cmap=cmap)
+    axes[1].set_title(title_right)
+    axes[1].axis("off")
+    H, W = R.shape
+    if add_scalebar and px_um > 0:
+        bar_px = max(2, min(int(round(sb_um / px_um)), int(0.8 * W)))
+        for ax in axes:
+            draw_scalebar(ax, W, H, bar_px, bar_px * px_um)
+    if show_colorbar:
+        cb = fig.colorbar(im, ax=axes[1], fraction=0.046, pad=0.04)
+        cb.set_label("FRET ratio")
+    plt.tight_layout()
+    os.makedirs(os.path.dirname(out_png) or ".", exist_ok=True)
+    fig.savefig(out_png, dpi=300)
+    plt.close(fig)
+
+
+def save_nesprin2_images(tag, suffix, R_full, rim, I, polys, cfg, dirs, eps,
+                         ann_bgs=None, numer=None, denom=None) -> None:
+    """Nesprin2 TIF32 full+rim, full/crop/panel PNGs
+    (Nesprin2_FRET_Builder.py:1585-1731)."""
+    H, W = R_full.shape
+
+    if cfg.do_tif:
+        for d in ("tif32_full", "tif32_rim"):
+            os.makedirs(dirs[d], exist_ok=True)
+        tiffio.write_tiff32(
+            os.path.join(dirs["tif32_full"], f"{tag}_ratio_full_{suffix}.tif"),
+            R_full,
+        )
+        tiffio.write_tiff32(
+            os.path.join(dirs["tif32_rim"], f"{tag}_ratio_rim_{suffix}.tif"),
+            np.where(rim, R_full, np.nan),
+        )
+
+    if not cfg.do_png:
+        return
+
+    if cfg.save_full:
+        vals = R_full[np.isfinite(R_full)]
+        lo, hi = _auto_minmax_np(vals, 1.0, 99.0)
+        save_png_gray(
+            R_full,
+            os.path.join(dirs["png_full_ratio"], f"{tag}_ratio_full_{suffix}.png"),
+            vmin=lo, vmax=hi, dpi=300,
+        )
+        ivals = I[np.isfinite(I)]
+        ilo, ihi = ((np.percentile(ivals, 1), np.percentile(ivals, 99))
+                    if ivals.size else (0.0, 1.0))
+        save_png_gray(
+            I, os.path.join(dirs["png_full_int"], f"{tag}_INT_full.png"),
+            vmin=ilo, vmax=ihi, dpi=300,
+        )
+
+    if cfg.save_panel:
+        save_panel_intensity_ratio(
+            I, R_full, rim,
+            os.path.join(dirs["png_panel"], f"{tag}_panel_{suffix}.png"),
+            px_um=cfg.px_um, add_scalebar=cfg.add_scalebar,
+            sb_um=cfg.scale_bar_um, cmap=cfg.cmap_name,
+            vmin=cfg.fret_min, vmax=cfg.fret_max,
+            show_colorbar=cfg.show_colorbar,
+        )
+
+    if not cfg.save_crop:
+        return
+    out_px = (cfg.crop_w, cfg.crop_h) if cfg.crop_fixed else None
+    for i, P in enumerate(polys, 1):
+        pts = np.asarray(P)
+        pad = max(10, int(0.05 * max(W, H)))
+        x0 = max(int(pts[:, 0].min()) - pad, 0)
+        x1 = min(int(pts[:, 0].max()) + pad, W - 1)
+        y0 = max(int(pts[:, 1].min()) - pad, 0)
+        y1 = min(int(pts[:, 1].max()) + pad, H - 1)
+
+        if ann_bgs is not None:
+            # rebuild the annulus-corrected per-ROI ratio on the crop only
+            bg_n, bg_d = float(ann_bgs[0][i - 1]), float(ann_bgs[1][i - 1])
+            nc = numer[y0:y1 + 1, x0:x1 + 1] - bg_n
+            dc = denom[y0:y1 + 1, x0:x1 + 1] - bg_d
+            if cfg.clip_neg:
+                nc = np.maximum(nc, 0.0)
+                dc = np.maximum(dc, 0.0)
+            cropR = (nc + eps) / (dc + eps)
+            if cfg.clip_ratio_on:
+                cropR = np.where(cropR > cfg.clip_ratio_max, np.nan, cropR)
+        else:
+            cropR = R_full[y0:y1 + 1, x0:x1 + 1]
+        cropI = I[y0:y1 + 1, x0:x1 + 1]
+
+        P2 = pts.copy()
+        P2[:, 0] -= x0
+        P2[:, 1] -= y0
+        crop_roi_full = rasterize_polygon_np(P2, cropR.shape)
+        crop_rim = crop_roi_full & rim[y0:y1 + 1, x0:x1 + 1]
+
+        vmin = vmax = None
+        try:
+            vmin = float(cfg.crop_vmin_txt) if cfg.crop_vmin_txt != "" else None
+        except ValueError:
+            vmin = None
+        try:
+            vmax = float(cfg.crop_vmax_txt) if cfg.crop_vmax_txt != "" else None
+        except ValueError:
+            vmax = None
+        if vmin is None or vmax is None or vmax <= vmin:
+            lo, hi = (_auto_minmax_np(cropR[crop_rim], 1.0, 99.0)
+                      if crop_rim.any() else _auto_minmax_np(cropR, 1.0, 99.0))
+            if vmin is None:
+                vmin = lo
+            if vmax is None or vmax <= vmin:
+                vmax = hi
+
+        save_png_colormap(
+            cropR,
+            os.path.join(dirs["png_crop_ratio"], f"{tag}_roi{i}_{suffix}_rim.png"),
+            vmin=vmin, vmax=vmax, cmap=cfg.cmap_name, mask=crop_rim,
+            scalebar_um=cfg.scale_bar_um if cfg.add_scalebar else None,
+            px_um=cfg.px_um, show_colorbar=cfg.show_colorbar,
+            dpi=300, out_px=out_px, cbar_label="FRET ratio",
+        )
+
+        ivals = cropI[np.isfinite(cropI)]
+        ilo, ihi = ((np.percentile(ivals, 1), np.percentile(ivals, 99))
+                    if ivals.size else (0.0, 1.0))
+        save_png_gray(
+            cropI,
+            os.path.join(dirs["png_crop_int_no"], f"{tag}_roi{i}_INT_crop_full.png"),
+            vmin=ilo, vmax=ihi, dpi=300, out_px=out_px,
+        )
+        if cfg.save_crop_intensity:
+            I_vis = np.array(cropI, copy=True)
+            I_vis[~crop_rim] = np.nan
+            iv2 = I_vis[np.isfinite(I_vis)]
+            ilo2, ihi2 = ((np.percentile(iv2, 1), np.percentile(iv2, 99))
+                          if iv2.size else (0.0, 1.0))
+            save_png_gray(
+                I_vis,
+                os.path.join(dirs["png_crop_int_r"], f"{tag}_roi{i}_INT_rim.png"),
+                vmin=ilo2, vmax=ihi2, dpi=300, out_px=out_px,
+            )
+
+
+def save_morphology_images(img, polys, mets, tag, cfg,
+                           png_full_dir, png_crop_dir) -> None:
+    """MOR_by_ROI overlay PNGs: full frame with numbered cyan outlines +
+    per-ROI crops with title metrics (src/MOR_by_ROI.py:436-505)."""
+    H, W = img.shape
+    if cfg.save_full:
+        fig, ax = plt.subplots(figsize=(8, 8 * H / W))
+        ax.imshow(img, cmap="gray")
+        ax.set_axis_off()
+        for i, poly in enumerate(polys, 1):
+            P = np.asarray(poly)
+            ax.plot(np.r_[P[:, 0], P[0, 0]], np.r_[P[:, 1], P[0, 1]],
+                    lw=1.5, color="cyan")
+            ax.text(P[:, 0].mean(), P[:, 1].mean(), str(i), fontsize=10,
+                    ha="center", va="center", color="w",
+                    bbox=dict(facecolor="black", alpha=0.3, pad=1,
+                              edgecolor="none"))
+        os.makedirs(png_full_dir, exist_ok=True)
+        fig.tight_layout(pad=0)
+        fig.savefig(os.path.join(
+            png_full_dir, f"{tag}_overlay_ch{cfg.sel_ch}.png"), dpi=200)
+        plt.close(fig)
+
+    if not cfg.save_crop:
+        return
+    os.makedirs(png_crop_dir, exist_ok=True)
+    for i, (poly, met) in enumerate(zip(polys, mets), 1):
+        P = np.asarray(poly)
+        pad = max(10, int(0.05 * max(W, H)))
+        x0 = max(int(P[:, 0].min()) - pad, 0)
+        x1 = min(int(P[:, 0].max()) + pad, W - 1)
+        y0 = max(int(P[:, 1].min()) - pad, 0)
+        y1 = min(int(P[:, 1].max()) + pad, H - 1)
+        crop = img[y0:y1 + 1, x0:x1 + 1]
+        P2 = P.copy()
+        P2[:, 0] -= x0
+        P2[:, 1] -= y0
+        if cfg.mask_outside:
+            crop = crop * rasterize_polygon_np(P2, crop.shape).astype(crop.dtype)
+        fig, ax = plt.subplots(figsize=(5, 5 * crop.shape[0] / crop.shape[1]))
+        ax.imshow(crop, cmap="gray")
+        ax.set_axis_off()
+        ax.plot(np.r_[P2[:, 0], P2[0, 0]], np.r_[P2[:, 1], P2[0, 1]],
+                lw=1.5, color="cyan")
+        ax.set_title(
+            f"{tag}  ROI#{i}  ch{cfg.sel_ch}  "
+            f"AR={met['aspect_ratio']:.2f}  Circ={met['circularity']:.3f}",
+            fontsize=9,
+        )
+        if cfg.add_scalebar and cfg.scale_bar_um is not None:
+            ch_, cw_ = crop.shape
+            bar_px = int(round(float(cfg.scale_bar_um) / cfg.px_um))
+            max_bar = int(0.8 * cw_)
+            if bar_px > max_bar and max_bar > 1:
+                bar_px = max_bar
+            bar_px = max(bar_px, 2)
+            draw_scalebar(ax, cw_, ch_, bar_px, bar_px * cfg.px_um)
+        fig.tight_layout(pad=0.1)
+        fig.savefig(os.path.join(png_crop_dir,
+                                 f"{tag}_roi{i}_ch{cfg.sel_ch}.png"), dpi=220)
+        plt.close(fig)
+
+
 def save_intensity_images(extras: dict, cfg, out_root: str) -> None:
     """TIF32 + TIF16-preview + PNG full/crop exports for one (stage, time)
     key (worker block Fluor_INT.py:917-1135)."""

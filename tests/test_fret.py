@@ -1,0 +1,119 @@
+"""FRET pipeline parity vs an in-test numpy replication of the reference's
+``process_one_stage`` math (src/FRET/fret_ratio_builder.py:429-552) on the
+golden intensity inputs (ch2 = donor, ch3 = acceptor).  The reference ships
+no golden FRET outputs, so the oracle is the reference algorithm itself,
+re-expressed with numpy + matplotlib (the same libraries it uses)."""
+
+import os
+
+import numpy as np
+import pytest
+from matplotlib.path import Path as MplPath
+
+from imageprocess_tpu.core import roiio, tiffio
+from imageprocess_tpu.pipelines.fret import FretConfig, run_fret
+
+
+def _ref_rasterize(poly, shape):
+    H, W = shape
+    yy, xx = np.mgrid[0:H, 0:W]
+    pts = np.vstack((xx.ravel(), yy.ravel())).T
+    return MplPath(np.asarray(poly, float)).contains_points(pts).reshape(H, W)
+
+
+def _ref_fret_rows(folder):
+    D = tiffio.read_2d(os.path.join(folder, "S01_2.TIF"))
+    A = tiffio.read_2d(os.path.join(folder, "S01_3.TIF"))
+    polys = roiio.load_roi_polygons(os.path.join(folder, "roi", "S01.json"))
+    H, W = D.shape
+
+    def bg_correct(img, p=1.0):
+        B = float(np.percentile(img.ravel(), p))
+        J = img - B
+        J[J < 0] = 0.0
+        return J, B
+
+    Dbc, _ = bg_correct(D)
+    Abc, _ = bg_correct(A)
+    eps = max(5.0, float(np.percentile(Dbc.ravel(), 1.0)))
+    R = (Abc + eps) / (Dbc + eps)
+
+    rows = []
+    for i, poly in enumerate(polys, 1):
+        m = _ref_rasterize(poly, (H, W))
+        vals = R[m]
+        vals = vals[np.isfinite(vals)]
+        rows.append({
+            "roi": i,
+            "area_px": int(m.sum()),
+            "ratio_mean": float(np.mean(vals)),
+            "ratio_median": float(np.median(vals)),
+            "ratio_std": float(np.std(vals)),
+            "ratio_p5": float(np.percentile(vals, 5)),
+            "ratio_p95": float(np.percentile(vals, 95)),
+            "donor_mean": float(np.mean(Dbc[m])),
+            "yfret_median": float(np.median(Abc[m])),
+            "eps": eps,
+        })
+    return rows
+
+
+@pytest.fixture(scope="module")
+def fret_results(golden_intensity_dir, tmp_path_factory):
+    folder = os.path.join(golden_intensity_dir, "e1_P0")
+    out = tmp_path_factory.mktemp("fret_out")
+    cfg = FretConfig(donor_ch=2, acceptor_ch=3, do_xls=True, do_tif=True,
+                     do_png=True, png_dpi=60)
+    rows = run_fret(folder, cfg, out_root=str(out), log=lambda *_: None)
+    return folder, rows, out
+
+
+def test_fret_rows_match_reference_math(fret_results):
+    folder, rows, _ = fret_results
+    ref_rows = _ref_fret_rows(folder)
+    assert len(rows) == len(ref_rows) == 18
+    for ours, ref in zip(rows, ref_rows):
+        for k, v in ref.items():
+            o = ours[k]
+            if isinstance(v, float):
+                assert abs(o - v) / max(abs(v), 1e-12) <= 1e-4, (k, o, v)
+            else:
+                assert o == v, (k, o, v)
+    assert rows[0]["ratio_mode"] == "FRET/Donor"
+    assert rows[0]["stage"] == "S01"
+
+
+def test_fret_outputs_written(fret_results):
+    _, _, out = fret_results
+    assert (out / "xls" / "fret_ratio_perROI.csv").exists()
+    assert (out / "xls" / "fret_ratio_perROI.xlsx").exists()
+    assert (out / "RAT" / "32bit" / "S01_ratio_FoverD.tif").exists()
+    assert (out / "RAT" / "16bit" / "S01_ratio_FoverD_preview.tif").exists()
+    assert (out / "RAT_ROI_masked" / "32bit" / "S01_ratio_FoverD.tif").exists()
+    assert (out / "PNG_RAT" / "full" / "S01_ratio_FoverD.png").exists()
+    crops = list((out / "PNG_RAT" / "crop").glob("S01_roi*_FoverD.png"))
+    assert len(crops) == 18
+
+    # masked 32-bit ratio: NaN outside the union
+    import PIL.Image
+    arr = np.array(PIL.Image.open(out / "RAT_ROI_masked" / "32bit" / "S01_ratio_FoverD.tif"))
+    assert np.isnan(arr).any() and np.isfinite(arr).any()
+
+
+def test_fret_ratio_mode_flip(golden_intensity_dir, tmp_path):
+    folder = os.path.join(golden_intensity_dir, "e1_P0")
+    cfg = FretConfig(donor_ch=2, acceptor_ch=3, ratio_mode="Donor/FRET",
+                     do_xls=False, subset_stage=1)
+    rows = run_fret(folder, cfg, out_root=str(tmp_path), log=lambda *_: None)
+    assert len(rows) == 18
+    ref = _ref_fret_rows(folder)
+    # Donor/FRET numerator/denominator swap also swaps the eps source channel
+    D = tiffio.read_2d(os.path.join(folder, "S01_2.TIF"))
+    A = tiffio.read_2d(os.path.join(folder, "S01_3.TIF"))
+    Dbc = np.clip(D - np.percentile(D.ravel(), 1.0), 0, None)
+    Abc = np.clip(A - np.percentile(A.ravel(), 1.0), 0, None)
+    eps = max(5.0, float(np.percentile(Abc.ravel(), 1.0)))
+    R = (Dbc + eps) / (Abc + eps)
+    polys = roiio.load_roi_polygons(os.path.join(folder, "roi", "S01.json"))
+    m = _ref_rasterize(polys[0], D.shape)
+    assert abs(rows[0]["ratio_mean"] - float(R[m].mean())) <= 1e-4 * abs(R[m].mean())
