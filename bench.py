@@ -21,7 +21,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import numpy as np
 
 H, W = 1536, 2048
-N_STAGES = 16
+N_STAGES = int(os.environ.get("IP_BENCH_STAGES", "8"))
 CHANNELS = (2, 3)
 DATA_DIR = os.environ.get("IP_BENCH_DATA", "/tmp/ip_bench_data")
 GOLDEN_ROI = (

@@ -1,0 +1,317 @@
+"""Command-line entrypoints — the rebuild of the reference's ``.bat`` menus
+(1Intensity.bat / 2FocalAdhesion.bat / 3FRET.bat launchers, SURVEY §L0).
+
+    imageprocess intensity  <folder> --channels 2 3 [...]
+    imageprocess morphology <folder> --px-um 0.223 --channel 1 [...]
+    imageprocess fret       <folder> --donor-ch 1 --acceptor-ch 2 [...]
+    imageprocess nesprin2   <folder> --donor-ch 1 --fret-ch 2 [...]
+    imageprocess fa         <img_dir> --roi-dir R --out O [...]
+    imageprocess crop       <folder> --channel 1 [...]
+    imageprocess roi-auto   <folder> [--backend threshold|cellpose] [...]
+    imageprocess refine     <folder> [--thr 90] [...]
+    imageprocess ppt        <png_folder> [--width-cm 2.0]
+
+All commands accept ``--lang en|ko`` or the reference's ``-mode EN`` flag.
+GUI defaults from the reference are the CLI defaults (SURVEY §5 config).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+from typing import List, Optional
+
+from .core import i18n
+
+
+def _add_common(p: argparse.ArgumentParser):
+    p.add_argument("--lang", default=None, choices=["en", "ko"])
+    p.add_argument("--out", default=None, help="output root (default <folder>/RES*)")
+    p.add_argument("--timelapse", action="store_true")
+
+
+def build_parser() -> argparse.ArgumentParser:
+    ap = argparse.ArgumentParser(
+        prog="imageprocess",
+        description=i18n.t("app_title"),
+    )
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("intensity", help="per-ROI fluorescence intensity (Fluor_INT)")
+    p.add_argument("folder")
+    p.add_argument("--channels", type=int, nargs="+", default=[1])
+    p.add_argument("--bg-mode", default="percentile",
+                   choices=["percentile", "hist-mode", "none"])
+    p.add_argument("--bg-scope", default="full", choices=["full", "roi_union"])
+    p.add_argument("--percentile", type=float, default=1.0)
+    p.add_argument("--bg-stride", type=int, default=4)
+    p.add_argument("--no-clip-neg", action="store_true")
+    p.add_argument("--colors", nargs="*", default=[],
+                   help="ch=Color pairs, e.g. 2=Green 3=Red")
+    p.add_argument("--tif", action="store_true")
+    p.add_argument("--png", action="store_true")
+    p.add_argument("--px-um", type=float, default=None)
+    _add_common(p)
+
+    p = sub.add_parser("morphology", help="per-ROI shape metrics (MOR_by_ROI)")
+    p.add_argument("folder")
+    p.add_argument("--px-um", type=float, required=True)
+    p.add_argument("--channel", type=int, default=1)
+    p.add_argument("--include-no-channel", action="store_true")
+    p.add_argument("--no-full", action="store_true")
+    p.add_argument("--no-crop", action="store_true")
+    p.add_argument("--mask-outside", action="store_true")
+    p.add_argument("--scalebar-um", type=float, default=None)
+    _add_common(p)
+
+    p = sub.add_parser("fret", help="two-channel ratiometric FRET (fret_ratio_builder)")
+    p.add_argument("folder")
+    p.add_argument("--donor-ch", type=int, default=1)
+    p.add_argument("--acceptor-ch", type=int, default=2)
+    p.add_argument("--ratio-mode", default="FRET/Donor",
+                   choices=["FRET/Donor", "Donor/FRET"])
+    p.add_argument("--percentile", type=float, default=1.0)
+    p.add_argument("--eps-percentile", type=float, default=1.0)
+    p.add_argument("--bg-scope", default="full", choices=["full", "roi_union"])
+    p.add_argument("--tif", action="store_true")
+    p.add_argument("--png", action="store_true")
+    p.add_argument("--subset-stage", type=int, default=None)
+    _add_common(p)
+
+    p = sub.add_parser("nesprin2", help="nuclear-rim FRET (Nesprin2_FRET_Builder)")
+    p.add_argument("folder")
+    p.add_argument("--donor-ch", type=int, default=1)
+    p.add_argument("--fret-ch", type=int, default=2)
+    p.add_argument("--intensity-ch", type=int, default=3)
+    p.add_argument("--aonly-ch", type=int, default=None)
+    p.add_argument("--px-um", type=float, default=0.112)
+    p.add_argument("--rim-um", type=float, default=0.45)
+    p.add_argument("--rim-preset", choices=["thin", "medium", "thick"], default=None)
+    p.add_argument("--annulus", action="store_true")
+    p.add_argument("--ann-in-um", type=float, default=1.2)
+    p.add_argument("--ann-out-um", type=float, default=2.5)
+    p.add_argument("--spectral", action="store_true")
+    p.add_argument("--alpha", type=float, default=0.0)
+    p.add_argument("--beta", type=float, default=0.0)
+    p.add_argument("--g-factor", type=float, default=1.0)
+    p.add_argument("--sat-threshold", type=float, default=None)
+    p.add_argument("--clip-ratio-max", type=float, default=None)
+    p.add_argument("--tif", action="store_true")
+    p.add_argument("--png", action="store_true")
+    _add_common(p)
+
+    p = sub.add_parser("fa", help="focal-adhesion detection (FA_Analyzer batch)")
+    p.add_argument("img_dir")
+    p.add_argument("--roi-dir", required=True)
+    p.add_argument("--out", required=True)
+    p.add_argument("--channel", type=int, default=0)
+    p.add_argument("--px-size", type=float, default=0.112)
+    p.add_argument("--alpha", type=float, default=3.0)
+    p.add_argument("--min-area-um", type=float, default=1.5)
+    p.add_argument("--max-area-um", type=float, default=30.0)
+    p.add_argument("--close-radius", type=int, default=1)
+    p.add_argument("--no-subtract-bg", action="store_true")
+    p.add_argument("--ok-only", action="store_true")
+    p.add_argument("--lang", default=None, choices=["en", "ko"])
+
+    p = sub.add_parser("crop", help="per-ROI channel crops (roi_channel_cropper)")
+    p.add_argument("folder")
+    p.add_argument("--roi-dir", default=None)
+    p.add_argument("--channel", type=int, default=1)
+    p.add_argument("--color", default="Grayscale")
+    p.add_argument("--gamma", type=float, default=1.0)
+    p.add_argument("--low-cut", type=float, default=0.5)
+    p.add_argument("--high-cut", type=float, default=0.5)
+    p.add_argument("--mask-outside", action="store_true")
+    p.add_argument("--tiff16", action="store_true")
+    p.add_argument("--tiff-raw", action="store_true")
+    p.add_argument("--no-png", action="store_true")
+    p.add_argument("--subset-stage", type=int, default=None)
+    p.add_argument("--subset-roi", type=int, default=None)
+    p.add_argument("--px-um", type=float, default=None)
+    _add_common(p)
+
+    p = sub.add_parser("roi-auto", help="automatic segmentation (ROI_auto_drawer)")
+    p.add_argument("folder")
+    p.add_argument("--backend", default="threshold",
+                   choices=["threshold", "cellpose"])
+    p.add_argument("--channel", type=int, default=None)
+    p.add_argument("--thr-mode", default="percentile",
+                   choices=["percentile", "mean_std"])
+    p.add_argument("--thr-percentile", type=float, default=90.0)
+    p.add_argument("--thr-k", type=float, default=2.0)
+    p.add_argument("--smooth-sigma", type=float, default=2.0)
+    p.add_argument("--min-size-px", type=int, default=200)
+    p.add_argument("--diameter", type=float, default=None)
+    p.add_argument("--model-type", default="cyto3")
+    p.add_argument("--gpu", action="store_true")
+    _add_common(p)
+
+    p = sub.add_parser("refine", help="refine rough ROIs (roi_manual_drawer core)")
+    p.add_argument("folder")
+    p.add_argument("--thr", type=float, default=90.0)
+    p.add_argument("--mode", default="percentile", choices=["percentile", "bnd"])
+    p.add_argument("--min-area", type=float, default=40.0)
+    p.add_argument("--tolerance", type=float, default=1.0)
+    p.add_argument("--channel", type=int, default=None)
+    _add_common(p)
+
+    p = sub.add_parser("ppt", help="FRET timelapse deck (Make_FRET_timelapsePPT)")
+    p.add_argument("folder")
+    p.add_argument("--width-cm", type=float, default=2.0)
+    p.add_argument("--lang", default=None, choices=["en", "ko"])
+    return ap
+
+
+def main(argv: Optional[List[str]] = None) -> int:
+    argv = list(sys.argv[1:] if argv is None else argv)
+    # the reference's "-mode EN" flag (Fluor_INT.py:244-254)
+    lang = i18n.pick_lang_from_argv(argv)
+    argv = [a for i, a in enumerate(argv)
+            if a != "-mode" and not (i > 0 and argv[i - 1] == "-mode")]
+    args = build_parser().parse_args(argv)
+    if getattr(args, "lang", None):
+        lang = args.lang
+    i18n.set_lang(lang)
+    log = print
+    log(i18n.t("run_start"))
+    try:
+        return _dispatch(args, log)
+    finally:
+        log(i18n.t("run_end"))
+
+
+def _dispatch(args, log) -> int:
+    if args.cmd == "intensity":
+        from .pipelines.intensity import IntensityConfig, run_intensity
+
+        colors = {}
+        for spec in args.colors:
+            ch, _, color = spec.partition("=")
+            colors[int(ch)] = color
+        cfg = IntensityConfig(
+            channels=tuple(args.channels), timelapse=args.timelapse,
+            bg_mode=args.bg_mode, bg_scope=args.bg_scope,
+            percentile=args.percentile, bg_stride=args.bg_stride,
+            clip_neg=not args.no_clip_neg, channel_colors=colors,
+            do_tif=args.tif, do_png=args.png, px_um=args.px_um,
+        )
+        rows = run_intensity(args.folder, cfg, out_root=args.out, log=log)
+        log(i18n.t("progress").format(done=len(rows), total=len(rows)))
+        return 0
+
+    if args.cmd == "morphology":
+        from .pipelines.morphology import MorConfig, run_morphology
+
+        cfg = MorConfig(
+            px_um=args.px_um, sel_ch=args.channel,
+            include_no_channel=args.include_no_channel,
+            timelapse=args.timelapse, save_full=not args.no_full,
+            save_crop=not args.no_crop, mask_outside=args.mask_outside,
+            add_scalebar=args.scalebar_um is not None,
+            scale_bar_um=args.scalebar_um,
+        )
+        run_morphology(args.folder, cfg, out_root=args.out, log=log)
+        return 0
+
+    if args.cmd == "fret":
+        from .pipelines.fret import FretConfig, run_fret
+
+        cfg = FretConfig(
+            donor_ch=args.donor_ch, acceptor_ch=args.acceptor_ch,
+            timelapse=args.timelapse, ratio_mode=args.ratio_mode,
+            percentile=args.percentile, eps_percentile=args.eps_percentile,
+            bg_scope=args.bg_scope, do_tif=args.tif, do_png=args.png,
+            subset_stage=args.subset_stage,
+        )
+        run_fret(args.folder, cfg, out_root=args.out, log=log)
+        return 0
+
+    if args.cmd == "nesprin2":
+        from .pipelines.nesprin2 import RIM_PRESETS, Nesprin2Config, run_nesprin2
+
+        rim_um, ann_in, ann_out = args.rim_um, args.ann_in_um, args.ann_out_um
+        if args.rim_preset:
+            rim_um, ann_in, ann_out = RIM_PRESETS[args.rim_preset]
+        cfg = Nesprin2Config(
+            donor_ch=args.donor_ch, fret_ch=args.fret_ch,
+            intensity_ch=args.intensity_ch, aonly_ch=args.aonly_ch,
+            timelapse=args.timelapse, px_um=args.px_um, rim_um=rim_um,
+            annulus_on=args.annulus, ann_in_um=ann_in, ann_out_um=ann_out,
+            use_spectral=args.spectral, alpha=args.alpha, beta=args.beta,
+            g_factor=args.g_factor,
+            sat_filter_on=args.sat_threshold is not None,
+            sat_threshold=args.sat_threshold or 65535.0,
+            clip_ratio_on=args.clip_ratio_max is not None,
+            clip_ratio_max=args.clip_ratio_max or 10.0,
+            do_tif=args.tif, do_png=args.png,
+        )
+        run_nesprin2(args.folder, cfg, out_root=args.out, log=log)
+        return 0
+
+    if args.cmd == "fa":
+        from .pipelines.fa import FaConfig, run_fa_batch
+
+        cfg = FaConfig(
+            channel=args.channel, px_size=args.px_size, alpha=args.alpha,
+            min_area_um=args.min_area_um, max_area_um=args.max_area_um,
+            close_radius=args.close_radius,
+            subtract_bg=not args.no_subtract_bg, save_ok_only=args.ok_only,
+        )
+        run_fa_batch(args.img_dir, args.roi_dir, args.out, cfg, log=log)
+        return 0
+
+    if args.cmd == "crop":
+        import os
+
+        from .pipelines.crop import CropConfig, run_crop
+
+        cfg = CropConfig(
+            channel=args.channel, timelapse=args.timelapse, color=args.color,
+            gamma=args.gamma, low_cut=args.low_cut, high_cut=args.high_cut,
+            mask_outside=args.mask_outside, save_png=not args.no_png,
+            save_tiff16=args.tiff16, save_tiff_raw=args.tiff_raw,
+            subset_stage=args.subset_stage, subset_roi=args.subset_roi,
+            px_um=args.px_um,
+        )
+        roi_dir = args.roi_dir or os.path.join(args.folder, "roi")
+        out = args.out or os.path.join(args.folder, "RES_CROP")
+        run_crop(args.folder, roi_dir, out, cfg, log=log)
+        return 0
+
+    if args.cmd == "roi-auto":
+        from .segment.auto import AutoSegConfig, run_auto_drawer
+
+        cfg = AutoSegConfig(
+            backend=args.backend, channel=args.channel,
+            timelapse=args.timelapse, thr_mode=args.thr_mode,
+            thr_percentile=args.thr_percentile, thr_k=args.thr_k,
+            smooth_sigma=args.smooth_sigma, min_size_px=args.min_size_px,
+            diameter=args.diameter, model_type=args.model_type,
+            use_gpu=args.gpu,
+        )
+        run_auto_drawer(args.folder, cfg, roi_dir=args.out, log=log)
+        return 0
+
+    if args.cmd == "refine":
+        from .segment.drawer import RefineConfig, refine_and_save
+
+        cfg = RefineConfig(
+            thr_param=args.thr, mode=args.mode, min_area=args.min_area,
+            tolerance=args.tolerance, channel=args.channel,
+            timelapse=args.timelapse,
+        )
+        refine_and_save(args.folder, cfg, roi_dir=args.out, log=log)
+        return 0
+
+    if args.cmd == "ppt":
+        from .pipelines.fretppt import run_fret_ppt
+
+        ok, _ = run_fret_ppt(args.folder, args.width_cm, log=log)
+        return 0 if ok else 1
+
+    return 2
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -94,7 +94,8 @@ def douglas_peucker(points: np.ndarray, tolerance: float) -> np.ndarray:
         if seg_len == 0:
             dists = np.hypot(*(mid - a).T)
         else:
-            dists = np.abs(np.cross(seg, mid - a)) / seg_len
+            d = mid - a
+            dists = np.abs(seg[0] * d[:, 1] - seg[1] * d[:, 0]) / seg_len
         imax = int(np.argmax(dists))
         if dists[imax] > tolerance:
             split = lo + 1 + imax

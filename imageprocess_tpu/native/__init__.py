@@ -1,0 +1,93 @@
+"""Native host-side decode tier (ctypes bindings to libiptiff.so).
+
+``decode_tiff(path, page)`` returns a numpy array (uint8/uint16, (H, W) or
+(H, W, S)) or None when the native library is unavailable or the file uses
+an unsupported layout (caller falls back to PIL — see core.tiffio).
+
+Build: ``make -C native`` (g++, no external deps).  If the shared library
+is missing, this module tries a one-time build when a compiler is present.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+from typing import Optional
+
+import numpy as np
+
+_LIB_PATH = os.path.join(os.path.dirname(__file__), "libiptiff.so")
+_lock = threading.Lock()
+_lib = None
+_tried = False
+
+
+def _try_build() -> None:
+    src_dir = os.path.join(os.path.dirname(__file__), "..", "..", "native")
+    src = os.path.join(src_dir, "tiff_lzw.cpp")
+    if not os.path.exists(src):
+        return
+    try:
+        subprocess.run(
+            ["g++", "-O3", "-march=native", "-fPIC", "-std=c++17", "-shared",
+             "-o", _LIB_PATH, src, "-lpthread"],
+            check=True, capture_output=True, timeout=120,
+        )
+    except Exception:
+        pass
+
+
+def _load():
+    global _lib, _tried
+    with _lock:
+        if _lib is not None or _tried:
+            return _lib
+        _tried = True
+        if not os.path.exists(_LIB_PATH):
+            _try_build()
+        if not os.path.exists(_LIB_PATH):
+            return None
+        try:
+            lib = ctypes.CDLL(_LIB_PATH)
+        except OSError:
+            return None
+        lib.ip_tiff_info.argtypes = [
+            ctypes.c_char_p, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+            ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+        ]
+        lib.ip_tiff_info.restype = ctypes.c_int
+        lib.ip_tiff_decode.argtypes = [
+            ctypes.c_char_p, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_longlong,
+        ]
+        lib.ip_tiff_decode.restype = ctypes.c_int
+        lib.ip_tiff_error.restype = ctypes.c_char_p
+        _lib = lib
+        return _lib
+
+
+def decode_tiff(path: str, page: int = 0) -> Optional[np.ndarray]:
+    lib = _load()
+    if lib is None:
+        return None
+    h = ctypes.c_int()
+    w = ctypes.c_int()
+    bits = ctypes.c_int()
+    samples = ctypes.c_int()
+    rc = lib.ip_tiff_info(path.encode(), page, ctypes.byref(h),
+                          ctypes.byref(w), ctypes.byref(bits),
+                          ctypes.byref(samples))
+    if rc != 0:
+        return None
+    dtype = np.uint16 if bits.value == 16 else np.uint8
+    shape = ((h.value, w.value) if samples.value == 1
+             else (h.value, w.value, samples.value))
+    out = np.empty(shape, dtype=dtype)
+    buf = out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+    rc = lib.ip_tiff_decode(path.encode(), page, buf, out.nbytes)
+    if rc != 0:
+        return None
+    return out

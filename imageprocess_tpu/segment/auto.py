@@ -1,0 +1,167 @@
+"""Batch automatic cell segmentation — the ROI_auto_drawer replacement.
+
+The reference (src/ROI_auto_drawer.py) runs Cellpose (torch) per image and
+converts label masks to polygon JSONs via cv2 external contours with an
+area >= 20 px filter (:298-310), writing the drawer's ROI JSON format with
+a ``generated_by`` tag (:255-262).
+
+TPU-native default path (BASELINE.json config 3: "automatic
+threshold+morphology segmentation on a multi-cell field of view"): one
+jitted full-frame program — Gaussian smooth, threshold (percentile or
+mu + k*sigma), morphological open/close, hole filling, small-object
+removal, connected components — then the same cv2 polygonization and JSON
+output.  Cellpose remains available as an optional escape hatch when the
+package is importable (it is not part of this environment).
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+from functools import partial
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core import naming, roiio, tiffio
+from ..morphology.binary import binary_dilation, binary_erosion, disk
+from ..morphology.ccl import fill_holes, label, remove_small_objects
+from ..morphology.contours import masks_to_polygons
+from ..ops.percentile import masked_quantile
+from ..ops.view import gaussian_blur
+
+MIN_POLY_AREA = 20.0  # px, ROI_auto_drawer.py:304
+
+
+@dataclass
+class AutoSegConfig:
+    backend: str = "threshold"       # "threshold" | "cellpose"
+    channel: Optional[int] = None    # filename channel filter (None = all)
+    timelapse: bool = False
+    # threshold backend
+    smooth_sigma: float = 2.0
+    thr_mode: str = "percentile"     # "percentile" | "mean_std"
+    thr_percentile: float = 90.0
+    thr_k: float = 2.0
+    open_radius: int = 2
+    close_radius: int = 2
+    min_size_px: int = 200
+    max_labels: int = 1024
+    # cellpose backend
+    diameter: Optional[float] = None
+    model_type: str = "cyto3"
+    use_gpu: bool = False
+    min_poly_area: float = MIN_POLY_AREA
+
+
+@partial(jax.jit, static_argnames=(
+    "smooth_sigma", "thr_mode", "open_radius", "close_radius", "min_size",
+    "max_labels",
+))
+def auto_segment_step(
+    img: jnp.ndarray,
+    thr_p1000: jnp.ndarray,
+    thr_k: jnp.ndarray,
+    *,
+    smooth_sigma: float,
+    thr_mode: str,
+    open_radius: int,
+    close_radius: int,
+    min_size: int,
+    max_labels: int,
+):
+    """Full-frame threshold+morphology segmentation -> (labels, threshold)."""
+    x = img
+    if smooth_sigma > 0:
+        x = gaussian_blur(x, smooth_sigma)
+    finite = jnp.isfinite(x)
+    if thr_mode == "mean_std":
+        nf = jnp.maximum(finite.sum().astype(jnp.float32), 1.0)
+        m = jnp.where(finite, x, 0.0).sum() / nf
+        s = jnp.sqrt(jnp.where(finite, (x - m) ** 2, 0.0).sum() / nf)
+        thr = m + thr_k * s
+    else:
+        thr = masked_quantile(jnp.where(finite, x, jnp.inf), finite, thr_p1000)
+    bw = (x > thr) & finite
+    if open_radius > 0:
+        se = disk(open_radius)
+        bw = binary_dilation(binary_erosion(bw, se, border_true=False), se)
+    if close_radius > 0:
+        se = disk(close_radius)
+        bw = binary_erosion(binary_dilation(bw, se), se, border_true=True)
+    bw = fill_holes(bw)
+    if min_size > 0:
+        bw = remove_small_objects(bw, min_size, connectivity=1)
+    labels = label(bw, connectivity=2, max_labels=max_labels)
+    return labels, thr
+
+
+def auto_segment_frame(img: np.ndarray, cfg: AutoSegConfig) -> List[np.ndarray]:
+    """One frame -> list of [x, y] polygons."""
+    if cfg.backend == "cellpose":
+        return _cellpose_segment(img, cfg)
+    labels, _ = auto_segment_step(
+        jnp.asarray(img, jnp.float32),
+        jnp.int32(int(round(cfg.thr_percentile * 1000))),
+        jnp.float32(cfg.thr_k),
+        smooth_sigma=cfg.smooth_sigma, thr_mode=cfg.thr_mode,
+        open_radius=cfg.open_radius, close_radius=cfg.close_radius,
+        min_size=cfg.min_size_px, max_labels=cfg.max_labels,
+    )
+    return masks_to_polygons(np.asarray(labels), cfg.min_poly_area)
+
+
+def _cellpose_segment(img: np.ndarray, cfg: AutoSegConfig) -> List[np.ndarray]:
+    """Optional Cellpose path (ROI_auto_drawer.py:203-248); requires the
+    cellpose package, which is not bundled in this environment."""
+    try:
+        from cellpose import models  # type: ignore
+    except ImportError as e:  # pragma: no cover
+        raise RuntimeError(
+            "cellpose is not installed; use backend='threshold'"
+        ) from e
+    model_cls = getattr(models, "CellposeModel", None) or models.Cellpose
+    model = model_cls(gpu=cfg.use_gpu, model_type=cfg.model_type)
+    out = model.eval(
+        img, diameter=cfg.diameter,
+        batch_size=4 if cfg.use_gpu else 1, channels=[0, 0],
+    )
+    masks = out[0]
+    return masks_to_polygons(np.asarray(masks), cfg.min_poly_area)
+
+
+def run_auto_drawer(
+    img_dir: str,
+    cfg: AutoSegConfig,
+    roi_dir: Optional[str] = None,
+    log=print,
+) -> List[str]:
+    """Batch loop (ROI_auto_drawer.py:177-273): segment every matching TIFF
+    and write ``roi/S##[_t##].json`` bundles.  Returns written paths."""
+    roi_dir = roi_dir or os.path.join(img_dir, "roi")
+    os.makedirs(roi_dir, exist_ok=True)
+    files = naming.list_tifs(img_dir)
+    written = []
+    for path in files:
+        base = os.path.basename(path)
+        k = naming.parse_tokens(base, cfg.timelapse, naming.ChannelGrammar.KEYWORD)
+        if cfg.channel is not None and k.channel != cfg.channel:
+            continue
+        if k.stage is None:
+            continue
+        tag = naming.clean_base_for_save(base, cfg.timelapse,
+                                         naming.ChannelGrammar.KEYWORD)
+        img = tiffio.read_2d(path)
+        polys = auto_segment_frame(img, cfg)
+        log(f"[auto] {tag}: {len(polys)} ROIs")
+        out = os.path.join(roi_dir, f"{tag}.json")
+        roiio.save_roi_bundle(
+            out, tag, img.shape, polys,
+            generated_by=(f"cellpose:{cfg.model_type}"
+                          if cfg.backend == "cellpose" else
+                          "imageprocess_tpu.auto_threshold"),
+        )
+        written.append(out)
+    return written

@@ -1,0 +1,353 @@
+// Multithreaded TIFF reader with LZW decompression — the native host-side
+// decode tier feeding the TPU pipelines.
+//
+// The reference decodes 16-bit LZW microscopy TIFFs through
+// tifffile-with-PIL-fallback (src/INT/Fluor_INT.py:350-368), single-threaded
+// per file.  Sustaining the >=500 Mpix/s/chip end-to-end target
+// (BASELINE.md) needs strip-parallel native decode: each TIFF strip is an
+// independent LZW stream, so strips fan out across a thread pool.
+//
+// Scope: classic TIFF (little/big endian), grayscale 8/16-bit,
+// compression 1 (none) or 5 (LZW, TIFF variant: 9->12 bit codes with early
+// change), predictor 1 or 2 (horizontal differencing), strip layout,
+// multi-page via the IFD chain.  This covers every file the reference
+// toolkit produces or consumes (2048x1536 u16 LZW minisblack).
+//
+// C ABI (ctypes):
+//   int ip_tiff_info(path, page, *height, *width, *bits_per_sample,
+//                    *samples_per_pixel)           -> 0 ok / negative error
+//   int ip_tiff_decode(path, page, out, out_bytes) -> 0 ok / negative error
+//   const char* ip_tiff_error()                    -> last error string
+
+#include <atomic>
+#include <cstdint>
+#include <cstdio>
+#include <cstring>
+#include <string>
+#include <thread>
+#include <vector>
+
+namespace {
+
+thread_local std::string g_error;
+
+struct Reader {
+    std::vector<uint8_t> data;
+    bool big_endian = false;
+
+    uint16_t u16(size_t off) const {
+        if (off + 2 > data.size()) return 0;
+        return big_endian ? (uint16_t)((data[off] << 8) | data[off + 1])
+                          : (uint16_t)(data[off] | (data[off + 1] << 8));
+    }
+    uint32_t u32(size_t off) const {
+        if (off + 4 > data.size()) return 0;
+        return big_endian
+                   ? ((uint32_t)data[off] << 24) | ((uint32_t)data[off + 1] << 16) |
+                         ((uint32_t)data[off + 2] << 8) | data[off + 3]
+                   : (uint32_t)data[off] | ((uint32_t)data[off + 1] << 8) |
+                         ((uint32_t)data[off + 2] << 16) | ((uint32_t)data[off + 3] << 24);
+    }
+};
+
+struct IFDEntry {
+    uint16_t tag;
+    uint16_t type;
+    uint32_t count;
+    uint32_t value_off;  // raw offset field
+};
+
+struct TiffPage {
+    uint32_t width = 0, height = 0;
+    uint16_t bits = 0, samples = 1, compression = 1, predictor = 1;
+    uint32_t rows_per_strip = 0xFFFFFFFF;
+    std::vector<uint32_t> strip_offsets, strip_counts;
+};
+
+size_t type_size(uint16_t t) {
+    switch (t) {
+        case 1: case 2: case 6: case 7: return 1;
+        case 3: case 8: return 2;
+        case 4: case 9: case 11: return 4;
+        case 5: case 10: case 12: return 8;
+        default: return 0;
+    }
+}
+
+// Read the n-th value of an entry as uint32.
+uint32_t entry_value(const Reader& r, const IFDEntry& e, size_t entry_off,
+                     uint32_t idx) {
+    size_t sz = type_size(e.type);
+    size_t total = sz * e.count;
+    size_t base;
+    if (total <= 4) base = entry_off + 8;  // inline
+    else base = e.value_off;
+    size_t off = base + idx * sz;
+    if (sz == 2) return r.u16(off);
+    if (sz == 4) return r.u32(off);
+    if (sz == 1) return off < r.data.size() ? r.data[off] : 0;
+    return 0;
+}
+
+bool parse_page(const Reader& r, int page, TiffPage* out) {
+    if (r.data.size() < 8) { g_error = "file too small"; return false; }
+    uint32_t ifd_off = r.u32(4);
+    for (int p = 0; p < page; ++p) {
+        uint16_t n = r.u16(ifd_off);
+        uint32_t next = r.u32(ifd_off + 2 + 12u * n);
+        if (next == 0) break;  // clamp to last page (PIL seek behavior)
+        ifd_off = next;
+    }
+    uint16_t n = r.u16(ifd_off);
+    if (n == 0) { g_error = "empty IFD"; return false; }
+    for (uint16_t i = 0; i < n; ++i) {
+        size_t eo = ifd_off + 2 + 12u * i;
+        IFDEntry e{r.u16(eo), r.u16(eo + 2), r.u32(eo + 4), r.u32(eo + 8)};
+        switch (e.tag) {
+            case 256: out->width = entry_value(r, e, eo, 0); break;
+            case 257: out->height = entry_value(r, e, eo, 0); break;
+            case 258: out->bits = (uint16_t)entry_value(r, e, eo, 0); break;
+            case 259: out->compression = (uint16_t)entry_value(r, e, eo, 0); break;
+            case 277: out->samples = (uint16_t)entry_value(r, e, eo, 0); break;
+            case 278: out->rows_per_strip = entry_value(r, e, eo, 0); break;
+            case 317: out->predictor = (uint16_t)entry_value(r, e, eo, 0); break;
+            case 273:
+                out->strip_offsets.resize(e.count);
+                for (uint32_t k = 0; k < e.count; ++k)
+                    out->strip_offsets[k] = entry_value(r, e, eo, k);
+                break;
+            case 279:
+                out->strip_counts.resize(e.count);
+                for (uint32_t k = 0; k < e.count; ++k)
+                    out->strip_counts[k] = entry_value(r, e, eo, k);
+                break;
+            default: break;
+        }
+    }
+    if (!out->width || !out->height || out->strip_offsets.empty()) {
+        g_error = "missing required tags";
+        return false;
+    }
+    if (out->bits == 0) out->bits = 1;
+    if (out->rows_per_strip == 0) out->rows_per_strip = out->height;
+    return true;
+}
+
+// TIFF-variant LZW decode (9..12-bit codes, early change).
+bool lzw_decode(const uint8_t* src, size_t src_len, uint8_t* dst,
+                size_t dst_len) {
+    constexpr int kClear = 256, kEoi = 257, kFirstFree = 258, kMaxCode = 4096;
+    // table: for each code, (previous code, appended byte, first byte, length)
+    static thread_local std::vector<int32_t> prev;
+    static thread_local std::vector<uint8_t> last;
+    static thread_local std::vector<uint8_t> first;
+    static thread_local std::vector<uint32_t> len;
+    prev.assign(kMaxCode, -1);
+    last.assign(kMaxCode, 0);
+    first.assign(kMaxCode, 0);
+    len.assign(kMaxCode, 0);
+    for (int i = 0; i < 256; ++i) {
+        last[i] = (uint8_t)i;
+        first[i] = (uint8_t)i;
+        len[i] = 1;
+    }
+
+    int next_code = kFirstFree, code_bits = 9;
+    uint32_t bitbuf = 0;
+    int bitcnt = 0;
+    size_t si = 0, di = 0;
+    int prev_code = -1;
+
+    auto emit = [&](int code) -> bool {
+        uint32_t l = len[code];
+        if (di + l > dst_len) l = (uint32_t)(dst_len - di);
+        size_t end = di + len[code];
+        size_t w = end;
+        int c = code;
+        // write backwards
+        while (c >= 0 && w > di) {
+            --w;
+            if (w < dst_len) dst[w] = last[c];
+            c = prev[c];
+        }
+        di = end < dst_len ? end : dst_len;
+        return true;
+    };
+
+    while (si < src_len || bitcnt >= code_bits) {
+        while (bitcnt < code_bits && si < src_len) {
+            bitbuf = (bitbuf << 8) | src[si++];
+            bitcnt += 8;
+        }
+        if (bitcnt < code_bits) break;
+        int code = (int)((bitbuf >> (bitcnt - code_bits)) & ((1u << code_bits) - 1));
+        bitcnt -= code_bits;
+
+        if (code == kEoi) break;
+        if (code == kClear) {
+            next_code = kFirstFree;
+            code_bits = 9;
+            prev_code = -1;
+            continue;
+        }
+        if (prev_code < 0) {
+            if (code >= 256) { g_error = "bad first LZW code"; return false; }
+            emit(code);
+            prev_code = code;
+        } else {
+            int new_entry = next_code;
+            if (new_entry < kMaxCode) {
+                prev[new_entry] = prev_code;
+                len[new_entry] = len[prev_code] + 1;
+                first[new_entry] = first[prev_code];
+            }
+            if (code < new_entry) {
+                if (new_entry < kMaxCode) last[new_entry] = first[code];
+                emit(code);
+            } else if (code == new_entry && new_entry < kMaxCode) {
+                last[new_entry] = first[prev_code];
+                emit(code);
+            } else {
+                g_error = "bad LZW code";
+                return false;
+            }
+            ++next_code;
+            // TIFF early change: bump width one code early
+            if (next_code == (1 << code_bits) - 1 && code_bits < 12) ++code_bits;
+            prev_code = code;
+        }
+        if (di >= dst_len) break;
+    }
+    return true;
+}
+
+void undo_predictor(uint8_t* row, uint32_t width, uint16_t bits,
+                    uint16_t samples) {
+    if (bits == 8) {
+        for (uint32_t i = samples; i < width * samples; ++i)
+            row[i] = (uint8_t)(row[i] + row[i - samples]);
+    } else if (bits == 16) {
+        uint16_t* r16 = reinterpret_cast<uint16_t*>(row);
+        for (uint32_t i = samples; i < width * samples; ++i)
+            r16[i] = (uint16_t)(r16[i] + r16[i - samples]);
+    }
+}
+
+bool load_file(const char* path, Reader* r) {
+    FILE* f = std::fopen(path, "rb");
+    if (!f) { g_error = "cannot open file"; return false; }
+    std::fseek(f, 0, SEEK_END);
+    long sz = std::ftell(f);
+    std::fseek(f, 0, SEEK_SET);
+    r->data.resize((size_t)sz);
+    size_t got = std::fread(r->data.data(), 1, (size_t)sz, f);
+    std::fclose(f);
+    if (got != (size_t)sz) { g_error = "short read"; return false; }
+    if (sz < 8) { g_error = "not a TIFF"; return false; }
+    if (r->data[0] == 'I' && r->data[1] == 'I') r->big_endian = false;
+    else if (r->data[0] == 'M' && r->data[1] == 'M') r->big_endian = true;
+    else { g_error = "not a TIFF"; return false; }
+    if (r->u16(2) != 42) { g_error = "not classic TIFF"; return false; }
+    return true;
+}
+
+}  // namespace
+
+extern "C" {
+
+const char* ip_tiff_error() { return g_error.c_str(); }
+
+int ip_tiff_info(const char* path, int page, int* height, int* width,
+                 int* bits_per_sample, int* samples_per_pixel) {
+    Reader r;
+    if (!load_file(path, &r)) return -1;
+    TiffPage pg;
+    if (!parse_page(r, page, &pg)) return -2;
+    if (pg.compression != 1 && pg.compression != 5) {
+        g_error = "unsupported compression";
+        return -3;
+    }
+    if (pg.bits != 8 && pg.bits != 16) {
+        g_error = "unsupported bit depth";
+        return -4;
+    }
+    *height = (int)pg.height;
+    *width = (int)pg.width;
+    *bits_per_sample = (int)pg.bits;
+    *samples_per_pixel = (int)pg.samples;
+    return 0;
+}
+
+int ip_tiff_decode(const char* path, int page, uint8_t* out,
+                   long long out_bytes) {
+    Reader r;
+    if (!load_file(path, &r)) return -1;
+    TiffPage pg;
+    if (!parse_page(r, page, &pg)) return -2;
+    if (pg.compression != 1 && pg.compression != 5) {
+        g_error = "unsupported compression";
+        return -3;
+    }
+    if (pg.bits != 8 && pg.bits != 16) {
+        g_error = "unsupported bit depth";
+        return -4;
+    }
+    size_t bytes_per_px = (pg.bits / 8) * pg.samples;
+    size_t row_bytes = (size_t)pg.width * bytes_per_px;
+    size_t need = row_bytes * pg.height;
+    if ((long long)need > out_bytes) { g_error = "output buffer too small"; return -5; }
+
+    size_t n_strips = pg.strip_offsets.size();
+    std::atomic<int> rc{0};
+    unsigned hw = std::thread::hardware_concurrency();
+    size_t n_threads = hw ? (hw < n_strips ? hw : n_strips) : 1;
+    if (n_threads == 0) n_threads = 1;
+
+    auto work = [&](size_t tid) {
+        for (size_t s = tid; s < n_strips; s += n_threads) {
+            uint32_t row0 = (uint32_t)(s * pg.rows_per_strip);
+            if (row0 >= pg.height) continue;
+            uint32_t rows = pg.rows_per_strip;
+            if (row0 + rows > pg.height) rows = pg.height - row0;
+            size_t strip_bytes = row_bytes * rows;
+            uint8_t* dst = out + row_bytes * row0;
+            uint32_t off = pg.strip_offsets[s];
+            uint32_t cnt = s < pg.strip_counts.size() ? pg.strip_counts[s]
+                                                      : (uint32_t)strip_bytes;
+            if ((size_t)off + cnt > r.data.size()) { rc = -6; return; }
+            if (pg.compression == 1) {
+                size_t c = cnt < strip_bytes ? cnt : strip_bytes;
+                std::memcpy(dst, r.data.data() + off, c);
+            } else {
+                if (!lzw_decode(r.data.data() + off, cnt, dst, strip_bytes)) {
+                    rc = -7;
+                    return;
+                }
+            }
+            // byte order fix for 16-bit big-endian files
+            if (pg.bits == 16 && r.big_endian) {
+                for (size_t i = 0; i + 1 < strip_bytes; i += 2) {
+                    uint8_t t = dst[i];
+                    dst[i] = dst[i + 1];
+                    dst[i + 1] = t;
+                }
+            }
+            if (pg.predictor == 2) {
+                for (uint32_t rr = 0; rr < rows; ++rr)
+                    undo_predictor(dst + row_bytes * rr, pg.width, pg.bits,
+                                   pg.samples);
+            }
+        }
+    };
+
+    if (n_threads == 1) {
+        work(0);
+    } else {
+        std::vector<std::thread> pool;
+        for (size_t t = 0; t < n_threads; ++t) pool.emplace_back(work, t);
+        for (auto& th : pool) th.join();
+    }
+    return rc.load();
+}
+
+}  // extern "C"

@@ -1,0 +1,143 @@
+"""Segmentation tests: in-polygon drawer core vs a numpy/scipy oracle,
+full-frame auto drawer, bundle persistence, view ops."""
+
+import os
+
+import numpy as np
+import pytest
+import scipy.ndimage as ndi
+
+from imageprocess_tpu.core import roiio, tiffio
+from imageprocess_tpu.geom.rasterize import rasterize_polygon_np
+from imageprocess_tpu.segment import (
+    AutoSegConfig, auto_segment_frame, run_auto_drawer, segment_inside_polygon,
+)
+from imageprocess_tpu.segment.drawer import (
+    RefineConfig, refine_and_save, save_drawer_bundle,
+)
+
+
+def _blob_image(seed=0, shape=(200, 260)):
+    rng = np.random.default_rng(seed)
+    H, W = shape
+    img = rng.normal(100, 10, shape).astype(np.float32)
+    yy, xx = np.mgrid[0:H, 0:W]
+    img += 1000.0 * np.exp(-((yy - 90) ** 2 + (xx - 120) ** 2) / (2 * 25 ** 2))
+    img += 800.0 * np.exp(-((yy - 60) ** 2 + (xx - 200) ** 2) / (2 * 12 ** 2))
+    return img
+
+
+def _ref_segment(img, poly, thr_param, mode):
+    """roi_manual_drawer.py:337-418 with numpy/scipy; mask returned in
+    full-frame coordinates."""
+    from matplotlib.path import Path as MplPath
+
+    H, W = img.shape
+    p = np.asarray(poly, float)
+    min_x = max(0, int(np.floor(p[:, 0].min())))
+    max_x = min(W, int(np.ceil(p[:, 0].max())))
+    min_y = max(0, int(np.floor(p[:, 1].min())))
+    max_y = min(H, int(np.ceil(p[:, 1].max())))
+    sub = img[min_y:max_y, min_x:max_x]
+    sh, sw = sub.shape
+    yy, xx = np.mgrid[0:sh, 0:sw]
+    pts = np.vstack((xx.ravel(), yy.ravel())).T
+    inside = MplPath(p - [min_x, min_y]).contains_points(pts).reshape(sh, sw)
+    vals = sub[inside]
+    if mode == "bnd":
+        m, s = float(np.nanmean(vals)), float(np.nanstd(vals))
+        thr = float(np.percentile(vals, 90.0)) if s <= 0 else m + thr_param * s
+    else:
+        thr = float(np.percentile(vals, thr_param))
+    cand = (sub >= thr) & inside
+    lab, n = ndi.label(cand)
+    if n == 0:
+        return thr, None
+    sizes = ndi.sum(cand, lab, index=np.arange(1, n + 1))
+    mask = ndi.binary_fill_holes(lab == (int(np.argmax(sizes)) + 1))
+    full = np.zeros((H, W), bool)
+    full[min_y:max_y, min_x:max_x] = mask
+    return thr, full
+
+
+@pytest.mark.parametrize("mode,param", [("percentile", 90.0),
+                                        ("percentile", 75.0), ("bnd", 2.0)])
+def test_segment_inside_polygon_threshold_and_mask(mode, param):
+    img = _blob_image()
+    poly = np.array([[70, 40], [180, 45], [175, 140], [65, 135]], float)
+    thr, _, best = segment_inside_polygon(img, poly, thr_param=param,
+                                          min_area=20, tolerance=0.5, mode=mode)
+    ref_thr, ref_mask = _ref_segment(img, poly, param, mode)
+    assert abs(thr - ref_thr) / max(abs(ref_thr), 1e-9) < 1e-4
+    assert best is not None and len(best) >= 3
+    # the simplified contour encloses approximately the oracle component
+    mask_from_poly = rasterize_polygon_np(best, img.shape)
+    inter = (mask_from_poly & ref_mask).sum()
+    union = (mask_from_poly | ref_mask).sum()
+    assert inter / union > 0.85  # IoU, DP-simplification tolerance
+
+
+def test_segment_inside_polygon_degenerate():
+    img = _blob_image()
+    poly = np.array([[500, 500], [510, 500], [505, 510]], float)  # outside
+    thr, _, best = segment_inside_polygon(img, poly)
+    assert thr is None and best is None
+
+
+def test_auto_segment_frame_finds_blobs():
+    img = _blob_image()
+    cfg = AutoSegConfig(thr_mode="mean_std", thr_k=3.0, smooth_sigma=1.5,
+                        open_radius=1, close_radius=1, min_size_px=50)
+    polys = auto_segment_frame(img, cfg)
+    assert 1 <= len(polys) <= 3
+    for p in polys:
+        assert p.shape[1] == 2 and len(p) >= 3
+
+
+def test_run_auto_drawer_writes_json(tmp_path):
+    img = _blob_image()
+    tiffio.write_tiff16(str(tmp_path / "S01_1.TIF"),
+                        np.clip(img, 0, 65535).astype(np.uint16))
+    cfg = AutoSegConfig(thr_mode="mean_std", thr_k=3.0, min_size_px=50,
+                        channel=1)
+    written = run_auto_drawer(str(tmp_path), cfg, log=lambda *_: None)
+    assert len(written) == 1
+    bundle = roiio.load_roi_bundle(written[0])
+    assert bundle["generated_by"] == "imageprocess_tpu.auto_threshold"
+    assert bundle["image_shape"] == {"height": 200, "width": 260}
+    assert len(bundle["rois"]) >= 1
+
+
+def test_save_drawer_bundle_outputs(tmp_path):
+    img = _blob_image()
+    rois = [np.array([[70, 40], [180, 45], [175, 140], [65, 135]], float)]
+    roi_dir = str(tmp_path / "roi")
+    jp, mp, pp, zp = save_drawer_bundle(roi_dir, "S01", rois, img,
+                                        log=lambda *_: None)
+    assert all(os.path.exists(p) for p in (jp, mp, pp, zp))
+    mask = np.array(__import__("PIL.Image", fromlist=["Image"]).open(mp))
+    assert mask.dtype == np.uint8 and set(np.unique(mask)) <= {0, 255}
+    loaded = roiio.load_imagej_roi_zip(zp)
+    assert len(loaded) == 1
+    assert np.allclose(loaded[0], np.round(rois[0]))
+
+
+def test_refine_and_save_roundtrip(tmp_path):
+    img = _blob_image()
+    tiffio.write_tiff16(str(tmp_path / "S01_1.TIF"),
+                        np.clip(img, 0, 65535).astype(np.uint16))
+    roi_dir = tmp_path / "roi"
+    roi_dir.mkdir()
+    rough = [np.array([[70, 40], [180, 45], [175, 140], [65, 135]], float)]
+    roiio.save_roi_bundle(str(roi_dir / "S01.json"), "S01", img.shape, rough)
+    cfg = RefineConfig(thr_param=90.0, min_area=20)
+    written = refine_and_save(str(tmp_path), cfg, log=lambda *_: None)
+    assert written
+    refined = roiio.load_roi_polygons(str(roi_dir / "S01.json"))
+    assert len(refined) == 1
+    # refined polygon hugs the bright blob, smaller than the rough box
+    from imageprocess_tpu.geom.polygon import shoelace_area
+    assert shoelace_area(refined[0]) < shoelace_area(rough[0])
+    assert (roi_dir / "mask" / "S01_mask.tif").exists()
+    assert (roi_dir / "overlay" / "S01_overlay.png").exists()
+    assert (roi_dir / "zip" / "S01.zip").exists()
