@@ -1,0 +1,180 @@
+"""Interactive ROI annotator (matplotlib) — the roi_manual_drawer GUI.
+
+Reference behavior (src/roi_manual_drawer.py:667-1276 ``ROIAnnotator`` /
+``ROIAnnotatorCH``): draw a rough polygon ('p' + PolygonSelector), the core
+auto-segments the brightest object inside it (threshold percentile / BND
+mode), accept or retry with a new threshold, manage ROIs (delete last 'd',
+clear 'c'), cycle channels (Tab), toggle view filters (invert 'i', gamma
+'g'/'G', CLAHE 'e', bandpass 'b'), and save the full bundle on close
+(JSON + mask + overlay + ImageJ zip).
+
+Device work (view filters, in-polygon segmentation) runs through the same
+jitted ops as the batch pipelines; matplotlib only displays.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from ..core import naming, tiffio
+from ..segment.autoseg import segment_inside_polygon
+from ..segment.drawer import DEFAULT_VIEW_PARAMS, apply_view_and_color, save_drawer_bundle
+
+
+class ROIAnnotator:
+    """One (stage, time) task with channel cycling."""
+
+    def __init__(self, channel_map: Dict[int, str], base_S_t: str,
+                 roi_dir: str, thr_param: float = 90.0, min_area: float = 40.0,
+                 tolerance: float = 1.0, mode: str = "percentile",
+                 view_params: Optional[dict] = None, log=print):
+        self.channel_map = dict(sorted(channel_map.items()))
+        self.channels = list(self.channel_map)
+        self.ch_idx = 0
+        self.base = base_S_t
+        self.roi_dir = roi_dir
+        self.thr_param = thr_param
+        self.min_area = min_area
+        self.tolerance = tolerance
+        self.mode = mode
+        self.view = dict(view_params or DEFAULT_VIEW_PARAMS)
+        self.rois: List[np.ndarray] = []
+        self.log = log
+        self._images: Dict[int, np.ndarray] = {}
+        self._fig = None
+        self._ax = None
+        self._im = None
+        self._selector = None
+
+    # --- data ---------------------------------------------------------------
+
+    @property
+    def channel(self) -> int:
+        return self.channels[self.ch_idx]
+
+    @property
+    def image(self) -> np.ndarray:
+        ch = self.channel
+        if ch not in self._images:
+            self._images[ch] = tiffio.read_2d(self.channel_map[ch])
+        return self._images[ch]
+
+    # --- core actions (UI-independent, unit-testable) ----------------------
+
+    def add_rough_polygon(self, verts) -> Optional[np.ndarray]:
+        """PolygonSelector callback: refine the rough polygon and stage it."""
+        poly = np.asarray(verts, float)
+        if poly.shape[0] < 3:
+            return None
+        thr, _, best = segment_inside_polygon(
+            self.image, poly, thr_param=self.thr_param,
+            min_area=self.min_area, tolerance=self.tolerance, mode=self.mode,
+        )
+        chosen = best if best is not None else poly
+        self.rois.append(chosen)
+        self.log(f"  ROI {len(self.rois)}: thr={thr}, "
+                 f"{'auto' if best is not None else 'rough'} "
+                 f"({len(chosen)} vertices)")
+        return chosen
+
+    def delete_last(self) -> None:
+        if self.rois:
+            self.rois.pop()
+
+    def clear(self) -> None:
+        self.rois.clear()
+
+    def cycle_channel(self, step: int = 1) -> int:
+        self.ch_idx = (self.ch_idx + step) % len(self.channels)
+        return self.channel
+
+    def rendered(self) -> np.ndarray:
+        return apply_view_and_color(self.image, self.view)
+
+    def save(self) -> None:
+        vp = dict(self.view)
+        vp["last_channel"] = self.channel
+        save_drawer_bundle(self.roi_dir, self.base, self.rois, self.image,
+                           view_params=vp, log=self.log)
+
+    # --- matplotlib UI ------------------------------------------------------
+
+    def show(self) -> None:  # pragma: no cover - needs a display
+        import matplotlib.pyplot as plt
+        from matplotlib.widgets import PolygonSelector
+
+        self._fig, self._ax = plt.subplots(figsize=(10, 8))
+        self._im = self._ax.imshow(self.rendered())
+        self._ax.set_title(self._title())
+        self._fig.canvas.mpl_connect("key_press_event", self._on_key)
+
+        def on_select(verts):
+            self.add_rough_polygon(verts)
+            self._selector.disconnect_events()
+            self._selector = None
+            self._redraw()
+
+        def start_polygon():
+            self._selector = PolygonSelector(self._ax, on_select)
+
+        self._start_polygon = start_polygon
+        plt.show()
+        self.save()
+
+    def _title(self):
+        return (f"{self.base} ch{self.channel} — p: draw, d: delete last, "
+                f"c: clear, Tab: channel, i/g/G: view, q: save & close")
+
+    def _on_key(self, event):  # pragma: no cover - needs a display
+        if event.key == "p":
+            self._start_polygon()
+        elif event.key == "d":
+            self.delete_last()
+            self._redraw()
+        elif event.key == "c":
+            self.clear()
+            self._redraw()
+        elif event.key == "tab":
+            self.cycle_channel()
+            self._redraw()
+        elif event.key == "i":
+            self.view["invert"] = not self.view.get("invert", False)
+            self._redraw()
+        elif event.key == "g":
+            self.view["gamma"] = max(0.2, self.view.get("gamma", 1.0) - 0.1)
+            self._redraw()
+        elif event.key == "G":
+            self.view["gamma"] = min(5.0, self.view.get("gamma", 1.0) + 0.1)
+            self._redraw()
+        elif event.key == "q":
+            import matplotlib.pyplot as plt
+
+            plt.close(self._fig)
+
+    def _redraw(self):  # pragma: no cover - needs a display
+        self._im.set_data(self.rendered())
+        for ln in list(self._ax.lines):
+            ln.remove()
+        for i, poly in enumerate(self.rois, 1):
+            P = np.asarray(poly)
+            self._ax.plot(np.r_[P[:, 0], P[0, 0]], np.r_[P[:, 1], P[0, 1]],
+                          color="lime", lw=1.5)
+            self._ax.text(P[:, 0].mean(), P[:, 1].mean(), str(i), color="yellow")
+        self._ax.set_title(self._title())
+        self._fig.canvas.draw_idle()
+
+
+def main(img_dir: str, timelapse: bool = False, log=print) -> None:
+    """Startup flow (roi_manual_drawer.py:1375-1433): group TIFFs by
+    (stage, time), one annotator per task."""
+    files = naming.list_tifs(img_dir)
+    keymap = naming.build_keymap(files, timelapse,
+                                 naming.ChannelGrammar.KEYWORD)
+    roi_dir = os.path.join(img_dir, "roi")
+    for (s, t_code), chmap in keymap.items():
+        base = s if t_code is None else f"{s}_{t_code}"
+        log(f"[task] {base}: channels {sorted(chmap)}")
+        ROIAnnotator(chmap, base, roi_dir, log=log).show()

@@ -196,7 +196,8 @@ def _dispatch(args, log) -> int:
             clip_neg=not args.no_clip_neg, channel_colors=colors,
             do_tif=args.tif, do_png=args.png, px_um=args.px_um,
         )
-        rows = run_intensity(args.folder, cfg, out_root=args.out, log=log)
+        rows = run_intensity(args.folder, cfg, out_root=args.out, log=log,
+                             run_log=True, progress=True)
         log(i18n.t("progress").format(done=len(rows), total=len(rows)))
         return 0
 

@@ -281,6 +281,86 @@ def run_fa_batch(
     return results
 
 
+def restore_cell_settings(out_root: str, s_tag: str) -> Dict[int, dict]:
+    """Per-cell parameter overrides recovered from a previous run's
+    ``individual_results/{s_tag}_results.csv`` — the reference's
+    outputs-as-checkpoints resume mechanism (FA_Analyzer.py:572-608).
+    Returns {cell_idx0: settings dict}."""
+    indiv = os.path.join(out_root, "individual_results", f"{s_tag}_results.csv")
+    out: Dict[int, dict] = {}
+    if not os.path.exists(indiv):
+        return out
+    try:
+        df = pd.read_csv(indiv)
+    except Exception:
+        return out
+    if df.empty or "Used_Alpha" not in df.columns:
+        return out
+    for _, row in df.drop_duplicates(subset=["Cell_ID"]).iterrows():
+        out[int(row["Cell_ID"]) - 1] = {
+            "alpha": float(row["Used_Alpha"]),
+            "min_area_um": float(row.get("Min_Area_Setting", 1.5)),
+            "max_area_um": float(row.get("Max_Area_Setting", 30.0)),
+            "close_radius": int(row.get("Close_Radius_Setting", 1)),
+            "subtract_bg": bool(row.get("Subtract_BG_Setting", True)),
+        }
+    return out
+
+
+def export_fa_crops(
+    img_dir: str,
+    roi_dir: str,
+    out_root: str,
+    cfg: FaConfig,
+    cmap: str = "jet",
+    sb_on: bool = True,
+    sb_len_um: float = 10.0,
+    dpi: int = 300,
+    log=print,
+) -> List[str]:
+    """Per-cell FA-mask crop PNGs under ``crops_export/<s_tag>/Cell_N.png``
+    (FA_Analyzer.py ExportDialog, :1119-1279 + save_crop_colormap :213-264)."""
+    from ..report.render import save_fa_crop_colormap
+
+    out_dir = os.path.join(out_root, "crops_export")
+    pairs = list_fa_pairs(img_dir, roi_dir, cfg.channel)
+    written: List[str] = []
+    for img_path, json_path, s_tag in pairs:
+        img = tiffio.read_2d(img_path, squeeze="smallest_axis")
+        rois = _load_rois(json_path)
+        _, thr, bg, extras = analyze_image(img, rois, cfg)
+        if not extras:
+            continue
+        labels = extras["labels"]
+        offs = extras["offsets"]
+        tile = extras["tile"]
+        file_dir = os.path.join(out_dir, s_tag)
+        os.makedirs(file_dir, exist_ok=True)
+        H, W = img.shape
+        for i, roi_poly in enumerate(rois):
+            xs, ys = roi_poly[:, 0], roi_poly[:, 1]
+            x0 = max(0, int(np.floor(xs.min())) - 5)
+            x1 = min(W, int(np.ceil(xs.max())) + 5)
+            y0 = max(0, int(np.floor(ys.min())) - 5)
+            y1 = min(H, int(np.ceil(ys.max())) + 5)
+            img_crop = img[y0:y1, x0:x1]
+            # the FA mask for this cell, re-windowed from its tile
+            oy, ox = offs[i]
+            bw_tile = labels[i] > 0
+            bw = np.zeros((H, W), bool)
+            bw[oy:oy + tile, ox:ox + tile] = bw_tile
+            path = os.path.join(file_dir, f"Cell_{i + 1}.png")
+            save_fa_crop_colormap(
+                img_crop, bw[y0:y1, x0:x1],
+                roi_poly - np.array([x0, y0], float), path,
+                cmap_name=cmap, sb_on=sb_on, sb_len_um=sb_len_um,
+                px_size=cfg.px_size, out_dpi=dpi,
+            )
+            written.append(path)
+        log(f"[export] {s_tag}: {len(rois)} cells")
+    return written
+
+
 def merge_fa_report(out_root: str, name: str = "FA_Results_Master.xlsx",
                     log=print) -> Optional[pd.DataFrame]:
     """File_Summary / Cell_Summary / All_Data master workbook

@@ -330,6 +330,8 @@ def run_intensity(
     out_root: Optional[str] = None,
     log=print,
     prefetch_workers: int = 8,
+    run_log: bool = False,
+    progress: bool = False,
 ) -> List[dict]:
     """Run the intensity workload over an experiment *folder*.
 
@@ -338,7 +340,12 @@ def run_intensity(
     then write the per-ROI report under ``RES/``.  TIFF decode runs in a
     thread pool *prefetch_workers* wide, overlapped with device compute
     (the TPU-side replacement for the reference's process pool).
+
+    ``run_log=True`` appends to ``RES/logs/run_<ts>.txt`` with
+    [START]/[END] stamps; ``progress=True`` reports ROI-weighted progress
+    with an ETA (reference L8, Fluor_INT.py:679-724, 2131-2138, 2285-2319).
     """
+    from ..core.runlog import Progress, RunLogger
     from ..parallel.runner import PrefetchLoader
     from ..report.excel import save_intensity_excel
     from ..report import render
@@ -348,6 +355,21 @@ def run_intensity(
     roi_dir = os.path.join(folder, "roi")
     out_root = out_root or os.path.join(folder, "RES")
 
+    logger = log
+    if run_log:
+        logger = RunLogger(os.path.join(out_root, "logs"), echo=log)
+
+    prog = None
+    if progress:
+        total = 0
+        for key, chmap in keymap.items():
+            any_path = next(iter(chmap.values()))
+            base = naming.find_roi_basepath(
+                roi_dir, os.path.basename(any_path), cfg.timelapse, cfg.grammar
+            )
+            total += max(1, roiio.count_rois(base))
+        prog = Progress(total, log=logger)
+
     items = list(keymap.items())
     loader = PrefetchLoader(
         lambda kv: (kv[0], kv[1], load_key(kv[0], kv[1], roi_dir, cfg)),
@@ -355,17 +377,24 @@ def run_intensity(
         workers=max(1, prefetch_workers),
     )
     rows_all: List[dict] = []
-    for key, chmap, loaded in loader:
-        rows, logs, extras = process_key(key, chmap, roi_dir, cfg, loaded=loaded)
-        rows_all.extend(rows)
-        for line in logs:
-            log(line)
-        if extras is not None and (cfg.do_tif or cfg.do_png):
-            render.save_intensity_images(extras, cfg, out_root)
+    try:
+        for key, chmap, loaded in loader:
+            rows, logs, extras = process_key(key, chmap, roi_dir, cfg,
+                                             loaded=loaded)
+            rows_all.extend(rows)
+            for line in logs:
+                logger(line)
+            if prog is not None:
+                prog.step(max(1, len(rows)), label=str(key[0]))
+            if extras is not None and (cfg.do_tif or cfg.do_png):
+                render.save_intensity_images(extras, cfg, out_root)
 
-    if cfg.do_xls and rows_all:
-        xls_dir = os.path.join(out_root, "xls")
-        os.makedirs(xls_dir, exist_ok=True)
-        save_intensity_excel(rows_all, keymap, xls_dir)
-        log(f"[SAVED] {xls_dir}")
+        if cfg.do_xls and rows_all:
+            xls_dir = os.path.join(out_root, "xls")
+            os.makedirs(xls_dir, exist_ok=True)
+            save_intensity_excel(rows_all, keymap, xls_dir)
+            logger(f"[SAVED] {xls_dir}")
+    finally:
+        if run_log:
+            logger.close()
     return rows_all

@@ -471,6 +471,67 @@ def save_nesprin2_images(tag, suffix, R_full, rim, I, polys, cfg, dirs, eps,
             )
 
 
+def save_fa_crop_colormap(img_crop, mask, roi_poly_crop, out_path,
+                          cmap_name="jet", show_cbar=True,
+                          vmin=None, vmax=None, sb_on=False, sb_len_um=20,
+                          sb_text=True, sb_font=10, px_size=0.112,
+                          out_w=500, out_h=500, out_dpi=600,
+                          roi_lw=0.5, roi_color="gray"):
+    """FA crop export: FA-mask-only colormap view with dashed ROI outline
+    and inset colorbar (FA_Analyzer.py:213-264)."""
+    fig = plt.figure(figsize=(out_w / out_dpi, out_h / out_dpi), dpi=out_dpi)
+    fig.patch.set_facecolor("black")
+    ax = fig.add_axes([0, 0, 1, 1])
+    ax.set_facecolor("black")
+    masked = np.ma.array(img_crop, mask=~mask)
+    if vmin is None or vmax is None:
+        valid = img_crop[mask]
+        alo, ahi = ((np.percentile(valid, 1), np.percentile(valid, 99))
+                    if valid.size else (0, 1))
+        vmin = alo if vmin is None else vmin
+        vmax = ahi if vmax is None else vmax
+    low = cmap_name.lower()
+    if low in ("blue", "cyan", "green", "yellow", "red", "magenta"):
+        cmap = LinearSegmentedColormap.from_list(f"custom_{low}", ["black", low])
+    elif low == "grayscale":
+        cmap = plt.get_cmap("gray").copy()
+    else:
+        try:
+            cmap = plt.get_cmap(cmap_name).copy()
+        except ValueError:
+            cmap = plt.get_cmap("jet").copy()
+    cmap.set_bad(color="black")
+    im = ax.imshow(masked, cmap=cmap, vmin=vmin, vmax=vmax, aspect="equal")
+    P = np.asarray(roi_poly_crop)
+    ax.plot(P[:, 0], P[:, 1], linestyle="--", linewidth=roi_lw,
+            color=roi_color, alpha=0.8)
+    if sb_on and px_size > 0:
+        bar_px = sb_len_um / px_size
+        h, w = img_crop.shape
+        if bar_px < w:
+            mx, my = int(w * 0.05), int(h * 0.05)
+            x_end = w - mx
+            ax.plot([x_end - bar_px, x_end], [h - my, h - my], color="white",
+                    linewidth=3)
+            if sb_text:
+                ax.text(x_end - bar_px / 2, h - my - max(10, int(0.02 * h)),
+                        f"{int(sb_len_um)} µm", color="white", ha="center",
+                        va="bottom", fontsize=sb_font, fontweight="bold")
+    ax.axis("off")
+    if show_cbar:
+        from mpl_toolkits.axes_grid1.inset_locator import inset_axes
+
+        cax = inset_axes(ax, width="3%", height="40%", loc="center right",
+                         borderpad=1)
+        cbar = plt.colorbar(im, cax=cax, orientation="vertical")
+        cbar.ax.yaxis.set_tick_params(color="white", labelcolor="white",
+                                      labelsize=8)
+        cbar.outline.set_edgecolor("white")
+    os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
+    fig.savefig(out_path, facecolor="black", edgecolor="none", dpi=out_dpi)
+    plt.close(fig)
+
+
 def save_morphology_images(img, polys, mets, tag, cfg,
                            png_full_dir, png_crop_dir) -> None:
     """MOR_by_ROI overlay PNGs: full frame with numbered cyan outlines +

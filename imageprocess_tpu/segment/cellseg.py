@@ -1,0 +1,82 @@
+"""Learned full-frame cell segmentation: tiled U-Net inference.
+
+The Cellpose-replacement inference path: frames are normalized (1-99
+percentile stretch like Cellpose), cut into overlapping tiles sized for the
+network, batched through the jitted forward pass, recomposed with feathered
+overlap, thresholded and instance-separated with the device CCL
+(morphology.ccl).  Polygons come out via the same cv2 external-contour
+conversion as the reference (src/ROI_auto_drawer.py:298-310).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..morphology.ccl import label, remove_small_objects
+from ..morphology.contours import masks_to_polygons
+from ..ops.view import stretch_view
+
+
+@partial(jax.jit, static_argnames=("apply_fn",))
+def _forward(apply_fn, params, tiles):
+    return apply_fn(params, tiles)
+
+
+def segment_frame_unet(
+    img: np.ndarray,
+    apply_fn,
+    params,
+    tile: int = 256,
+    overlap: int = 32,
+    prob_threshold: float = 0.5,
+    min_size_px: int = 100,
+    max_labels: int = 1024,
+    min_poly_area: float = 20.0,
+) -> List[np.ndarray]:
+    """Full frame -> instance polygons via tiled U-Net inference."""
+    H, W = img.shape
+    x = np.asarray(
+        stretch_view(jnp.asarray(img, jnp.float32), jnp.int32(1000),
+                     jnp.int32(99000), jnp.float32(1.0), jnp.int32(0))
+    )
+    stride = tile - 2 * overlap
+    ys = list(range(0, max(H - tile, 0) + 1, stride)) or [0]
+    xs = list(range(0, max(W - tile, 0) + 1, stride)) or [0]
+    if ys[-1] + tile < H:
+        ys.append(H - tile)
+    if xs[-1] + tile < W:
+        xs.append(W - tile)
+
+    pad_h = max(0, tile - H)
+    pad_w = max(0, tile - W)
+    if pad_h or pad_w:
+        x = np.pad(x, ((0, pad_h), (0, pad_w)), mode="reflect")
+
+    tiles = np.stack([
+        x[y:y + tile, xx:xx + tile] for y in ys for xx in xs
+    ])[..., None]
+    out = np.asarray(_forward(apply_fn, params, jnp.asarray(tiles)))
+    prob = 1.0 / (1.0 + np.exp(-out[..., 0]))
+
+    acc = np.zeros((H + pad_h, W + pad_w), np.float32)
+    wacc = np.zeros_like(acc)
+    wy = np.minimum(np.arange(tile) + 1, np.arange(tile)[::-1] + 1)
+    wtile = np.minimum.outer(wy, wy).astype(np.float32)
+    k = 0
+    for y in ys:
+        for xx in xs:
+            acc[y:y + tile, xx:xx + tile] += prob[k] * wtile
+            wacc[y:y + tile, xx:xx + tile] += wtile
+            k += 1
+    prob_full = (acc / np.maximum(wacc, 1e-6))[:H, :W]
+
+    bw = jnp.asarray(prob_full > prob_threshold)
+    if min_size_px > 0:
+        bw = remove_small_objects(bw, min_size_px, connectivity=1)
+    labels = label(bw, connectivity=2, max_labels=max_labels)
+    return masks_to_polygons(np.asarray(labels), min_poly_area)

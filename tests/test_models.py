@@ -1,0 +1,90 @@
+"""Segmentation U-Net: shapes, training convergence smoke, sharded train
+step on the 8-device CPU mesh, checkpoint round trip, tiled inference."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from imageprocess_tpu.models import (
+    TrainConfig, UNet, create_train_state, make_sharded_train_step, train_step,
+)
+from imageprocess_tpu.models.train import synthetic_batch
+
+
+@pytest.fixture(scope="module")
+def tiny_cfg():
+    return TrainConfig(features=(8, 16), tile=32, batch_size=4, lr=3e-3)
+
+
+@pytest.fixture(scope="module")
+def tiny_state(tiny_cfg):
+    return create_train_state(tiny_cfg, jax.random.PRNGKey(0))
+
+
+def test_unet_output_shape(tiny_state, tiny_cfg):
+    x = jnp.zeros((2, tiny_cfg.tile, tiny_cfg.tile, 1))
+    out = tiny_state.apply_fn(tiny_state.params, x)
+    assert out.shape == (2, tiny_cfg.tile, tiny_cfg.tile, 3)
+    assert out.dtype == jnp.float32
+
+
+def test_train_step_decreases_loss(tiny_state, tiny_cfg):
+    rng = np.random.default_rng(0)
+    imgs, probs, grads = synthetic_batch(rng, tiny_cfg.batch_size, tiny_cfg.tile)
+    state = tiny_state
+    losses = []
+    for _ in range(12):
+        state, loss = train_step(state, jnp.asarray(imgs), jnp.asarray(probs),
+                                 jnp.asarray(grads))
+        losses.append(float(loss))
+    assert losses[-1] < losses[0]
+    assert np.isfinite(losses).all()
+
+
+def test_sharded_train_step(tiny_cfg):
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from imageprocess_tpu.parallel.runner import make_mesh
+
+    mesh = make_mesh(8)
+    state = create_train_state(tiny_cfg, jax.random.PRNGKey(1))
+    state = jax.device_put(state, NamedSharding(mesh, P()))
+    step = make_sharded_train_step(mesh)
+    rng = np.random.default_rng(1)
+    imgs, probs, grads = synthetic_batch(rng, 8, tiny_cfg.tile)
+    shard = NamedSharding(mesh, P("batch"))
+    state2, loss = step(
+        state,
+        jax.device_put(jnp.asarray(imgs), shard),
+        jax.device_put(jnp.asarray(probs), shard),
+        jax.device_put(jnp.asarray(grads), shard),
+    )
+    assert int(state2.step) == 1 and np.isfinite(float(loss))
+
+
+def test_checkpoint_roundtrip(tiny_state, tmp_path):
+    from imageprocess_tpu.models.checkpoint import load_checkpoint, save_checkpoint
+
+    save_checkpoint(str(tmp_path / "ckpt"), tiny_state.params)
+    restored = load_checkpoint(str(tmp_path / "ckpt"), like=tiny_state.params)
+    leaves_a = jax.tree_util.tree_leaves(tiny_state.params)
+    leaves_b = jax.tree_util.tree_leaves(restored)
+    assert len(leaves_a) == len(leaves_b)
+    for a, b in zip(leaves_a, leaves_b):
+        assert np.allclose(np.asarray(a), np.asarray(b))
+
+
+def test_segment_frame_unet_structural(tiny_state, tiny_cfg):
+    """Random-init net: inference machinery produces valid polygon output
+    (count depends on weights; shape/typing is what's pinned)."""
+    from imageprocess_tpu.segment.cellseg import segment_frame_unet
+
+    img = np.random.default_rng(0).normal(100, 10, (70, 90)).astype(np.float32)
+    polys = segment_frame_unet(
+        img, tiny_state.apply_fn, tiny_state.params,
+        tile=tiny_cfg.tile, overlap=4, min_size_px=5,
+    )
+    for p in polys:
+        assert p.ndim == 2 and p.shape[1] == 2

@@ -1,0 +1,68 @@
+"""Observability: run-log files with [START]/[END] stamps, progress/ETA,
+FA per-cell settings restore (outputs-as-checkpoints resume)."""
+
+import os
+import re
+
+import numpy as np
+import pandas as pd
+
+from imageprocess_tpu.core.runlog import Progress, RunLogger
+from imageprocess_tpu.pipelines.fa import FA_CSV_COLS, restore_cell_settings
+
+
+def test_run_logger_file(tmp_path):
+    lines = []
+    logger = RunLogger(str(tmp_path / "logs"), echo=lines.append)
+    logger("hello", 42)
+    logger.close()
+    files = os.listdir(tmp_path / "logs")
+    assert len(files) == 1 and re.match(r"run_\d{8}_\d{6}\.txt", files[0])
+    content = (tmp_path / "logs" / files[0]).read_text().splitlines()
+    assert content[0].startswith("[START]")
+    assert content[1] == "hello 42"
+    assert content[-1].startswith("[END]")
+    assert lines == ["hello 42"]
+
+
+def test_progress_eta_reports():
+    out = []
+    p = Progress(4, log=out.append)
+    for _ in range(4):
+        p.step(1)
+    assert len(out) == 4
+    assert out[-1].startswith("[100.0%] 4/4 ETA 00:00")
+
+
+def test_intensity_run_log_written(golden_intensity_dir, tmp_path):
+    from imageprocess_tpu.pipelines.intensity import IntensityConfig, run_intensity
+
+    folder = os.path.join(golden_intensity_dir, "e1_P0")
+    cfg = IntensityConfig(channels=(2,), do_xls=False)
+    run_intensity(folder, cfg, out_root=str(tmp_path), log=lambda *_: None,
+                  run_log=True, progress=True)
+    logs = os.listdir(tmp_path / "logs")
+    assert len(logs) == 1
+    text = (tmp_path / "logs" / logs[0]).read_text()
+    assert "[START]" in text and "[END]" in text
+    assert "[DONE-QUANT] S01 ROI=18" in text
+    assert "ETA" in text
+
+
+def test_fa_restore_cell_settings(tmp_path):
+    indiv = tmp_path / "individual_results"
+    indiv.mkdir()
+    rows = [{
+        "File": "S01", "Cell_ID": 2, "Category": "OK", "Area_px": 10.0,
+        "Area_um2": 0.1, "Mean_Intensity_Raw": 1.0, "Mean_Intensity_Corr": 1.0,
+        "Int_Density_Raw": 10.0, "Int_Density_Corr": 10.0,
+        "Background_Level": 5.0, "Used_Alpha": 4.5, "Global_Threshold": 100.0,
+        "Min_Area_Setting": 2.0, "Max_Area_Setting": 25.0,
+        "Close_Radius_Setting": 2, "Subtract_BG_Setting": False,
+    }]
+    pd.DataFrame(rows)[FA_CSV_COLS].to_csv(indiv / "S01_results.csv", index=False)
+    settings = restore_cell_settings(str(tmp_path), "S01")
+    assert settings == {1: {"alpha": 4.5, "min_area_um": 2.0,
+                            "max_area_um": 25.0, "close_radius": 2,
+                            "subtract_bg": False}}
+    assert restore_cell_settings(str(tmp_path), "S09") == {}
