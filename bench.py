@@ -23,7 +23,7 @@ import numpy as np
 H, W = 1536, 2048
 N_STAGES = int(os.environ.get("IP_BENCH_STAGES", "8"))
 CHANNELS = (2, 3)
-DATA_DIR = os.environ.get("IP_BENCH_DATA", "/tmp/ip_bench_data")
+DATA_DIR = os.environ.get("IP_BENCH_DATA", f"/tmp/ip_bench_data_{N_STAGES}")
 GOLDEN_ROI = (
     "/root/reference/Testsamples/1Flu_Intensity(BCC P0 and P1)/ANA/e1_P0/roi/S01.json"
 )

@@ -62,8 +62,12 @@ def read_2d(
     dtype=np.float32,
     squeeze: Literal["first_channel", "smallest_axis"] = "first_channel",
 ) -> np.ndarray:
+    """2-D page as *dtype* (None = preserve the file dtype, letting device
+    pipelines upload compact u16 and cast on-chip)."""
     a = read_tiff(path)
     a = squeeze_first_channel(a) if squeeze == "first_channel" else squeeze_smallest_axis(a)
+    if dtype is None:
+        return a
     return a.astype(dtype, copy=False)
 
 

@@ -109,6 +109,7 @@ def intensity_step(
       imgs_bc: (C, H, W) float32 background-corrected frames.
     """
     C, H, W = imgs.shape
+    imgs = imgs.astype(jnp.float32)  # compact u16 upload, f32 on-chip
     if use_masks:
         masks = masks_in & roi_valid[:, None, None]
     else:
@@ -154,6 +155,7 @@ def intensity_step_tiled(
     from ..ops.roistats import roi_stats_tiled
 
     C = imgs.shape[0]
+    imgs = imgs.astype(jnp.float32)  # compact u16 upload, f32 on-chip
     if bg_mode == "none":
         bgs = jnp.zeros((C,), jnp.float32)
     else:
@@ -218,7 +220,9 @@ def load_key(
             paths.append(p)
     if not chs:
         return stid, f"[SKIP] {stid} — no channels"
-    imgs = np.stack([tiffio.read_2d(p) for p in paths])
+    # preserve the on-disk dtype (u16): halves host->device transfer; the
+    # device step casts to f32 on-chip
+    imgs = np.stack([tiffio.read_2d(p, dtype=None) for p in paths])
     H, W = imgs.shape[1:]
     base = naming.find_roi_basepath(
         roi_dir, os.path.basename(paths[0]), cfg.timelapse, cfg.grammar
@@ -229,18 +233,22 @@ def load_key(
     return stid, (chs, imgs, polys, union_mask)
 
 
-def process_key(
+def submit_key(
     key: naming.Key,
     chmap: Dict[int, str],
     roi_dir: str,
     cfg: IntensityConfig,
     loaded=None,
-) -> Tuple[List[dict], List[str], Optional[dict]]:
-    """One (stage, time) key: returns (rows, logs, extras-for-rendering)."""
+):
+    """Dispatch one key's device work WITHOUT synchronizing.  Returns an
+    opaque pending record for :func:`finalize_key` (or (None, logs) when
+    skipped).  jax dispatch is async, so a caller that keeps one key in
+    flight overlaps host decode, host<->device transfer and device compute
+    across consecutive keys."""
     s, t_code = key
     stid, payload = loaded if loaded is not None else load_key(key, chmap, roi_dir, cfg)
     if isinstance(payload, str):
-        return [], [payload], None
+        return None, [payload]
     chs, imgs, polys, union_mask = payload
     H, W = imgs.shape[1:]
 
@@ -286,9 +294,25 @@ def process_key(
             bg_stride=cfg.bg_stride,
             use_masks=masks is not None,
         )
-    stats = jax.device_get(stats)
-    area_px = np.asarray(area_px)
-    bgs = np.asarray(bgs)
+    return {
+        "key": key, "stid": stid, "chs": chs, "polys": polys,
+        "union_mask": union_mask, "shape": (H, W), "n_roi": n_roi,
+        "stats": stats, "area_px": area_px, "bgs": bgs, "imgs_bc": imgs_bc,
+    }, []
+
+
+def finalize_key(pending, cfg: IntensityConfig):
+    """Synchronize a :func:`submit_key` record into result rows."""
+    s, t_code = pending["key"]
+    stid = pending["stid"]
+    chs = pending["chs"]
+    polys = pending["polys"]
+    union_mask = pending["union_mask"]
+    H, W = pending["shape"]
+    n_roi = pending["n_roi"]
+    stats = jax.device_get(pending["stats"])
+    area_px = np.asarray(pending["area_px"])
+    bgs = np.asarray(pending["bgs"])
 
     whole_frame = polys is None and union_mask is None
     rows = []
@@ -316,12 +340,28 @@ def process_key(
     extras = {
         "stid": stid,
         "chs": chs,
-        "imgs_bc": np.asarray(imgs_bc),
+        # fetched lazily by the renderer — skipping the 25 MB/key download
+        # when TIF/PNG outputs are off
+        "imgs_bc_dev": pending["imgs_bc"],
         "polys": polys,
         "union_mask": union_mask,
         "shape": (H, W),
     }
     return rows, logs, extras
+
+
+def process_key(
+    key: naming.Key,
+    chmap: Dict[int, str],
+    roi_dir: str,
+    cfg: IntensityConfig,
+    loaded=None,
+) -> Tuple[List[dict], List[str], Optional[dict]]:
+    """One (stage, time) key synchronously: (rows, logs, render extras)."""
+    pending, logs = submit_key(key, chmap, roi_dir, cfg, loaded=loaded)
+    if pending is None:
+        return [], logs, None
+    return finalize_key(pending, cfg)
 
 
 def run_intensity(
@@ -377,17 +417,32 @@ def run_intensity(
         workers=max(1, prefetch_workers),
     )
     rows_all: List[dict] = []
+
+    def drain(pending):
+        rows, logs, extras = finalize_key(pending, cfg)
+        rows_all.extend(rows)
+        for line in logs:
+            logger(line)
+        if prog is not None:
+            prog.step(max(1, len(rows)), label=str(pending["key"][0]))
+        if extras is not None and (cfg.do_tif or cfg.do_png):
+            render.save_intensity_images(extras, cfg, out_root)
+
     try:
+        in_flight = None  # one key pipelined: upload k+1 overlaps fetch of k
         for key, chmap, loaded in loader:
-            rows, logs, extras = process_key(key, chmap, roi_dir, cfg,
-                                             loaded=loaded)
-            rows_all.extend(rows)
+            pending, logs = submit_key(key, chmap, roi_dir, cfg, loaded=loaded)
             for line in logs:
                 logger(line)
-            if prog is not None:
-                prog.step(max(1, len(rows)), label=str(key[0]))
-            if extras is not None and (cfg.do_tif or cfg.do_png):
-                render.save_intensity_images(extras, cfg, out_root)
+            if pending is None:
+                if prog is not None:
+                    prog.step(1, label=str(key[0]))
+                continue
+            if in_flight is not None:
+                drain(in_flight)
+            in_flight = pending
+        if in_flight is not None:
+            drain(in_flight)
 
         if cfg.do_xls and rows_all:
             xls_dir = os.path.join(out_root, "xls")

@@ -600,7 +600,9 @@ def save_intensity_images(extras: dict, cfg, out_root: str) -> None:
     key (worker block Fluor_INT.py:917-1135)."""
     stid = extras["stid"]
     chs: Sequence[int] = extras["chs"]
-    imgs_bc: np.ndarray = extras["imgs_bc"]
+    imgs_bc = extras.get("imgs_bc")
+    if imgs_bc is None:
+        imgs_bc = np.asarray(extras["imgs_bc_dev"])
     polys = extras["polys"]
     union_mask = extras["union_mask"]
     H, W = extras["shape"]

@@ -1,0 +1,66 @@
+"""Pallas per-ROI stats kernel vs the XLA masked_stats oracle (interpret
+mode on the CPU backend; the same kernel lowers via Mosaic on TPU)."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from imageprocess_tpu.ops.pallas_roistats import roi_stats_pallas
+from imageprocess_tpu.ops.stats import STAT_FIELDS, masked_stats
+
+
+def _case(seed=0, C=2, H=96, W=128, N=5, T=32):
+    rng = np.random.default_rng(seed)
+    imgs = rng.integers(0, 4000, (C, H, W)).astype(np.float32)
+    masks = np.zeros((N, T, T), bool)
+    offs = np.zeros((N, 2), np.int32)
+    for i in range(N):
+        offs[i] = (rng.integers(0, H - T), rng.integers(0, W - T))
+        blob = rng.random((T, T)) > 0.6
+        masks[i] = blob
+    masks[N - 1] = False  # empty ROI
+    return imgs, masks, offs
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_pallas_stats_match_xla(seed):
+    imgs, masks, offs = _case(seed)
+    T = masks.shape[1]
+    stats = {k: np.asarray(v) for k, v in roi_stats_pallas(
+        jnp.asarray(imgs), jnp.asarray(masks), jnp.asarray(offs),
+        tile=T, interpret=True,
+    ).items()}
+
+    C, N = imgs.shape[0], masks.shape[0]
+    for c in range(C):
+        for i in range(N):
+            y0, x0 = offs[i]
+            tile = imgs[c, y0:y0 + T, x0:x0 + T]
+            ref = {k: float(v) for k, v in masked_stats(
+                jnp.asarray(tile), jnp.asarray(masks[i])).items()}
+            for f in STAT_FIELDS:
+                got = float(stats[f][c, i])
+                want = ref[f]
+                if np.isnan(want):
+                    assert np.isnan(got) or (f == "npx" and got == 0), (f, got)
+                elif f == "npx":
+                    assert got == want
+                else:
+                    assert abs(got - want) <= 1e-4 * max(abs(want), 1e-6), (
+                        f, c, i, got, want)
+
+
+def test_pallas_stats_negative_values():
+    """Bit-space key ordering handles negatives (no clip_neg case)."""
+    rng = np.random.default_rng(3)
+    T = 32
+    imgs = rng.normal(0, 50, (1, 64, 64)).astype(np.float32)
+    masks = np.ones((1, T, T), bool)
+    offs = np.array([[10, 20]], np.int32)
+    stats = roi_stats_pallas(jnp.asarray(imgs), jnp.asarray(masks),
+                             jnp.asarray(offs), tile=T, interpret=True)
+    tile = imgs[0, 10:10 + T, 20:20 + T]
+    assert abs(float(stats["median"][0, 0]) - np.median(tile)) < 1e-4
+    assert abs(float(stats["p5"][0, 0]) - np.percentile(tile, 5)) < 1e-3
+    assert float(stats["vmin"][0, 0]) == tile.min()
