@@ -86,7 +86,8 @@ def crop_view_tiled(
     cols = jax.lax.broadcasted_iota(jnp.int32, (tile, tile), 1)
 
     def per_roi(mask_i, off, cstart, csize):
-        t = jax.lax.dynamic_slice(img, (off[0], off[1]), (tile, tile))
+        t = jax.lax.dynamic_slice(img, (off[0], off[1]), (tile, tile)).astype(
+            jnp.float32)
         in_crop = ((rows >= cstart[0]) & (rows < cstart[0] + csize[0])
                    & (cols >= cstart[1]) & (cols < cstart[1] + csize[1]))
         finite = in_crop & jnp.isfinite(t)
@@ -218,7 +219,7 @@ def run_crop(
             lpv[i] = pad_polygons([local.astype(np.float32)], vb)[0]
 
         norm_g, masks_t, oks = crop_view_tiled(
-            jnp.asarray(img), jnp.asarray(lpv), jnp.asarray(offs),
+            jnp.asarray(raw_full), jnp.asarray(lpv), jnp.asarray(offs),
             jnp.asarray(cstart), jnp.asarray(csize),
             lo_p, hi_p, jnp.float32(cfg.gamma),
             tile=tile, mask_outside=cfg.mask_outside,

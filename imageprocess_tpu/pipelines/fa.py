@@ -73,6 +73,7 @@ class FaConfig:
 def fa_global_stats(img: jnp.ndarray):
     """(nanmean, nanstd ddof=0, bg = p1 of img[::10, ::10])
     — FA_Analyzer.py:624-626."""
+    img = img.astype(jnp.float32)  # compact u16 upload, f32 on-chip
     finite = jnp.isfinite(img)
     n = jnp.maximum(finite.sum().astype(jnp.float32), 1.0)
     x = jnp.where(finite, img, 0.0)
@@ -114,7 +115,8 @@ def fa_analyze_tiled(
     from ..morphology.ccl import label_roots, _root_sizes
 
     def per_cell(mask_i, off):
-        t = jax.lax.dynamic_slice(img, (off[0], off[1]), (tile, tile))
+        t = jax.lax.dynamic_slice(img, (off[0], off[1]), (tile, tile)).astype(
+            jnp.float32)
         bw = (t > threshold) & mask_i
         if do_remove_small:
             # remove_small_objects with a traced float min_size
@@ -142,7 +144,7 @@ def analyze_image(
     from ..ops.roistats import choose_tile, tile_offsets, pad_local_polys
 
     H, W = img.shape
-    imgj = jnp.asarray(img, jnp.float32)
+    imgj = jnp.asarray(img)  # dtype preserved; device casts on-chip
     if stats is None:
         m, s, bg = (float(v) for v in fa_global_stats(imgj))
     else:

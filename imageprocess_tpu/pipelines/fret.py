@@ -93,6 +93,8 @@ def fret_step(
     """Returns (stats dict of (3, N) arrays for [ratio, donor, yfret],
     area_px (N,), (Db, Ab, eps) scalars, R_full, Dbc, Abc, union)."""
     H, W = D.shape
+    D = D.astype(jnp.float32)  # compact u16 upload, f32 on-chip
+    A = A.astype(jnp.float32)
     masks = rasterize_polygons(polys, (H, W)) & roi_valid[:, None, None]
     union = masks.any(axis=0)
     scope = union if bg_scope == "roi_union" else None
@@ -141,6 +143,8 @@ def fret_step_tiled(
     from ..ops.roistats import roi_stats_tiled
 
     H, W = D.shape
+    D = D.astype(jnp.float32)  # compact u16 upload, f32 on-chip
+    A = A.astype(jnp.float32)
     union = rasterize_polygons(full_polys, (H, W)).any(axis=0)
     scope = union if bg_scope == "roi_union" else None
 
@@ -205,8 +209,8 @@ def process_pair(key, dpath, apath, roi_dir, cfg: FretConfig, out_dirs, log=prin
 
     s, t_code = key
     stid = f"{s}_{t_code}" if (cfg.timelapse and t_code is not None) else s
-    D = tiffio.read_2d(dpath)
-    A = tiffio.read_2d(apath)
+    D = tiffio.read_2d(dpath, dtype=None)
+    A = tiffio.read_2d(apath, dtype=None)
     H, W = D.shape
     base = naming.find_roi_basepath(
         roi_dir, os.path.basename(dpath), cfg.timelapse, cfg.grammar,

@@ -155,6 +155,9 @@ def nesprin2_step(
     guarantees each tile covers the ROI plus the annulus margin (see
     ops.roistats) — instead of sorting the full frame per ROI."""
     H, W = D.shape
+    D = D.astype(jnp.float32)  # compact u16 upload, f32 on-chip
+    A = A.astype(jnp.float32)
+    Aonly = Aonly.astype(jnp.float32)
     if sat_on:
         mask_sat = (D >= sat_thr) | (A >= sat_thr)
         D = jnp.where(mask_sat, jnp.nan, D)
@@ -281,8 +284,8 @@ def process_pair_nesprin2(key, dpath, apath, roi_dir, cfg: Nesprin2Config,
 
     s, t_code = key
     tag = f"{s}_{t_code}" if (cfg.timelapse and t_code is not None) else s
-    D = tiffio.read_2d(dpath)
-    A = tiffio.read_2d(apath)
+    D = tiffio.read_2d(dpath, dtype=None)
+    A = tiffio.read_2d(apath, dtype=None)
     H, W = D.shape
 
     # intensity channel frame (swap_ch fallback chain, :1424-1427)

@@ -134,52 +134,61 @@ bool parse_page(const Reader& r, int page, TiffPage* out) {
 }
 
 // TIFF-variant LZW decode (9..12-bit codes, early change).
+//
+// Strings are emitted by memcpy from the already-decoded OUTPUT history:
+// every table code remembers where its string first appeared in dst, so
+// emission is a sequential forward copy (overlap-safe byte loop only when
+// regions overlap) instead of a per-byte backward chain walk.
 bool lzw_decode(const uint8_t* src, size_t src_len, uint8_t* dst,
                 size_t dst_len) {
     constexpr int kClear = 256, kEoi = 257, kFirstFree = 258, kMaxCode = 4096;
-    // table: for each code, (previous code, appended byte, first byte, length)
-    static thread_local std::vector<int32_t> prev;
-    static thread_local std::vector<uint8_t> last;
-    static thread_local std::vector<uint8_t> first;
+    static thread_local std::vector<uint32_t> pos;  // first emission offset
     static thread_local std::vector<uint32_t> len;
-    prev.assign(kMaxCode, -1);
-    last.assign(kMaxCode, 0);
-    first.assign(kMaxCode, 0);
+    pos.assign(kMaxCode, 0);
     len.assign(kMaxCode, 0);
-    for (int i = 0; i < 256; ++i) {
-        last[i] = (uint8_t)i;
-        first[i] = (uint8_t)i;
-        len[i] = 1;
-    }
 
     int next_code = kFirstFree, code_bits = 9;
-    uint32_t bitbuf = 0;
+    uint64_t bitbuf = 0;
     int bitcnt = 0;
     size_t si = 0, di = 0;
     int prev_code = -1;
 
-    auto emit = [&](int code) -> bool {
+    auto emit = [&](int code) {
         uint32_t l = len[code];
         if (di + l > dst_len) l = (uint32_t)(dst_len - di);
-        size_t end = di + len[code];
-        size_t w = end;
-        int c = code;
-        // write backwards
-        while (c >= 0 && w > di) {
-            --w;
-            if (w < dst_len) dst[w] = last[c];
-            c = prev[c];
+        if (code < 256) {
+            if (di < dst_len) dst[di] = (uint8_t)code;
+            di += l;
+            return;
         }
-        di = end < dst_len ? end : dst_len;
-        return true;
+        const uint8_t* s = dst + pos[code];
+        uint8_t* d = dst + di;
+        if (pos[code] + l <= di) {
+            std::memcpy(d, s, l);
+        } else {  // overlapping (run-length-style) copy
+            for (uint32_t i = 0; i < l; ++i) d[i] = s[i];
+        }
+        di += l;
     };
 
+    for (int i = 0; i < 256; ++i) len[i] = 1;
+
     while (si < src_len || bitcnt >= code_bits) {
-        while (bitcnt < code_bits && si < src_len) {
-            bitbuf = (bitbuf << 8) | src[si++];
-            bitcnt += 8;
+        if (bitcnt < code_bits) {
+            if (si + 4 <= src_len) {  // bulk 32-bit big-endian refill
+                uint32_t w;
+                std::memcpy(&w, src + si, 4);
+                bitbuf = (bitbuf << 32) | __builtin_bswap32(w);
+                si += 4;
+                bitcnt += 32;
+            } else {
+                while (bitcnt < code_bits && si < src_len) {
+                    bitbuf = (bitbuf << 8) | src[si++];
+                    bitcnt += 8;
+                }
+                if (bitcnt < code_bits) break;
+            }
         }
-        if (bitcnt < code_bits) break;
         int code = (int)((bitbuf >> (bitcnt - code_bits)) & ((1u << code_bits) - 1));
         bitcnt -= code_bits;
 
@@ -196,21 +205,26 @@ bool lzw_decode(const uint8_t* src, size_t src_len, uint8_t* dst,
             prev_code = code;
         } else {
             int new_entry = next_code;
+            if (code > new_entry) { g_error = "bad LZW code"; return false; }
+            // new entry = prev string + first char of current emission;
+            // both live contiguously starting at prev string's last emission,
+            // i.e. at (di - len[prev]) once we emit at di.
+            size_t prev_start = di - len[prev_code];
             if (new_entry < kMaxCode) {
-                prev[new_entry] = prev_code;
+                pos[new_entry] = (uint32_t)prev_start;
                 len[new_entry] = len[prev_code] + 1;
-                first[new_entry] = first[prev_code];
             }
-            if (code < new_entry) {
-                if (new_entry < kMaxCode) last[new_entry] = first[code];
-                emit(code);
-            } else if (code == new_entry && new_entry < kMaxCode) {
-                last[new_entry] = first[prev_code];
-                emit(code);
+            if (code == new_entry) {
+                // KwKwK case: string = prev + prev[0]; it starts at
+                // prev_start and we're about to emit it at di, so the
+                // overlap-safe emit reproduces it correctly.
+                emit(new_entry < kMaxCode ? new_entry : code);
             } else {
-                g_error = "bad LZW code";
-                return false;
+                emit(code);
             }
+            // record/refresh this code's latest emission position so future
+            // table entries reference in-bounds history
+            if (code < kMaxCode) pos[code] = (uint32_t)(di - len[code]);
             ++next_code;
             // TIFF early change: bump width one code early
             if (next_code == (1 << code_bits) - 1 && code_bits < 12) ++code_bits;
