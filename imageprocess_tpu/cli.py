@@ -28,6 +28,8 @@ def _add_common(p: argparse.ArgumentParser):
     p.add_argument("--lang", default=None, choices=["en", "ko"])
     p.add_argument("--out", default=None, help="output root (default <folder>/RES*)")
     p.add_argument("--timelapse", action="store_true")
+    p.add_argument("--xprof", default=None, metavar="DIR",
+                   help="capture a jax profiler trace to DIR")
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -175,8 +177,11 @@ def main(argv: Optional[List[str]] = None) -> int:
     i18n.set_lang(lang)
     log = print
     log(i18n.t("run_start"))
+    from .utils.profiling import maybe_profile
+
     try:
-        return _dispatch(args, log)
+        with maybe_profile(getattr(args, "xprof", None)):
+            return _dispatch(args, log)
     finally:
         log(i18n.t("run_end"))
 

@@ -1,0 +1,129 @@
+"""Spatial sharding of a single large FOV across the device mesh.
+
+SURVEY §2.3 documents this as the honest TPU extension beyond the
+reference's data parallelism: when one frame exceeds per-chip HBM (or when
+latency on a single frame matters), shard the ROW axis over the mesh and
+run the frame-level ops with explicit collectives:
+
+- global background percentile: exact for u16 data via per-shard 65536-bin
+  histograms + ``psum`` (one all-reduce of 256 KB), then an exact order
+  statistic with np.percentile interpolation — no gather of pixel data;
+- neighborhood ops (square dilation / erosion windows): halo exchange of
+  boundary rows with ``ppermute`` over ICI, then local reduce-windows;
+- background-correct: pure elementwise after the psum (no communication).
+
+All functions are ``shard_map``-ed over a 1-D mesh and jit-compiled; tests
+run them on the 8-virtual-device CPU mesh against single-device oracles.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..ops.percentile import exact_quantile_pos
+
+U16_BINS = 65536
+
+
+def _halo_exchange_rows(x: jnp.ndarray, halo: int, axis_name: str):
+    """Append *halo* rows from each neighbor (edge shards get edge-clamped
+    rows, matching single-device border semantics of reduce_window SAME)."""
+    idx = jax.lax.axis_index(axis_name)
+    n = jax.lax.axis_size(axis_name)
+    up = jax.lax.ppermute(x[:halo], axis_name,
+                          [(i, (i - 1) % n) for i in range(n)])
+    down = jax.lax.ppermute(x[-halo:], axis_name,
+                            [(i, (i + 1) % n) for i in range(n)])
+    # wrap-around neighbors are invalid at the edges -> replicate edge rows
+    top_pad = jnp.where(idx == 0, jnp.zeros_like(down), down)
+    bot_pad = jnp.where(idx == n - 1, jnp.zeros_like(up), up)
+    return jnp.concatenate([top_pad, x, bot_pad], axis=0)
+
+
+def sharded_quantile_u16(mesh: Mesh, p1000: int):
+    """Exact global percentile (np.percentile linear rule) of a row-sharded
+    u16-valued frame via histogram psum."""
+    axis = mesh.axis_names[0]
+
+    def local(x):
+        xi = jnp.clip(x.astype(jnp.int32), 0, U16_BINS - 1)
+        hist = jnp.zeros((U16_BINS,), jnp.int32).at[xi.ravel()].add(1)
+        hist = jax.lax.psum(hist, axis)
+        n = hist.sum()
+        k, g = exact_quantile_pos(n, jnp.int32(p1000))
+        cdf = jnp.cumsum(hist)
+        # value of the j-th order statistic = first bin with cdf > j
+        lo_v = jnp.searchsorted(cdf, k, side="right").astype(jnp.float32)
+        hi_v = jnp.searchsorted(cdf, jnp.minimum(k + 1, n - 1),
+                                side="right").astype(jnp.float32)
+        return (lo_v + g * (hi_v - lo_v))[None]
+
+    fn = jax.jit(jax.shard_map(
+        local, mesh=mesh, in_specs=P(axis, None), out_specs=P(axis),
+    ))
+
+    def run(img):
+        out = fn(img)
+        return out[0]
+
+    return run
+
+
+def sharded_bg_correct_u16(mesh: Mesh, p1000: int, clip_neg: bool = True):
+    """Row-sharded background subtraction: exact global percentile (psum)
+    then elementwise correct — frame never leaves the shards."""
+    axis = mesh.axis_names[0]
+
+    def local(x):
+        xi = jnp.clip(x.astype(jnp.int32), 0, U16_BINS - 1)
+        hist = jnp.zeros((U16_BINS,), jnp.int32).at[xi.ravel()].add(1)
+        hist = jax.lax.psum(hist, axis)
+        n = hist.sum()
+        k, g = exact_quantile_pos(n, jnp.int32(p1000))
+        cdf = jnp.cumsum(hist)
+        lo_v = jnp.searchsorted(cdf, k, side="right").astype(jnp.float32)
+        hi_v = jnp.searchsorted(cdf, jnp.minimum(k + 1, n - 1),
+                                side="right").astype(jnp.float32)
+        b = lo_v + g * (hi_v - lo_v)
+        out = x.astype(jnp.float32) - b
+        if clip_neg:
+            out = jnp.maximum(out, 0.0)
+        return out
+
+    return jax.jit(jax.shard_map(
+        local, mesh=mesh, in_specs=P(axis, None), out_specs=P(axis, None),
+    ))
+
+
+def sharded_square_dilation(mesh: Mesh, k: int):
+    """Row-sharded binary dilation with a (2k+1)^2 all-ones window —
+    ppermute halo exchange + local separable reduce-window max.
+    Matches morphology.binary.square_dilation on a single device."""
+    axis = mesh.axis_names[0]
+
+    def local(x):
+        xf = x.astype(jnp.float32)
+        xh = _halo_exchange_rows(xf, k, axis)
+        y = jax.lax.reduce_window(
+            xh, -jnp.inf, jax.lax.max, (2 * k + 1, 1), (1, 1), "VALID"
+        )
+        y = jax.lax.reduce_window(
+            y, -jnp.inf, jax.lax.max, (1, 2 * k + 1), (1, 1), "SAME"
+        )
+        return y > 0.5
+
+    return jax.jit(jax.shard_map(
+        local, mesh=mesh, in_specs=P(axis, None), out_specs=P(axis, None),
+    ))
+
+
+def shard_frame(mesh: Mesh, img: np.ndarray):
+    """Place a (H, W) frame row-sharded over the mesh (H must divide)."""
+    axis = mesh.axis_names[0]
+    return jax.device_put(img, NamedSharding(mesh, P(axis, None)))
