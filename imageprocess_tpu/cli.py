@@ -114,6 +114,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--close-radius", type=int, default=1)
     p.add_argument("--no-subtract-bg", action="store_true")
     p.add_argument("--ok-only", action="store_true")
+    p.add_argument("--figs", action="store_true",
+                   help="write per-stage overview figures (BND_FA/fig)")
+    p.add_argument("--export-crops", action="store_true",
+                   help="write per-cell FA crop PNGs (crops_export/)")
     p.add_argument("--lang", default=None, choices=["en", "ko"])
 
     p = sub.add_parser("crop", help="per-ROI channel crops (roi_channel_cropper)")
@@ -265,6 +269,14 @@ def _dispatch(args, log) -> int:
             subtract_bg=not args.no_subtract_bg, save_ok_only=args.ok_only,
         )
         run_fa_batch(args.img_dir, args.roi_dir, args.out, cfg, log=log)
+        if args.figs:
+            from .pipelines.fa import save_fa_figs
+
+            save_fa_figs(args.img_dir, args.roi_dir, args.out, cfg, log=log)
+        if args.export_crops:
+            from .pipelines.fa import export_fa_crops
+
+            export_fa_crops(args.img_dir, args.roi_dir, args.out, cfg, log=log)
         return 0
 
     if args.cmd == "crop":

@@ -110,6 +110,55 @@ def sharded_intensity_step(
     return run
 
 
+@partial(
+    jax.jit,
+    static_argnames=("tile", "bg_mode", "clip_neg", "bg_stride"),
+)
+def batched_intensity_step_tiled(
+    imgs: jnp.ndarray,        # (B, C, H, W) u16/f32
+    local_polys: jnp.ndarray,  # (B, N, V, 2) tile-local
+    offsets: jnp.ndarray,      # (B, N, 2)
+    roi_valid: jnp.ndarray,    # (B, N)
+    p1000s: jnp.ndarray,       # (B, C)
+    *,
+    tile: int,
+    bg_mode: str = "percentile",
+    clip_neg: bool = True,
+    bg_stride: int = 4,
+):
+    """Whole-batch tiled intensity program: one dispatch quantifies B frames
+    (stats/areas/bgs as (B, ...) arrays).  This is the production path for
+    timelapse stacks — the time axis IS the batch axis (SURVEY §5 "long
+    context") — and the unit that shards over the mesh."""
+    from ..pipelines.intensity import intensity_step_tiled
+
+    f = partial(intensity_step_tiled, tile=tile, bg_mode=bg_mode,
+                clip_neg=clip_neg, bg_stride=bg_stride)
+
+    def one(img, lp, off, valid, p1000):
+        stats, area, bgs, _ = f(img, lp, off, valid, p1000)
+        return stats, area, bgs  # drop imgs_bc: keeps batch HBM bounded
+
+    return jax.vmap(one)(imgs, local_polys, offsets, roi_valid, p1000s)
+
+
+def sharded_batched_intensity_tiled(mesh: Mesh, *, tile: int,
+                                    bg_mode="percentile", clip_neg=True,
+                                    bg_stride=4) -> Callable:
+    """batched_intensity_step_tiled with its batch axis sharded over *mesh*
+    (batch size must be a multiple of mesh size)."""
+    axis = mesh.axis_names[0]
+    shard = NamedSharding(mesh, P(axis))
+
+    f = partial(batched_intensity_step_tiled, tile=tile, bg_mode=bg_mode,
+                clip_neg=clip_neg, bg_stride=bg_stride)
+    return jax.jit(
+        f,
+        in_shardings=(shard,) * 5,
+        out_shardings=(shard, shard, shard),
+    )
+
+
 class PrefetchLoader:
     """Decode-ahead host loader: maps *load_fn* over work items with a
     thread pool, yielding results in order while later decodes overlap

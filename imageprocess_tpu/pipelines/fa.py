@@ -363,6 +363,58 @@ def export_fa_crops(
     return written
 
 
+def save_fa_figs(
+    img_dir: str,
+    roi_dir: str,
+    out_root: str,
+    cfg: FaConfig,
+    dpi: int = 150,
+    log=print,
+) -> List[str]:
+    """Per-stage overview figures under ``fig/<s_tag>_FA.png`` (the golden
+    tree's BND_FA/fig outputs): grayscale frame, cell outlines, detected FA
+    mask overlay."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    fig_dir = os.path.join(out_root, "fig")
+    os.makedirs(fig_dir, exist_ok=True)
+    written = []
+    for img_path, json_path, s_tag in list_fa_pairs(img_dir, roi_dir, cfg.channel):
+        img = tiffio.read_2d(img_path, squeeze="smallest_axis")
+        rois = _load_rois(json_path)
+        _, thr, bg, extras = analyze_image(img, rois, cfg)
+        H, W = img.shape
+        fa_mask = np.zeros((H, W), bool)
+        if extras:
+            tile = extras["tile"]
+            for i, (oy, ox) in enumerate(extras["offsets"]):
+                fa_mask[oy:oy + tile, ox:ox + tile] |= extras["labels"][i] > 0
+        fig, ax = plt.subplots(figsize=(10, 10 * H / W))
+        lo, hi = np.percentile(img, [1, 99])
+        ax.imshow(img, cmap="gray", vmin=lo, vmax=hi)
+        overlay = np.zeros((H, W, 4), np.float32)
+        overlay[fa_mask] = (1.0, 0.2, 0.2, 0.9)
+        ax.imshow(overlay)
+        for i, poly in enumerate(rois, 1):
+            P = np.asarray(poly, float)
+            ax.plot(np.r_[P[:, 0], P[0, 0]], np.r_[P[:, 1], P[0, 1]],
+                    color="yellow", lw=1.0, linestyle="--")
+            ax.text(P[:, 0].mean(), P[:, 1].mean(), str(i), color="yellow",
+                    fontsize=10, ha="center")
+        ax.set_title(f"{s_tag}  alpha={cfg.alpha}  thr={thr:.1f}  bg={bg:.1f}")
+        ax.set_axis_off()
+        out = os.path.join(fig_dir, f"{s_tag}_FA.png")
+        fig.tight_layout(pad=0.2)
+        fig.savefig(out, dpi=dpi)
+        plt.close(fig)
+        written.append(out)
+        log(f"[fig] {out}")
+    return written
+
+
 def merge_fa_report(out_root: str, name: str = "FA_Results_Master.xlsx",
                     log=print) -> Optional[pd.DataFrame]:
     """File_Summary / Cell_Summary / All_Data master workbook

@@ -364,6 +364,135 @@ def process_key(
     return finalize_key(pending, cfg)
 
 
+def run_intensity_batched(
+    folder: str,
+    cfg: IntensityConfig,
+    out_root: Optional[str] = None,
+    log=print,
+    batch_size: int = 8,
+    mesh=None,
+    prefetch_workers: int = 8,
+) -> List[dict]:
+    """Batched variant: frames stack into (B, C, H, W) and quantify in ONE
+    device dispatch per chunk — optionally sharded over a ``Mesh`` (data
+    parallelism over the (stage, time) axis; the TPU replacement for the
+    reference's process pool at scale).  Table-only (XLS/CSV); use
+    :func:`run_intensity` when TIF/PNG image outputs are needed.
+
+    Requires a uniform experiment (same shape and channel set per key);
+    falls back to the serial runner otherwise."""
+    from ..ops.roistats import choose_tile, tile_offsets, pad_local_polys
+    from ..parallel.runner import (
+        PrefetchLoader, batched_intensity_step_tiled,
+        sharded_batched_intensity_tiled,
+    )
+    from ..report.excel import save_intensity_excel
+
+    files = naming.list_tifs(folder)
+    keymap = naming.build_keymap(files, cfg.timelapse, cfg.grammar)
+    roi_dir = os.path.join(folder, "roi")
+    out_root = out_root or os.path.join(folder, "RES")
+
+    loader = PrefetchLoader(
+        lambda kv: (kv[0], load_key(kv[0], kv[1], roi_dir, cfg)),
+        list(keymap.items()), workers=max(1, prefetch_workers),
+    )
+    loaded_all = []
+    for key, (stid, payload) in loader:
+        if isinstance(payload, str):
+            log(payload)
+            continue
+        loaded_all.append((key, payload))
+    if not loaded_all:
+        return []
+
+    shapes = {p[1].shape for _, p in loaded_all}
+    chsets = {tuple(p[0]) for _, p in loaded_all}
+    uniform = len(shapes) == 1 and len(chsets) == 1 and all(
+        p[2] is not None for _, p in loaded_all
+    ) and cfg.bg_scope == "full"
+    if not uniform:
+        log("[batched] non-uniform experiment — using the serial runner")
+        return run_intensity(folder, cfg, out_root=out_root, log=log,
+                             prefetch_workers=prefetch_workers)
+
+    H, W = loaded_all[0][1][1].shape[1:]
+    all_polys = [p[2] for _, p in loaded_all]
+    tile = choose_tile([poly for ps in all_polys for poly in ps], H, W)
+    if tile is None:
+        return run_intensity(folder, cfg, out_root=out_root, log=log)
+    nb = _bucket(max(len(ps) for ps in all_polys))
+    vb = _bucket(max(len(poly) for ps in all_polys for poly in ps), 32)
+
+    if mesh is not None:
+        step = sharded_batched_intensity_tiled(
+            mesh, tile=tile, bg_mode=cfg.bg_mode, clip_neg=cfg.clip_neg,
+            bg_stride=cfg.bg_stride)
+        n_dev = len(mesh.devices.ravel())
+        batch_size = max(batch_size, n_dev)
+        batch_size -= batch_size % n_dev
+    else:
+        step = partial(batched_intensity_step_tiled, tile=tile,
+                       bg_mode=cfg.bg_mode, clip_neg=cfg.clip_neg,
+                       bg_stride=cfg.bg_stride)
+
+    rows_all: List[dict] = []
+    for start in range(0, len(loaded_all), batch_size):
+        chunk = loaded_all[start:start + batch_size]
+        B = len(chunk)
+        pad_b = batch_size if mesh is not None else B
+        imgs_b = np.zeros((pad_b,) + chunk[0][1][1].shape,
+                          chunk[0][1][1].dtype)
+        lp_b = np.zeros((pad_b, nb, vb, 2), np.float32)
+        off_b = np.zeros((pad_b, nb, 2), np.int32)
+        val_b = np.zeros((pad_b, nb), bool)
+        p_b = np.zeros((pad_b, imgs_b.shape[1]), np.int32)
+        for bi, (key, (chs, imgs, polys, _)) in enumerate(chunk):
+            imgs_b[bi] = imgs
+            offs = tile_offsets(polys, H, W, tile)
+            lp, off_pad, valid = pad_local_polys(polys, offs, nb, vb)
+            lp_b[bi], off_b[bi], val_b[bi] = lp, off_pad, valid
+            p_b[bi] = [p1000_of(cfg.per_channel_p.get(ch, cfg.percentile))
+                       for ch in chs]
+        stats, areas, bgs = step(
+            jnp.asarray(imgs_b), jnp.asarray(lp_b), jnp.asarray(off_b),
+            jnp.asarray(val_b), jnp.asarray(p_b),
+        )
+        stats = jax.device_get(stats)
+        areas = np.asarray(areas)
+        bgs = np.asarray(bgs)
+        for bi, (key, (chs, _, polys, _)) in enumerate(chunk):
+            s, t_code = key
+            for i in range(len(polys)):
+                row = {
+                    "stage": s,
+                    "time": t_code if cfg.timelapse else None,
+                    "roi": i + 1,
+                    "area_px": int(areas[bi, i]),
+                    "bg_mode": cfg.bg_mode,
+                    "bg_scope": cfg.bg_scope,
+                    "clip_neg": bool(cfg.clip_neg),
+                    "bg_stride": int(cfg.bg_stride),
+                }
+                for ci, ch in enumerate(chs):
+                    for f in STAT_FIELDS:
+                        v = stats[f][bi, ci, i]
+                        row[f"ch{ch}_{f}"] = int(v) if f == "npx" else float(v)
+                    row[f"ch{ch}_bg"] = float(bgs[bi, ci])
+                    row[f"ch{ch}_p"] = float(
+                        cfg.per_channel_p.get(ch, cfg.percentile))
+                    row[f"ch{ch}_color"] = cfg.channel_colors.get(
+                        ch, "Grayscale")
+                rows_all.append(row)
+        log(f"[batch] {start + B}/{len(loaded_all)} frames")
+
+    if cfg.do_xls and rows_all:
+        xls_dir = os.path.join(out_root, "xls")
+        os.makedirs(xls_dir, exist_ok=True)
+        save_intensity_excel(rows_all, keymap, xls_dir)
+    return rows_all
+
+
 def run_intensity(
     folder: str,
     cfg: IntensityConfig,

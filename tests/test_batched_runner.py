@@ -1,0 +1,70 @@
+"""Batched multi-frame intensity runner: row parity with the serial runner,
+single-device and sharded over the 8-device CPU mesh."""
+
+import numpy as np
+import pytest
+
+from imageprocess_tpu.core import roiio, tiffio
+from imageprocess_tpu.pipelines.intensity import (
+    IntensityConfig, run_intensity, run_intensity_batched,
+)
+
+
+@pytest.fixture(scope="module")
+def timelapse_folder(tmp_path_factory):
+    folder = tmp_path_factory.mktemp("tl")
+    rng = np.random.default_rng(0)
+    H, W = 96, 128
+    polys = [np.array([[15, 15], [60, 18], [55, 70], [12, 66]], float),
+             np.array([[70, 40], [115, 45], [110, 85], [65, 80]], float)]
+    for t in range(8):
+        for ch in (1, 2):
+            tiffio.write_tiff16(
+                str(folder / f"S01_t{t:02d}_{ch}.TIF"),
+                rng.integers(10, 3000, (H, W)).astype(np.uint16))
+        roiio.save_roi_bundle(str(folder / "roi" / f"S01_t{t:02d}.json"),
+                              f"S01_t{t:02d}", (H, W), polys)
+    return folder
+
+
+def _key(r):
+    return (r["stage"], r["time"], r["roi"])
+
+
+def test_batched_matches_serial(timelapse_folder, tmp_path):
+    cfg = IntensityConfig(channels=(1, 2), timelapse=True, do_xls=False)
+    serial = run_intensity(str(timelapse_folder), cfg,
+                           out_root=str(tmp_path / "s"), log=lambda *_: None)
+    batched = run_intensity_batched(str(timelapse_folder), cfg,
+                                    out_root=str(tmp_path / "b"),
+                                    log=lambda *_: None, batch_size=3)
+    assert len(serial) == len(batched) == 16
+    sd = {_key(r): r for r in serial}
+    for r in batched:
+        ref = sd[_key(r)]
+        for k, v in ref.items():
+            if isinstance(v, float):
+                if np.isnan(v):
+                    assert np.isnan(r[k])
+                else:
+                    assert abs(r[k] - v) <= 1e-5 * max(abs(v), 1e-9), (k, r[k], v)
+            else:
+                assert r[k] == v, k
+
+
+def test_batched_sharded_over_mesh(timelapse_folder, tmp_path):
+    from imageprocess_tpu.parallel.runner import make_mesh
+
+    mesh = make_mesh(8)
+    cfg = IntensityConfig(channels=(1, 2), timelapse=True, do_xls=True)
+    rows = run_intensity_batched(str(timelapse_folder), cfg,
+                                 out_root=str(tmp_path), log=lambda *_: None,
+                                 mesh=mesh, batch_size=8)
+    assert len(rows) == 16
+    serial = run_intensity(str(timelapse_folder), cfg,
+                           out_root=str(tmp_path / "s"), log=lambda *_: None)
+    sd = {_key(r): r for r in serial}
+    for r in rows:
+        assert abs(r["ch1_mean"] - sd[_key(r)]["ch1_mean"]) <= 1e-5 * max(
+            abs(sd[_key(r)]["ch1_mean"]), 1e-9)
+    assert (tmp_path / "xls" / "fluor_intensity_perROI.csv").exists()
