@@ -52,7 +52,13 @@ def build_parser() -> argparse.ArgumentParser:
                    help="ch=Color pairs, e.g. 2=Green 3=Red")
     p.add_argument("--tif", action="store_true")
     p.add_argument("--png", action="store_true")
+    p.add_argument("--raw-crop-tif", action="store_true")
     p.add_argument("--px-um", type=float, default=None)
+    p.add_argument("--subset-stage", type=int, default=None)
+    p.add_argument("--subset-time", type=int, default=None)
+    p.add_argument("--subset-roi", type=int, default=None)
+    p.add_argument("--batched", action="store_true",
+                   help="batch frames per device dispatch (tables only)")
     _add_common(p)
 
     p = sub.add_parser("morphology", help="per-ROI shape metrics (MOR_by_ROI)")
@@ -204,9 +210,18 @@ def _dispatch(args, log) -> int:
             percentile=args.percentile, bg_stride=args.bg_stride,
             clip_neg=not args.no_clip_neg, channel_colors=colors,
             do_tif=args.tif, do_png=args.png, px_um=args.px_um,
+            save_raw_crop_tif=args.raw_crop_tif,
+            subset_stage=args.subset_stage, subset_time=args.subset_time,
+            subset_roi=args.subset_roi,
         )
-        rows = run_intensity(args.folder, cfg, out_root=args.out, log=log,
-                             run_log=True, progress=True)
+        if args.batched:
+            from .pipelines.intensity import run_intensity_batched
+
+            rows = run_intensity_batched(args.folder, cfg, out_root=args.out,
+                                         log=log)
+        else:
+            rows = run_intensity(args.folder, cfg, out_root=args.out, log=log,
+                                 run_log=True, progress=True)
         log(i18n.t("progress").format(done=len(rows), total=len(rows)))
         return 0
 

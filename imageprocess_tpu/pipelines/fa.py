@@ -283,6 +283,43 @@ def run_fa_batch(
     return results
 
 
+def analyze_image_with_overrides(
+    img: np.ndarray,
+    rois: List[np.ndarray],
+    cfg: FaConfig,
+    cell_settings: Optional[Dict[int, dict]] = None,
+) -> Tuple[List[dict], Dict[int, float], float]:
+    """Interactive-mode semantics: each cell analyzed with its own
+    parameter override when present (FA_Analyzer per-cell settings,
+    :646-666, restored via :func:`restore_cell_settings`).  Global stats are
+    computed once; thresholds vary per cell via each cell's alpha.
+    Returns (fa rows, {cell_idx0: threshold}, bg)."""
+    from dataclasses import replace
+
+    imgj = jnp.asarray(img)
+    m, s, bg = (float(v) for v in fa_global_stats(imgj))
+    cell_settings = cell_settings or {}
+    rows: List[dict] = []
+    thresholds: Dict[int, float] = {}
+    for i, poly in enumerate(rois):
+        over = cell_settings.get(i)
+        cell_cfg = cfg if over is None else replace(
+            cfg,
+            alpha=over.get("alpha", cfg.alpha),
+            min_area_um=over.get("min_area_um", cfg.min_area_um),
+            max_area_um=over.get("max_area_um", cfg.max_area_um),
+            close_radius=over.get("close_radius", cfg.close_radius),
+            subtract_bg=over.get("subtract_bg", cfg.subtract_bg),
+        )
+        cell_rows, thr, _, _ = analyze_image(img, [poly], cell_cfg,
+                                             stats=(m, s, bg))
+        thresholds[i] = thr
+        for r in cell_rows:
+            r["cell"] = i + 1
+            rows.append(r)
+    return rows, thresholds, bg
+
+
 def restore_cell_settings(out_root: str, s_tag: str) -> Dict[int, dict]:
     """Per-cell parameter overrides recovered from a previous run's
     ``individual_results/{s_tag}_results.csv`` — the reference's

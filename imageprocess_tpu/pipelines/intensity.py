@@ -51,10 +51,16 @@ class IntensityConfig:
     bg_stride: int = 4
     skip_no_roi: bool = True
     channel_colors: Dict[int, str] = field(default_factory=dict)
+    # subset extraction (Fluor_INT.py:2109-2119; ROI subset applies to the
+    # crop exports, :1019-1026)
+    subset_stage: Optional[int] = None
+    subset_time: Optional[int] = None
+    subset_roi: Optional[int] = None
     # outputs
     do_xls: bool = True
     do_tif: bool = False
     do_png: bool = False
+    save_raw_crop_tif: bool = False   # raw-value ROI crops into TIFF/
     tif_mask_outside: bool = False
     auto_lo: float = 1.0
     auto_hi: float = 99.0
@@ -172,6 +178,20 @@ def intensity_step_tiled(
 # --------------------------------------------------------------------------
 # host orchestration
 # --------------------------------------------------------------------------
+
+def _apply_subset(keymap, cfg: IntensityConfig, log):
+    """Stage/time subset filter (Fluor_INT.py:2109-2119)."""
+    if cfg.subset_stage is None:
+        return keymap
+    s_code = naming.fmt_stage(cfg.subset_stage)
+    if not cfg.timelapse or cfg.subset_time is None:
+        keymap = {k: v for k, v in keymap.items() if k[0] == s_code}
+    else:
+        t_code = naming.fmt_time(cfg.subset_time)
+        keymap = {k: v for k, v in keymap.items() if k == (s_code, t_code)}
+    if not keymap:
+        log(f"[subset] no files match stage={s_code}")
+    return keymap
 
 def _device_inputs(
     imgs: np.ndarray,
@@ -298,6 +318,7 @@ def submit_key(
         "key": key, "stid": stid, "chs": chs, "polys": polys,
         "union_mask": union_mask, "shape": (H, W), "n_roi": n_roi,
         "stats": stats, "area_px": area_px, "bgs": bgs, "imgs_bc": imgs_bc,
+        "imgs_raw": imgs,
     }, []
 
 
@@ -343,6 +364,7 @@ def finalize_key(pending, cfg: IntensityConfig):
         # fetched lazily by the renderer — skipping the 25 MB/key download
         # when TIF/PNG outputs are off
         "imgs_bc_dev": pending["imgs_bc"],
+        "imgs_raw": pending["imgs_raw"],
         "polys": polys,
         "union_mask": union_mask,
         "shape": (H, W),
@@ -390,6 +412,7 @@ def run_intensity_batched(
 
     files = naming.list_tifs(folder)
     keymap = naming.build_keymap(files, cfg.timelapse, cfg.grammar)
+    keymap = _apply_subset(keymap, cfg, log)
     roi_dir = os.path.join(folder, "roi")
     out_root = out_root or os.path.join(folder, "RES")
 
@@ -501,8 +524,13 @@ def run_intensity(
     prefetch_workers: int = 8,
     run_log: bool = False,
     progress: bool = False,
+    cancel=None,
 ) -> List[dict]:
     """Run the intensity workload over an experiment *folder*.
+
+    ``cancel`` is an optional zero-arg callable checked between keys — the
+    reference's GUI cancel flag (Fluor_INT.py:2219-2233); partial rows
+    collected so far are still written.
 
     Mirrors Fluor_INT._run_pipeline (Fluor_INT.py:2094-2260): discover TIFFs,
     build the (stage, time) -> {channel: path} keymap, quantify every key,
@@ -521,6 +549,7 @@ def run_intensity(
 
     files = naming.list_tifs(folder)
     keymap = naming.build_keymap(files, cfg.timelapse, cfg.grammar)
+    keymap = _apply_subset(keymap, cfg, log)
     roi_dir = os.path.join(folder, "roi")
     out_root = out_root or os.path.join(folder, "RES")
 
@@ -560,6 +589,9 @@ def run_intensity(
     try:
         in_flight = None  # one key pipelined: upload k+1 overlaps fetch of k
         for key, chmap, loaded in loader:
+            if cancel is not None and cancel():
+                logger("[CANCELLED]")
+                break
             pending, logs = submit_key(key, chmap, roi_dir, cfg, loaded=loaded)
             for line in logs:
                 logger(line)

@@ -668,8 +668,13 @@ def save_intensity_images(extras: dict, cfg, out_root: str) -> None:
             crop_dir = os.path.join(png_root, "crop", f"ch{ch}")
             items = []
             if polys is not None:
-                for i, P in enumerate(polys, 1):
-                    items.append((i, np.asarray(P), None))
+                roi_list = list(range(1, len(polys) + 1))
+                subset_roi = getattr(cfg, "subset_roi", None)
+                if subset_roi is not None:
+                    roi_list = ([int(subset_roi)]
+                                if 1 <= int(subset_roi) <= len(polys) else [])
+                for i in roi_list:
+                    items.append((i, np.asarray(polys[i - 1]), None))
             else:
                 ys, xs = np.where(union)
                 if ys.size:
@@ -708,3 +713,13 @@ def save_intensity_images(extras: dict, cfg, out_root: str) -> None:
                     cbar_label=f"ch{ch} Intensity",
                     bar_anchor=crop_opt.sb_anchor, bar_font=crop_opt.sb_font,
                 )
+                # raw-value crop TIFF (worker block Fluor_INT.py:1078-1089)
+                if getattr(cfg, "save_raw_crop_tif", False) and \
+                        extras.get("imgs_raw") is not None and P is not None:
+                    raw = np.asarray(extras["imgs_raw"][ci])
+                    os.makedirs(tif32_dir, exist_ok=True)
+                    tiffio.write_tiff32(
+                        os.path.join(tif32_dir,
+                                     f"{stid}_roi{i}_ch{ch}_raw.tif"),
+                        raw[y0:y1 + 1, x0:x1 + 1].astype(np.float32),
+                    )

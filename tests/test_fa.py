@@ -146,3 +146,20 @@ def test_fa_save_ok_only(tmp_path):
     rows, _, _, _ = analyze_image(img, rois, cfg)
     cats = {r["category"] for r in rows}
     assert "Large" in cats  # classification thresholds applied
+
+
+def test_analyze_with_cell_overrides():
+    from imageprocess_tpu.pipelines.fa import analyze_image_with_overrides
+
+    img, rois = _synthetic_cell_image(0)
+    rois = rois + [rois[0] + np.array([5.0, 5.0])]  # two cells
+    base = FaConfig(alpha=2.0, min_area_um=0.5, max_area_um=5.0)
+    rows_a, thr_a, _ = analyze_image_with_overrides(img, rois, base)
+    # raise alpha for cell 2 only -> its threshold rises, cell 1 unchanged
+    rows_b, thr_b, _ = analyze_image_with_overrides(
+        img, rois, base, cell_settings={1: {"alpha": 6.0}})
+    assert thr_b[0] == thr_a[0]
+    assert thr_b[1] > thr_a[1]
+    n_a = sum(1 for r in rows_a if r["cell"] == 2)
+    n_b = sum(1 for r in rows_b if r["cell"] == 2)
+    assert n_b <= n_a

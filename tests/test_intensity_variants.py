@@ -98,3 +98,45 @@ def test_hist_mode_background(timelapse_ds, tmp_path_factory):
     idx = int(np.searchsorted(cdf, 0.01, side="left"))
     thr = bins[-1] if idx >= len(bins) - 1 else 0.5 * (bins[idx] + bins[idx + 1])
     assert abs(rows[0]["ch1_bg"] - thr) / max(abs(thr), 1e-9) < 1e-3
+
+
+def test_subset_and_cancel(timelapse_ds, tmp_path_factory):
+    folder, imgs, polys = timelapse_ds
+    out = tmp_path_factory.mktemp("sub_out")
+    cfg = IntensityConfig(channels=(1,), timelapse=True,
+                          subset_stage=1, subset_time=1, do_xls=False)
+    rows = run_intensity(str(folder), cfg, out_root=str(out), log=lambda *_: None)
+    assert {r["time"] for r in rows} == {"t01"} and len(rows) == 2
+
+    # cancel after the first key
+    seen = []
+    cfg2 = IntensityConfig(channels=(1,), timelapse=True, do_xls=False)
+    rows2 = run_intensity(str(folder), cfg2, out_root=str(out),
+                          log=lambda *_: None,
+                          cancel=lambda: len(seen) >= 1 or seen.append(1))
+    assert len(rows2) <= 4  # stopped early (3 keys x 2 ROIs = 6 total)
+
+
+def test_save_raw_crop_tif(timelapse_ds, tmp_path_factory):
+    from imageprocess_tpu.report.render import PanelPngOptions
+    from PIL import Image
+
+    folder, imgs, polys = timelapse_ds
+    out = tmp_path_factory.mktemp("raw_out")
+    cfg = IntensityConfig(
+        channels=(1,), timelapse=True, do_xls=False, do_png=True,
+        save_raw_crop_tif=True, subset_stage=1, subset_time=0,
+        png_full=PanelPngOptions(enabled=False),
+        png_crop=PanelPngOptions(enabled=True, dpi=50), fixed_crop=False,
+    )
+    run_intensity(str(folder), cfg, out_root=str(out), log=lambda *_: None)
+    raw_path = out / "TIFF" / "S01_t00_roi1_ch1_raw.tif"
+    assert raw_path.exists()
+    raw = np.array(Image.open(raw_path))
+    # exact raw-value crop of the bbox+pad window (reference :1078-1089)
+    P = polys[0]
+    H, W = 120, 160
+    pad = max(10, int(0.05 * max(W, H)))
+    x0 = max(int(P[:, 0].min()) - pad, 0); x1 = min(int(P[:, 0].max()) + pad, W - 1)
+    y0 = max(int(P[:, 1].min()) - pad, 0); y1 = min(int(P[:, 1].max()) + pad, H - 1)
+    assert np.array_equal(raw, imgs[(0, 1)][y0:y1 + 1, x0:x1 + 1].astype(np.float32))
