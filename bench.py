@@ -114,11 +114,13 @@ def main():
     assert len(rows) == N_STAGES * 18, f"unexpected row count {len(rows)}"
 
     baseline = 0.8  # Mpix/s, BASELINE.md reference log
+    rois_per_s = len(rows) * best / mpix  # same wall time, ROI-count units
     print(json.dumps({
         "metric": "intensity_e2e_throughput",
         "value": round(best, 2),
         "unit": "Mpix/s",
         "vs_baseline": round(best / baseline, 2),
+        "rois_per_s": round(rois_per_s, 1),
     }))
 
 

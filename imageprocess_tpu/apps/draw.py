@@ -92,7 +92,35 @@ class ROIAnnotator:
         return self.channel
 
     def rendered(self) -> np.ndarray:
-        return apply_view_and_color(self.image, self.view)
+        """View-rendered RGB frame, with the drawer's optional device-side
+        filter pipeline (roi_manual_drawer.py:870-946): bandpass DoG,
+        unsharp, CLAHE, Sobel edge overlay."""
+        import jax.numpy as jnp
+
+        from ..ops.view import clahe, dog_bandpass, sobel_magnitude, unsharp
+
+        im = self.image.astype(np.float32)
+        v = self.view
+        if v.get("use_bandpass"):
+            im = np.asarray(dog_bandpass(
+                jnp.asarray(im), float(v.get("sigma_small", 1.0)),
+                float(v.get("sigma_large", 6.0))))
+        if v.get("use_unsharp"):
+            im = np.asarray(unsharp(
+                jnp.asarray(im), float(v.get("unsharp_radius", 2.0)),
+                jnp.float32(v.get("unsharp_amount", 0.7))))
+        rgb = apply_view_and_color(im, v)
+        if v.get("use_clahe"):
+            x01 = rgb[..., 0]
+            x01 = np.asarray(clahe(jnp.asarray(x01),
+                                   jnp.float32(v.get("clahe_clip", 0.01))))
+            rgb = np.dstack([x01, x01, x01]) if v.get(
+                "color_mode", "grayscale") == "grayscale" else rgb
+        if v.get("edge_overlay"):
+            ed = np.asarray(sobel_magnitude(jnp.asarray(rgb[..., 1])))
+            rgb = rgb.copy()
+            rgb[..., 1] = np.clip(rgb[..., 1] + ed * 0.8, 0, 1)
+        return rgb
 
     def save(self) -> None:
         vp = dict(self.view)

@@ -17,7 +17,7 @@ src/roi_manual_drawer.py:1325-1328.
 from __future__ import annotations
 
 import os
-from typing import Literal, Optional
+from typing import Literal
 
 import numpy as np
 from PIL import Image

@@ -33,7 +33,7 @@ seed for a future histogram-based variant.
 from __future__ import annotations
 
 from functools import partial
-from typing import Dict, Tuple
+from typing import Dict
 
 import jax
 import jax.numpy as jnp

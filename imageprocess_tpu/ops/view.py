@@ -14,8 +14,6 @@ All ops are jitted and fuse; Gaussians are separable convolutions.
 from __future__ import annotations
 
 from functools import partial
-from typing import Optional, Tuple
-
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -15,7 +15,7 @@ from __future__ import annotations
 
 import concurrent.futures as cf
 from functools import partial
-from typing import Callable, Iterable, Iterator, List, Optional, Sequence, Tuple
+from typing import Callable, Iterator, List, Optional, Sequence
 
 import jax
 import jax.numpy as jnp

@@ -18,9 +18,6 @@ run them on the 8-virtual-device CPU mesh against single-device oracles.
 
 from __future__ import annotations
 
-from functools import partial
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
 import numpy as np

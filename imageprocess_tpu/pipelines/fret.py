@@ -17,14 +17,13 @@ from __future__ import annotations
 
 import os
 import re
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from functools import partial
-from typing import Dict, List, Optional, Tuple
+from typing import List, Optional
 
 import jax
 import jax.numpy as jnp
 import numpy as np
-import pandas as pd
 
 from ..core import naming, roiio, tiffio
 from ..core.naming import ChannelGrammar

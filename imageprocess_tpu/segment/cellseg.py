@@ -11,7 +11,7 @@ conversion as the reference (src/ROI_auto_drawer.py:298-310).
 from __future__ import annotations
 
 from functools import partial
-from typing import List, Optional
+from typing import List
 
 import jax
 import jax.numpy as jnp

@@ -50,3 +50,13 @@ def test_annotator_degenerate_polygon(tmp_path):
     ann = _setup(tmp_path)
     assert ann.add_rough_polygon([(1, 1), (2, 2)]) is None
     assert ann.rois == []
+
+
+def test_annotator_view_filters(tmp_path):
+    ann = _setup(tmp_path)
+    ann.view.update({"use_bandpass": True, "sigma_small": 1.0,
+                     "sigma_large": 4.0, "use_unsharp": True,
+                     "use_clahe": True, "edge_overlay": True})
+    rgb = ann.rendered()
+    assert rgb.shape == (120, 160, 3)
+    assert np.isfinite(rgb).all() and rgb.min() >= 0 and rgb.max() <= 1.0
