@@ -65,8 +65,44 @@ def _load():
         ]
         lib.ip_tiff_decode.restype = ctypes.c_int
         lib.ip_tiff_error.restype = ctypes.c_char_p
+        lib.ip_tiff_decode_batch.argtypes = [
+            ctypes.POINTER(ctypes.c_char_p), ctypes.c_int, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_longlong,
+        ]
+        lib.ip_tiff_decode_batch.restype = ctypes.c_int
         _lib = lib
         return _lib
+
+
+def decode_tiff_batch(paths, page: int = 0) -> Optional[np.ndarray]:
+    """Decode N same-shaped TIFFs into one (N, H, W[, S]) array with a
+    single native call (per-file thread pool in C++).  Returns None when
+    the native library is unavailable or any file is unsupported — callers
+    fall back to per-file decode."""
+    lib = _load()
+    if lib is None or not paths:
+        return None
+    h = ctypes.c_int()
+    w = ctypes.c_int()
+    bits = ctypes.c_int()
+    samples = ctypes.c_int()
+    if lib.ip_tiff_info(paths[0].encode(), page, ctypes.byref(h),
+                        ctypes.byref(w), ctypes.byref(bits),
+                        ctypes.byref(samples)) != 0:
+        return None
+    dtype = np.uint16 if bits.value == 16 else np.uint8
+    frame_shape = ((h.value, w.value) if samples.value == 1
+                   else (h.value, w.value, samples.value))
+    out = np.empty((len(paths),) + frame_shape, dtype=dtype)
+    arr = (ctypes.c_char_p * len(paths))(*[p.encode() for p in paths])
+    rc = lib.ip_tiff_decode_batch(
+        arr, len(paths), page,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        out.nbytes // len(paths),
+    )
+    if rc != 0:
+        return None
+    return out
 
 
 def decode_tiff(path: str, page: int = 0) -> Optional[np.ndarray]:

@@ -241,8 +241,17 @@ def load_key(
     if not chs:
         return stid, f"[SKIP] {stid} — no channels"
     # preserve the on-disk dtype (u16): halves host->device transfer; the
-    # device step casts to f32 on-chip
-    imgs = np.stack([tiffio.read_2d(p, dtype=None) for p in paths])
+    # device step casts to f32 on-chip.  One native batch call decodes all
+    # channels with an in-C++ thread pool when available.
+    imgs = None
+    try:
+        from ..native import decode_tiff_batch
+
+        imgs = decode_tiff_batch(paths)
+    except Exception:
+        imgs = None
+    if imgs is None or imgs.ndim != 3:
+        imgs = np.stack([tiffio.read_2d(p, dtype=None) for p in paths])
     H, W = imgs.shape[1:]
     base = naming.find_roi_basepath(
         roi_dir, os.path.basename(paths[0]), cfg.timelapse, cfg.grammar

@@ -364,4 +364,35 @@ int ip_tiff_decode(const char* path, int page, uint8_t* out,
     return rc.load();
 }
 
+int ip_tiff_decode_batch(const char** paths, int n_files, int page,
+                         uint8_t* out, long long frame_bytes) {
+    // Decode n same-shaped files into one contiguous buffer, one worker
+    // thread per file (each file additionally strip-parallel inside
+    // ip_tiff_decode would oversubscribe; per-file threading is the right
+    // granularity for whole-experiment loads).
+    std::atomic<int> rc{0};
+    std::atomic<int> next{0};
+    unsigned hw = std::thread::hardware_concurrency();
+    size_t n_threads = hw ? (hw < (unsigned)n_files ? hw : (unsigned)n_files) : 1;
+
+    auto work = [&]() {
+        for (;;) {
+            int i = next.fetch_add(1);
+            if (i >= n_files) return;
+            int r = ip_tiff_decode(paths[i], page,
+                                   out + (long long)i * frame_bytes,
+                                   frame_bytes);
+            if (r != 0) rc = r;
+        }
+    };
+    if (n_threads <= 1) {
+        work();
+    } else {
+        std::vector<std::thread> pool;
+        for (size_t t = 0; t < n_threads; ++t) pool.emplace_back(work);
+        for (auto& th : pool) th.join();
+    }
+    return rc.load();
+}
+
 }  // extern "C"
