@@ -146,7 +146,10 @@ def build_parser() -> argparse.ArgumentParser:
     p = sub.add_parser("roi-auto", help="automatic segmentation (ROI_auto_drawer)")
     p.add_argument("folder")
     p.add_argument("--backend", default="threshold",
-                   choices=["threshold", "cellpose"])
+                   choices=["threshold", "unet", "cellpose"])
+    p.add_argument("--checkpoint", default=None,
+                   help="U-Net checkpoint dir (default: bundled pretrained)")
+    p.add_argument("--prob-threshold", type=float, default=0.5)
     p.add_argument("--channel", type=int, default=None)
     p.add_argument("--thr-mode", default="percentile",
                    choices=["percentile", "mean_std"])
@@ -320,6 +323,7 @@ def _dispatch(args, log) -> int:
             timelapse=args.timelapse, thr_mode=args.thr_mode,
             thr_percentile=args.thr_percentile, thr_k=args.thr_k,
             smooth_sigma=args.smooth_sigma, min_size_px=args.min_size_px,
+            checkpoint=args.checkpoint, prob_threshold=args.prob_threshold,
             diameter=args.diameter, model_type=args.model_type,
             use_gpu=args.gpu,
         )

@@ -35,9 +35,14 @@ from ..ops.view import gaussian_blur
 MIN_POLY_AREA = 20.0  # px, ROI_auto_drawer.py:304
 
 
+DEFAULT_UNET_CKPT = os.path.join(
+    os.path.dirname(__file__), "..", "models", "pretrained", "unet_blobs_v1"
+)
+
+
 @dataclass
 class AutoSegConfig:
-    backend: str = "threshold"       # "threshold" | "cellpose"
+    backend: str = "threshold"       # "threshold" | "unet" | "cellpose"
     channel: Optional[int] = None    # filename channel filter (None = all)
     timelapse: bool = False
     # threshold backend
@@ -49,6 +54,9 @@ class AutoSegConfig:
     close_radius: int = 2
     min_size_px: int = 200
     max_labels: int = 1024
+    # unet backend
+    checkpoint: Optional[str] = None   # None -> bundled pretrained
+    prob_threshold: float = 0.5
     # cellpose backend
     diameter: Optional[float] = None
     model_type: str = "cyto3"
@@ -98,10 +106,43 @@ def auto_segment_step(
     return labels, thr
 
 
+_UNET_CACHE = {}
+
+
+def _unet_segment(img: np.ndarray, cfg: AutoSegConfig) -> List[np.ndarray]:
+    """Learned path: bundled (or user) U-Net checkpoint -> tiled inference
+    (segment.cellseg) -> polygons."""
+    import json
+
+    from ..models.checkpoint import load_checkpoint
+    from ..models.train import TrainConfig, create_train_state
+    from .cellseg import segment_frame_unet
+
+    ckpt = os.path.abspath(cfg.checkpoint or DEFAULT_UNET_CKPT)
+    if ckpt not in _UNET_CACHE:
+        import jax
+
+        with open(os.path.join(ckpt, "config.json")) as f:
+            meta = json.load(f)
+        tcfg = TrainConfig(features=tuple(meta["features"]),
+                           tile=int(meta.get("tile", 128)))
+        state = create_train_state(tcfg, jax.random.PRNGKey(0))
+        params = load_checkpoint(ckpt, like=state.params)
+        _UNET_CACHE[ckpt] = (state.apply_fn, params, tcfg.tile)
+    apply_fn, params, tile = _UNET_CACHE[ckpt]
+    return segment_frame_unet(
+        img, apply_fn, params, tile=tile,
+        prob_threshold=cfg.prob_threshold, min_size_px=cfg.min_size_px,
+        max_labels=cfg.max_labels, min_poly_area=cfg.min_poly_area,
+    )
+
+
 def auto_segment_frame(img: np.ndarray, cfg: AutoSegConfig) -> List[np.ndarray]:
     """One frame -> list of [x, y] polygons."""
     if cfg.backend == "cellpose":
         return _cellpose_segment(img, cfg)
+    if cfg.backend == "unet":
+        return _unet_segment(img, cfg)
     labels, _ = auto_segment_step(
         jnp.asarray(img, jnp.float32),
         jnp.int32(int(round(cfg.thr_percentile * 1000))),
@@ -157,11 +198,10 @@ def run_auto_drawer(
         polys = auto_segment_frame(img, cfg)
         log(f"[auto] {tag}: {len(polys)} ROIs")
         out = os.path.join(roi_dir, f"{tag}.json")
-        roiio.save_roi_bundle(
-            out, tag, img.shape, polys,
-            generated_by=(f"cellpose:{cfg.model_type}"
-                          if cfg.backend == "cellpose" else
-                          "imageprocess_tpu.auto_threshold"),
-        )
+        gen = {
+            "cellpose": f"cellpose:{cfg.model_type}",
+            "unet": "imageprocess_tpu.unet",
+        }.get(cfg.backend, "imageprocess_tpu.auto_threshold")
+        roiio.save_roi_bundle(out, tag, img.shape, polys, generated_by=gen)
         written.append(out)
     return written

@@ -88,3 +88,28 @@ def test_segment_frame_unet_structural(tiny_state, tiny_cfg):
     )
     for p in polys:
         assert p.ndim == 2 and p.shape[1] == 2
+
+
+def test_pretrained_unet_backend(tmp_path):
+    """The bundled checkpoint segments synthetic blob frames end-to-end
+    through the auto-drawer unet backend."""
+    import os
+
+    from imageprocess_tpu.core import roiio, tiffio
+    from imageprocess_tpu.models.train import synthetic_batch
+    from imageprocess_tpu.segment.auto import (
+        DEFAULT_UNET_CKPT, AutoSegConfig, run_auto_drawer,
+    )
+
+    if not os.path.exists(os.path.join(DEFAULT_UNET_CKPT, "config.json")):
+        pytest.skip("bundled checkpoint not present")
+    imgs, probs, _ = synthetic_batch(np.random.default_rng(5), 1, 128)
+    frame = (imgs[0, ..., 0] * 10000).clip(0, 65535).astype(np.uint16)
+    tiffio.write_tiff16(str(tmp_path / "S01_1.TIF"), frame)
+    cfg = AutoSegConfig(backend="unet", channel=1, min_size_px=30)
+    written = run_auto_drawer(str(tmp_path), cfg, log=lambda *_: None)
+    assert len(written) == 1
+    bundle = roiio.load_roi_bundle(written[0])
+    assert bundle["generated_by"] == "imageprocess_tpu.unet"
+    n_true = int((probs[0] > 0.5).sum() > 0)
+    assert len(bundle["rois"]) >= n_true  # finds at least one blob
