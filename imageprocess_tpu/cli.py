@@ -126,6 +126,16 @@ def build_parser() -> argparse.ArgumentParser:
                    help="write per-cell FA crop PNGs (crops_export/)")
     p.add_argument("--lang", default=None, choices=["en", "ko"])
 
+    p = sub.add_parser("fa-tune",
+                       help="interactive per-cell FA tuning (FAAnalyzerApp)")
+    p.add_argument("img_dir")
+    p.add_argument("--roi-dir", required=True)
+    p.add_argument("--out", required=True)
+    p.add_argument("--channel", type=int, default=0)
+    p.add_argument("--px-size", type=float, default=0.112)
+    p.add_argument("--alpha", type=float, default=3.0)
+    p.add_argument("--lang", default=None, choices=["en", "ko"])
+
     p = sub.add_parser("crop", help="per-ROI channel crops (roi_channel_cropper)")
     p.add_argument("folder")
     p.add_argument("--roi-dir", default=None)
@@ -295,6 +305,15 @@ def _dispatch(args, log) -> int:
             from .pipelines.fa import export_fa_crops
 
             export_fa_crops(args.img_dir, args.roi_dir, args.out, cfg, log=log)
+        return 0
+
+    if args.cmd == "fa-tune":
+        from .apps.fa_tune import main as fa_tune_main
+        from .pipelines.fa import FaConfig
+
+        fa_tune_main(args.img_dir, args.roi_dir, args.out,
+                     FaConfig(channel=args.channel, px_size=args.px_size,
+                              alpha=args.alpha), log=log)
         return 0
 
     if args.cmd == "crop":

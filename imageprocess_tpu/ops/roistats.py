@@ -46,7 +46,9 @@ def choose_tile(
     tile = min_tile
     while tile < need:
         tile *= 2
-    return tile
+    # pow-2 rounding may overshoot a small frame even though the bbox fits:
+    # clamp to the frame (still >= need, so coverage holds)
+    return min(tile, min(H, W))
 
 
 def tile_offsets(polys, H: int, W: int, tile: int, margin: int = 0) -> np.ndarray:

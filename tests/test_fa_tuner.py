@@ -1,0 +1,60 @@
+"""Headless tests of the interactive FA tuner core (apps.fa_tune)."""
+
+import numpy as np
+import pandas as pd
+
+from imageprocess_tpu.apps.fa_tune import FATuner
+from imageprocess_tpu.core import roiio, tiffio
+from imageprocess_tpu.pipelines.fa import FaConfig, restore_cell_settings
+
+
+def _dataset(tmp_path):
+    rng = np.random.default_rng(0)
+    H, W = 220, 280
+    img = rng.normal(500, 30, (H, W))
+    yy, xx = np.mgrid[0:H, 0:W]
+    for cy, cx in [(60, 70), (70, 200), (160, 120)]:
+        img += 4000 * np.exp(-((yy - cy) ** 2 + (xx - cx) ** 2) / 50.0)
+    tiffio.write_tiff16(str(tmp_path / "S01_0.tif"),
+                        img.clip(0, 65535).astype(np.uint16))
+    polys = [np.array([[20, 20], [130, 25], [125, 120], [15, 115]], float),
+             np.array([[150, 20], [270, 25], [265, 120], [145, 115]], float)]
+    (tmp_path / "roi").mkdir()
+    roiio.save_roi_bundle(str(tmp_path / "roi" / "S01.json"), "S01",
+                          (H, W), polys)
+    return tmp_path
+
+
+def test_fa_tuner_flow(tmp_path):
+    folder = _dataset(tmp_path)
+    out = folder / "out"
+    cfg = FaConfig(channel=0, alpha=2.0, min_area_um=0.3, max_area_um=10.0)
+    t = FATuner(str(folder / "S01_0.tif"), str(folder / "roi" / "S01.json"),
+                "S01", str(out), cfg, log=lambda *_: None)
+    assert t.fa_count() >= 2
+
+    # click inside cell 1, raise its alpha -> fewer/equal FAs in that cell
+    assert t.select_cell_at(60, 60) == 0
+    before = t.fa_count(0)
+    other_before = t.fa_count(1)
+    t.set_params(alpha=8.0)
+    assert t.fa_count(0) <= before
+    assert t.fa_count(1) == other_before  # other cell unaffected
+
+    # click outside any cell clears the selection
+    assert t.select_cell_at(5, 200) is None
+
+    path = t.save()
+    df = pd.read_csv(path)
+    alphas = dict(zip(df["Cell_ID"], df["Used_Alpha"]))
+    if 1 in alphas:
+        assert alphas[1] == 8.0
+    if 2 in alphas:
+        assert alphas[2] == 2.0
+
+    # settings round-trip: a fresh tuner restores the per-cell override
+    restored = restore_cell_settings(str(out), "S01")
+    assert restored.get(0, {}).get("alpha") == 8.0
+    t2 = FATuner(str(folder / "S01_0.tif"), str(folder / "roi" / "S01.json"),
+                 "S01", str(out), cfg, log=lambda *_: None)
+    assert t2.cell_settings.get(0, {}).get("alpha") == 8.0

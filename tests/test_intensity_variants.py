@@ -140,3 +140,28 @@ def test_save_raw_crop_tif(timelapse_ds, tmp_path_factory):
     x0 = max(int(P[:, 0].min()) - pad, 0); x1 = min(int(P[:, 0].max()) + pad, W - 1)
     y0 = max(int(P[:, 1].min()) - pad, 0); y1 = min(int(P[:, 1].max()) + pad, H - 1)
     assert np.array_equal(raw, imgs[(0, 1)][y0:y1 + 1, x0:x1 + 1].astype(np.float32))
+
+
+def test_png_mask_roi_path(tmp_path):
+    """PNG union-mask ROIs (no JSON): single roi=1 row over the mask
+    (Fluor_INT.py:405-441, 523-530)."""
+    from PIL import Image
+
+    rng = np.random.default_rng(3)
+    H, W = 100, 140
+    img = rng.integers(10, 2000, (H, W)).astype(np.uint16)
+    tiffio.write_tiff16(str(tmp_path / "S01_1.TIF"), img)
+    mask = np.zeros((H, W), np.uint8)
+    mask[30:70, 40:100] = 255
+    (tmp_path / "roi").mkdir()
+    Image.fromarray(mask).save(tmp_path / "roi" / "S01.png")
+
+    cfg = IntensityConfig(channels=(1,), do_xls=False)
+    rows = run_intensity(str(tmp_path), cfg, out_root=str(tmp_path / "RES"),
+                         log=lambda *_: None)
+    assert len(rows) == 1 and rows[0]["roi"] == 1
+    assert rows[0]["area_px"] == 40 * 60
+    bg = np.percentile(img.astype(np.float32).ravel()[::4], 1.0)
+    bc = np.clip(img.astype(np.float32) - bg, 0, None)
+    want = bc[mask > 0].mean()
+    assert abs(rows[0]["ch1_mean"] - want) / want < 1e-4
