@@ -259,8 +259,10 @@ def process_pair(key, dpath, apath, roi_dir, cfg: FretConfig, out_dirs, log=prin
     stats = jax.device_get(stats)
     area = np.asarray(area)
     eps_f = float(eps)
-    R_np = np.asarray(R_full)
-    union_np = np.asarray(union) if polys else None
+    render_on = cfg.do_tif or cfg.do_png
+    # the megapixel ratio frame only leaves the device when rendering
+    R_np = np.asarray(R_full) if render_on else None
+    union_np = np.asarray(union) if (polys and render_on) else None
 
     rows: List[dict] = []
     if polys:
