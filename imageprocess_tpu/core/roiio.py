@@ -164,14 +164,16 @@ def decode_imagej_roi(blob: bytes) -> np.ndarray:
     return np.stack([xs, ys], axis=1)
 
 
-def save_imagej_roi_zip(zip_path: str, polygons: Sequence[np.ndarray], base: str) -> None:
-    """Zip of per-polygon .roi entries named ``<base>_roi<N>.roi``
-    (drawer convention, src/roi_manual_drawer.py:1280-1292)."""
+def save_imagej_roi_zip(zip_path: str, polygons: Sequence[np.ndarray],
+                        base: str = "") -> None:
+    """Zip of per-polygon .roi entries named ``roi_<N>.roi`` — the drawer's
+    exact convention (src/roi_manual_drawer.py:1280-1292; verified against
+    the committed golden roi/zip/S01.zip)."""
     os.makedirs(os.path.dirname(zip_path) or ".", exist_ok=True)
     tmp = zip_path + ".tmp"
     with zipfile.ZipFile(tmp, "w", zipfile.ZIP_DEFLATED) as zf:
         for i, poly in enumerate(polygons, 1):
-            zf.writestr(f"{base}_roi{i}.roi", encode_imagej_roi(poly, f"{base}_roi{i}"))
+            zf.writestr(f"roi_{i}.roi", encode_imagej_roi(poly, f"roi_{i}"))
     os.replace(tmp, zip_path)
 
 

@@ -105,10 +105,11 @@ def fa_analyze_tiled(
 ):
     """Per-cell FA segmentation + region reductions on bbox tiles.
 
-    ROI masks use the skimage.draw.polygon fill rule (PNPOLY), matching
-    FA_Analyzer.py:1016-1018.  Returns per-cell label images and region
-    properties arrays (area/sum/mean/bbox/centroid)."""
-    masks = rasterize_polygons(local_polys, (tile, tile), EdgeRule.PNPOLY)
+    ROI masks use the matplotlib edge rule — the committed golden drawer
+    mask shows skimage.draw.polygon (FA_Analyzer.py:1016-1018) agrees with
+    it pixel-exactly on contour-derived vertices.  Returns per-cell label
+    images and region properties arrays (area/sum/mean/bbox/centroid)."""
+    masks = rasterize_polygons(local_polys, (tile, tile), EdgeRule.MPL)
     masks = masks & roi_valid[:, None, None]
     se = disk(close_radius) if close_radius > 0 else None
 

@@ -89,11 +89,14 @@ def save_drawer_bundle(
                           view_params=view_params)
     log(f"  JSON saved: {json_path}")
 
+    # the committed golden mask (roi/mask/S01_mask.tif) is pixel-exact
+    # under the matplotlib edge rule — skimage.draw.polygon agrees with it
+    # on contour-derived (half-integer) vertices, NOT with classic PNPOLY
     mask = np.zeros((H, W), np.uint8)
     for poly in rois:
         if len(poly) >= 3:
             m = rasterize_polygon_np(np.asarray(poly, float), (H, W),
-                                     EdgeRule.PNPOLY)
+                                     EdgeRule.MPL)
             mask[m] = 255
     mask_path = os.path.join(mask_dir, f"{base_S_t}_mask.tif")
     tiffio.write_tiff8(mask_path, mask)

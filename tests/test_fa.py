@@ -56,7 +56,7 @@ def _ref_analyze(img, rois, cfg: FaConfig):
         pl = poly.copy()
         pl[:, 0] -= x0
         pl[:, 1] -= y0
-        mask = rasterize_polygon_np(pl, crop.shape, EdgeRule.PNPOLY)
+        mask = rasterize_polygon_np(pl, crop.shape, EdgeRule.MPL)
 
         bw = (crop > thr) & mask
         if cfg.min_px > 0:
