@@ -18,11 +18,15 @@ rasterizers with different on-edge semantics (SURVEY §2.2):
   y-flags use ``>=``, and the toggle side-test makes on-edge pixels inside
   for downward edges (toggle iff ``tx <= x_cross``) and outside for upward
   edges (toggle iff ``tx < x_cross``).  Verified pixel-exact against
-  matplotlib on all golden ROIs (tests/test_rasterize.py).
+  matplotlib on all golden ROIs (tests/test_rasterize.py) AND against the
+  committed golden ``roi/mask/S01_mask.tif`` written via
+  ``skimage.draw.polygon`` (tests/test_golden_interop.py) — on the
+  toolkit's contour-derived half-integer vertices, skimage's fill follows
+  this rule too, so MPL is the right rule for every reference call site.
 - ``EdgeRule.PNPOLY`` is W. R. Franklin's classic test — crossing iff
-  ``(y0 > ty) != (y1 > ty)``, toggle iff ``tx < x_cross`` — matching
-  ``skimage.draw.polygon`` as used for saved masks
-  (src/roi_manual_drawer.py:1332-1337, src/INT/FA_Analyzer.py:805).
+  ``(y0 > ty) != (y1 > ty)``, toggle iff ``tx < x_cross``.  Kept for
+  integer-vertex workloads; on the golden data it deviates from the
+  skimage-written mask by 67/38061 boundary pixels.
 
 Exactness: thresholds are first estimated with an f32 division, then
 *refined with exact integer cross-product comparisons*; for polygons on the

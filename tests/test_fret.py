@@ -117,3 +117,24 @@ def test_fret_ratio_mode_flip(golden_intensity_dir, tmp_path):
     polys = roiio.load_roi_polygons(os.path.join(folder, "roi", "S01.json"))
     m = _ref_rasterize(polys[0], D.shape)
     assert abs(rows[0]["ratio_mean"] - float(R[m].mean())) <= 1e-4 * abs(R[m].mean())
+
+
+def test_fret_timelapse(tmp_path):
+    """Timelapse FRET pairing + per-time rows + pivot time_idx."""
+    rng = np.random.default_rng(0)
+    H, W = 96, 128
+    polys = [np.array([[20, 20], [70, 25], [65, 70], [15, 66]], float)]
+    for t in range(3):
+        for ch in (1, 2):
+            tiffio.write_tiff16(str(tmp_path / f"S01_t{t:02d}_{ch}.TIF"),
+                                rng.integers(10, 3000, (H, W)).astype(np.uint16))
+        roiio.save_roi_bundle(str(tmp_path / "roi" / f"S01_t{t:02d}.json"),
+                              f"S01_t{t:02d}", (H, W), polys)
+    cfg = FretConfig(donor_ch=1, acceptor_ch=2, timelapse=True, do_xls=True)
+    rows = run_fret(str(tmp_path), cfg, out_root=str(tmp_path / "RES"),
+                    log=lambda *_: None)
+    assert len(rows) == 3
+    assert [r["time"] for r in rows] == ["t00", "t01", "t02"]
+    import pandas as pd
+    df = pd.read_csv(tmp_path / "RES" / "xls" / "fret_ratio_perROI.csv")
+    assert list(df["time_idx"]) == [0, 1, 2]
