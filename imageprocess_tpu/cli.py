@@ -59,6 +59,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--subset-roi", type=int, default=None)
     p.add_argument("--batched", action="store_true",
                    help="batch frames per device dispatch (tables only)")
+    p.add_argument("--all-experiments", action="store_true",
+                   help="treat FOLDER as a parent (e.g. ANA/) and run every "
+                        "experiment subfolder containing TIFFs")
     _add_common(p)
 
     p = sub.add_parser("morphology", help="per-ROI shape metrics (MOR_by_ROI)")
@@ -227,14 +230,34 @@ def _dispatch(args, log) -> int:
             subset_stage=args.subset_stage, subset_time=args.subset_time,
             subset_roi=args.subset_roi,
         )
-        if args.batched:
-            from .pipelines.intensity import run_intensity_batched
+        import os
 
-            rows = run_intensity_batched(args.folder, cfg, out_root=args.out,
-                                         log=log)
-        else:
-            rows = run_intensity(args.folder, cfg, out_root=args.out, log=log,
-                                 run_log=True, progress=True)
+        from .core.naming import list_tifs
+
+        folders = [args.folder]
+        if args.all_experiments:
+            folders = sorted(
+                os.path.join(args.folder, d)
+                for d in os.listdir(args.folder)
+                if os.path.isdir(os.path.join(args.folder, d))
+                and list_tifs(os.path.join(args.folder, d))
+            )
+            if not folders:
+                log("[warn] no experiment subfolders with TIFFs")
+                return 1
+        rows = []
+        for folder in folders:
+            if len(folders) > 1:
+                log(f"=== experiment: {folder}")
+            out_root = args.out if len(folders) == 1 else None
+            if args.batched:
+                from .pipelines.intensity import run_intensity_batched
+
+                rows += run_intensity_batched(folder, cfg, out_root=out_root,
+                                              log=log)
+            else:
+                rows += run_intensity(folder, cfg, out_root=out_root, log=log,
+                                      run_log=True, progress=True)
         log(i18n.t("progress").format(done=len(rows), total=len(rows)))
         return 0
 

@@ -202,20 +202,39 @@ def build_fret_pairs(folder: str, cfg: FretConfig):
     return pairs
 
 
-def process_pair(key, dpath, apath, roi_dir, cfg: FretConfig, out_dirs, log=print):
+def load_pair(key, dpath, apath, roi_dir, cfg: FretConfig):
+    """Host side: decode both channels (native batch call when available)
+    + load ROI polygons."""
+    try:
+        from ..native import decode_tiff_batch
+
+        both = decode_tiff_batch([dpath, apath])
+    except Exception:
+        both = None
+    if both is not None and both.ndim == 3:
+        D, A = both[0], both[1]
+    else:
+        D = tiffio.read_2d(dpath, dtype=None)
+        A = tiffio.read_2d(apath, dtype=None)
+    base = naming.find_roi_basepath(
+        roi_dir, os.path.basename(dpath), cfg.timelapse, cfg.grammar,
+        exts=(".json",),
+    )
+    polys = (roiio.load_roi_polygons(base + ".json")
+             if os.path.exists(base + ".json") else None)
+    return D, A, polys or None
+
+
+def process_pair(key, dpath, apath, roi_dir, cfg: FretConfig, out_dirs,
+                 log=print, loaded=None):
     """One (stage, time) FRET pair -> per-ROI rows + TIF/PNG outputs."""
     from ..report import render
 
     s, t_code = key
     stid = f"{s}_{t_code}" if (cfg.timelapse and t_code is not None) else s
-    D = tiffio.read_2d(dpath, dtype=None)
-    A = tiffio.read_2d(apath, dtype=None)
+    D, A, polys = loaded if loaded is not None else load_pair(
+        key, dpath, apath, roi_dir, cfg)
     H, W = D.shape
-    base = naming.find_roi_basepath(
-        roi_dir, os.path.basename(dpath), cfg.timelapse, cfg.grammar,
-        exts=(".json",),
-    )
-    polys = roiio.load_roi_polygons(base + ".json") if os.path.exists(base + ".json") else None
     if not polys:
         polys = None
         log(f"    [Warn] ROI missing: {stid}.json -> skip ROI-based outputs")
@@ -326,11 +345,18 @@ def run_fret(
         log(f"No matched files for donor=_{cfg.donor_ch}, acceptor=_{cfg.acceptor_ch}.")
         return []
 
+    from ..parallel.runner import PrefetchLoader
+
+    loader = PrefetchLoader(
+        lambda kv: (kv, load_pair(kv[0], kv[1], kv[2], roi_dir, cfg)),
+        pairs, workers=max(1, prefetch_workers),
+    )
     rows_all: List[dict] = []
-    for key, dpath, apath in pairs:
+    for (key, dpath, apath), loaded in loader:
         log(f"  - Processing: {key[0] if key[1] is None else f'{key[0]}_{key[1]}'}")
         rows_all.extend(
-            process_pair(key, dpath, apath, roi_dir, cfg, dirs, log=log)
+            process_pair(key, dpath, apath, roi_dir, cfg, dirs, log=log,
+                         loaded=loaded)
         )
 
     if cfg.do_xls and rows_all:

@@ -46,3 +46,32 @@ def test_cli_help_lists_all_workloads(capsys):
     for cmd in ("intensity", "morphology", "fret", "nesprin2", "fa", "crop",
                 "roi-auto", "refine", "ppt"):
         assert cmd in out
+
+
+def test_cli_all_experiments(tmp_path, capsys):
+    """Parent-folder mode processes every experiment subfolder (DP over
+    experiments — SURVEY §2.3 'multi-host batch fan-out')."""
+    import numpy as np
+
+    from imageprocess_tpu.core import roiio, tiffio
+
+    rng = np.random.default_rng(0)
+    H, W = 64, 96
+    poly = np.array([[10, 10], [50, 12], [48, 50], [8, 46]], float)
+    for exp in ("e1", "e2"):
+        d = tmp_path / exp
+        (d / "roi").mkdir(parents=True)
+        tiffio.write_tiff16(str(d / "S01_2.TIF"),
+                            rng.integers(10, 2000, (H, W)).astype(np.uint16))
+        roiio.save_roi_bundle(str(d / "roi" / "S01.json"), "S01", (H, W), [poly])
+    (tmp_path / "not_an_experiment").mkdir()
+
+    rc = main(["intensity", str(tmp_path), "--channels", "2",
+               "--all-experiments", "--lang", "en"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert out.count("=== experiment:") == 2
+    import os
+    for exp in ("e1", "e2"):
+        assert os.path.exists(os.path.join(
+            tmp_path, exp, "RES", "xls", "fluor_intensity_perROI.csv"))
