@@ -278,21 +278,16 @@ def nesprin2_step(
             eps, R_full, R_alt, rim, union, Dcorr, Acorr)
 
 
-def process_pair_nesprin2(key, dpath, apath, roi_dir, cfg: Nesprin2Config,
-                          dirs, log=print) -> List[dict]:
-    from ..report import render
-
-    s, t_code = key
-    tag = f"{s}_{t_code}" if (cfg.timelapse and t_code is not None) else s
+def load_pair_nesprin2(key, dpath, apath, roi_dir, cfg: Nesprin2Config):
+    """Host side of one pair: donor/acceptor (+ intensity, + optional
+    acceptor-only via the swap_ch fallback chain, :1424-1437) and ROIs."""
     D = tiffio.read_2d(dpath, dtype=None)
     A = tiffio.read_2d(apath, dtype=None)
-    H, W = D.shape
 
-    # intensity channel frame (swap_ch fallback chain, :1424-1427)
     cand = naming.swap_channel_in_name(dpath, cfg.intensity_ch)
     if not os.path.exists(cand):
         cand = naming.swap_channel_in_name(apath, cfg.intensity_ch)
-    I = tiffio.read_2d(cand) if os.path.exists(cand) else D
+    I = tiffio.read_2d(cand) if os.path.exists(cand) else D.astype(np.float32)
 
     Aonly = None
     if cfg.aonly_ch is not None:
@@ -306,6 +301,18 @@ def process_pair_nesprin2(key, dpath, apath, roi_dir, cfg: Nesprin2Config,
                                     cfg.timelapse, cfg.grammar, exts=(".json",))
     polys = (roiio.load_roi_polygons(base + ".json")
              if os.path.exists(base + ".json") else None)
+    return D, A, I, Aonly, polys
+
+
+def process_pair_nesprin2(key, dpath, apath, roi_dir, cfg: Nesprin2Config,
+                          dirs, log=print, loaded=None) -> List[dict]:
+    from ..report import render
+
+    s, t_code = key
+    tag = f"{s}_{t_code}" if (cfg.timelapse and t_code is not None) else s
+    D, A, I, Aonly, polys = loaded if loaded is not None else \
+        load_pair_nesprin2(key, dpath, apath, roi_dir, cfg)
+    H, W = D.shape
     if not polys:
         log(f"[Warn] {tag}: no ROI — skipped")
         return []
@@ -442,12 +449,19 @@ def run_nesprin2(
         "png_crop_int_r": os.path.join(out_root, "PNG", "CROP_INT", "rim"),
     }
 
+    from ..parallel.runner import PrefetchLoader
+
+    loader = PrefetchLoader(
+        lambda kv: (kv, load_pair_nesprin2(kv[0], kv[1], kv[2], roi_dir, cfg)),
+        pairs, workers=8,
+    )
     rows_all: List[dict] = []
-    for key, dpath, apath in pairs:
+    for (key, dpath, apath), loaded in loader:
         tag = key[0] if key[1] is None else f"{key[0]}_{key[1]}"
         log(f"[Processing] {tag} ...")
         rows_all.extend(
-            process_pair_nesprin2(key, dpath, apath, roi_dir, cfg, dirs, log=log)
+            process_pair_nesprin2(key, dpath, apath, roi_dir, cfg, dirs,
+                                  log=log, loaded=loaded)
         )
 
     if cfg.do_xls:
