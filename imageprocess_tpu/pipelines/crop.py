@@ -159,16 +159,21 @@ def run_crop(
     hi_p = jnp.int32(p1000_of(100.0 - cfg.high_cut))
     written: List[str] = []
 
-    for (s, t_code), ipath in sorted(fmap.items()):
-        raw_full = tiffio.read_tiff(ipath)
-        raw_full = tiffio.squeeze_first_channel(raw_full)
-        img = raw_full.astype(np.float32, copy=False)
-        H, W = img.shape
-        keytag = f"{s}{('_' + t_code) if (cfg.timelapse and t_code) else ''}"
+    from ..parallel.runner import PrefetchLoader
 
+    def _load(item):
+        (s, t_code), ipath = item
+        raw = tiffio.squeeze_first_channel(tiffio.read_tiff(ipath))
+        keytag = f"{s}{('_' + t_code) if (cfg.timelapse and t_code) else ''}"
         base = os.path.join(roi_dir, keytag)
         polys = (roiio.load_roi_polygons(base + ".json")
                  if os.path.exists(base + ".json") else None)
+        return (s, t_code), keytag, raw, polys
+
+    for (s, t_code), keytag, raw_full, polys in PrefetchLoader(
+            _load, sorted(fmap.items()), workers=8):
+        img = raw_full.astype(np.float32, copy=False)
+        H, W = img.shape
         if not polys:
             log(f"[skip] no ROI {keytag}")
             continue

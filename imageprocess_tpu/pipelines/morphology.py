@@ -200,8 +200,19 @@ def run_morphology(
     log(f"[info] files: {len(files_all)} | used: {len(files)} | "
         f"no-channel: {skipped_noch} | other-channel: {skipped_mismatch}")
 
+    from ..parallel.runner import PrefetchLoader
+
+    def _load(img_path):
+        base = os.path.basename(img_path)
+        roi_base = naming.find_roi_basepath(
+            roi_dir, base, cfg.timelapse, cfg.grammar, exts=(".json",)
+        )
+        polys = (roiio.load_roi_polygons(roi_base + ".json")
+                 if os.path.exists(roi_base + ".json") else None)
+        return img_path, tiffio.read_2d(img_path), polys
+
     rows: List[dict] = []
-    for img_path in files:
+    for img_path, img, polys in PrefetchLoader(_load, files, workers=8):
         base = os.path.basename(img_path)
         k = meta[img_path]
         if k.stage is None:
@@ -210,13 +221,6 @@ def run_morphology(
         S = naming.fmt_stage(k.stage)
         t_code = naming.fmt_time(k.time) if (cfg.timelapse and k.time is not None) else None
         tag = f"{S}_{t_code}" if (cfg.timelapse and t_code is not None) else S
-
-        img = tiffio.read_2d(img_path)
-        roi_base = naming.find_roi_basepath(
-            roi_dir, base, cfg.timelapse, cfg.grammar, exts=(".json",)
-        )
-        polys = (roiio.load_roi_polygons(roi_base + ".json")
-                 if os.path.exists(roi_base + ".json") else None)
         if not polys:
             log(f"[warn] ROI not found: {tag}.json")
             continue

@@ -75,3 +75,46 @@ def test_cli_all_experiments(tmp_path, capsys):
     for exp in ("e1", "e2"):
         assert os.path.exists(os.path.join(
             tmp_path, exp, "RES", "xls", "fluor_intensity_perROI.csv"))
+
+
+def test_cli_smoke_remaining_subcommands(tmp_path, capsys):
+    """fret / nesprin2 / crop / roi-auto / refine / fa through the CLI on a
+    tiny synthetic experiment."""
+    import numpy as np
+
+    from imageprocess_tpu.core import roiio, tiffio
+
+    rng = np.random.default_rng(0)
+    H, W = 80, 112
+    poly = np.array([[15, 15], [60, 18], [55, 60], [12, 55]], float)
+    (tmp_path / "roi").mkdir()
+    for ch in (1, 2):
+        img = rng.integers(10, 2000, (H, W)).astype(np.uint16)
+        yy, xx = np.mgrid[0:H, 0:W]
+        img = (img + 3000 * np.exp(-((yy - 38) ** 2 + (xx - 36) ** 2) / 60.0)
+               ).clip(0, 65535).astype(np.uint16)
+        tiffio.write_tiff16(str(tmp_path / f"S01_{ch}.TIF"), img)
+    roiio.save_roi_bundle(str(tmp_path / "roi" / "S01.json"), "S01", (H, W),
+                          [poly])
+    f = str(tmp_path)
+
+    assert main(["fret", f, "--donor-ch", "1", "--acceptor-ch", "2",
+                 "--out", f + "/RES_F"]) == 0
+    assert main(["nesprin2", f, "--donor-ch", "1", "--fret-ch", "2",
+                 "--px-um", "0.223", "--rim-um", "1.0",
+                 "--out", f + "/RES_N"]) == 0
+    assert main(["crop", f, "--channel", "1", "--no-png", "--tiff16",
+                 "--out", f + "/RES_C"]) == 0
+    assert main(["roi-auto", f, "--channel", "1", "--thr-mode", "mean_std",
+                 "--min-size-px", "20", "--out", f + "/roi_auto"]) == 0
+    assert main(["refine", f, "--thr", "90", "--min-area", "10"]) == 0
+    assert main(["fa", f, "--roi-dir", f + "/roi", "--out", f + "/BND_FA",
+                 "--channel", "1", "--alpha", "1.5",
+                 "--min-area-um", "0.2"]) == 0
+
+    import os
+    assert os.path.exists(f + "/RES_F/xls/fret_ratio_perROI.csv")
+    assert os.path.exists(f + "/RES_N/xls/nesprin2_fret_perROI.csv")
+    assert os.path.exists(f + "/RES_C/TIFF16/S01_roi1_ch1.tif")
+    assert os.path.exists(f + "/roi_auto/S01.json")
+    assert os.path.exists(f + "/roi/mask/S01_mask.tif")  # refine bundle
