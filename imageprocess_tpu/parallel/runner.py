@@ -159,10 +159,21 @@ def sharded_batched_intensity_tiled(mesh: Mesh, *, tile: int,
     )
 
 
+class LoadError:
+    """Sentinel yielded by PrefetchLoader when an item's load_fn raised:
+    carries the item and the exception so callers can log-and-skip (the
+    reference's best-effort worker error handling, SURVEY §5)."""
+
+    def __init__(self, item, error):
+        self.item = item
+        self.error = error
+
+
 class PrefetchLoader:
     """Decode-ahead host loader: maps *load_fn* over work items with a
     thread pool, yielding results in order while later decodes overlap
-    device compute."""
+    device compute.  Items whose load raises yield a ``LoadError`` instead
+    of aborting the iteration."""
 
     def __init__(self, load_fn: Callable, items: Sequence, workers: int = 8,
                  ahead: int = 16):
@@ -180,10 +191,15 @@ class PrefetchLoader:
                     futures.append(pool.submit(self._load, next(it)))
                 except StopIteration:
                     break
+            idx = 0
             while futures:
                 fut = futures.pop(0)
                 try:
                     futures.append(pool.submit(self._load, next(it)))
                 except StopIteration:
                     pass
-                yield fut.result()
+                try:
+                    yield fut.result()
+                except Exception as e:  # noqa: BLE001 - surfaced to caller
+                    yield LoadError(self._items[idx], e)
+                idx += 1

@@ -170,8 +170,13 @@ def run_crop(
                  if os.path.exists(base + ".json") else None)
         return (s, t_code), keytag, raw, polys
 
-    for (s, t_code), keytag, raw_full, polys in PrefetchLoader(
-            _load, sorted(fmap.items()), workers=8):
+    from ..parallel.runner import LoadError
+
+    for item in PrefetchLoader(_load, sorted(fmap.items()), workers=8):
+        if isinstance(item, LoadError):
+            log(f"[error] {item.item[0]}: {item.error}")
+            continue
+        (s, t_code), keytag, raw_full, polys = item
         img = raw_full.astype(np.float32, copy=False)
         H, W = img.shape
         if not polys:

@@ -351,8 +351,14 @@ def run_fret(
         lambda kv: (kv, load_pair(kv[0], kv[1], kv[2], roi_dir, cfg)),
         pairs, workers=max(1, prefetch_workers),
     )
+    from ..parallel.runner import LoadError
+
     rows_all: List[dict] = []
-    for (key, dpath, apath), loaded in loader:
+    for item in loader:
+        if isinstance(item, LoadError):
+            log(f"[Error] {item.item[0]}: {item.error}")
+            continue
+        (key, dpath, apath), loaded = item
         log(f"  - Processing: {key[0] if key[1] is None else f'{key[0]}_{key[1]}'}")
         rows_all.extend(
             process_pair(key, dpath, apath, roi_dir, cfg, dirs, log=log,

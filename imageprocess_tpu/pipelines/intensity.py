@@ -429,8 +429,14 @@ def run_intensity_batched(
         lambda kv: (kv[0], load_key(kv[0], kv[1], roi_dir, cfg)),
         list(keymap.items()), workers=max(1, prefetch_workers),
     )
+    from ..parallel.runner import LoadError
+
     loaded_all = []
-    for key, (stid, payload) in loader:
+    for item in loader:
+        if isinstance(item, LoadError):
+            log(f"[ERROR][WORKER] {item.item[0]}: {item.error}")
+            continue
+        key, (stid, payload) = item
         if isinstance(payload, str):
             log(payload)
             continue
@@ -596,12 +602,27 @@ def run_intensity(
             render.save_intensity_images(extras, cfg, out_root)
 
     try:
+        from ..parallel.runner import LoadError
+
         in_flight = None  # one key pipelined: upload k+1 overlaps fetch of k
-        for key, chmap, loaded in loader:
+        for item in loader:
+            if isinstance(item, LoadError):
+                logger(f"[ERROR][WORKER] {item.item[0]}: {item.error}")
+                if prog is not None:
+                    prog.step(1)
+                continue
+            key, chmap, loaded = item
             if cancel is not None and cancel():
                 logger("[CANCELLED]")
                 break
-            pending, logs = submit_key(key, chmap, roi_dir, cfg, loaded=loaded)
+            # per-key error isolation: a corrupt frame logs and skips, like
+            # the reference's worker exception capture (Fluor_INT.py:1139-1143)
+            try:
+                pending, logs = submit_key(key, chmap, roi_dir, cfg,
+                                           loaded=loaded)
+            except Exception as e:
+                logger(f"[ERROR][WORKER] {key}: {e}")
+                pending, logs = None, []
             for line in logs:
                 logger(line)
             if pending is None:

@@ -211,8 +211,14 @@ def run_morphology(
                  if os.path.exists(roi_base + ".json") else None)
         return img_path, tiffio.read_2d(img_path), polys
 
+    from ..parallel.runner import LoadError
+
     rows: List[dict] = []
-    for img_path, img, polys in PrefetchLoader(_load, files, workers=8):
+    for item in PrefetchLoader(_load, files, workers=8):
+        if isinstance(item, LoadError):
+            log(f"[error] {os.path.basename(str(item.item))}: {item.error}")
+            continue
+        img_path, img, polys = item
         base = os.path.basename(img_path)
         k = meta[img_path]
         if k.stage is None:

@@ -455,8 +455,14 @@ def run_nesprin2(
         lambda kv: (kv, load_pair_nesprin2(kv[0], kv[1], kv[2], roi_dir, cfg)),
         pairs, workers=8,
     )
+    from ..parallel.runner import LoadError
+
     rows_all: List[dict] = []
-    for (key, dpath, apath), loaded in loader:
+    for item in loader:
+        if isinstance(item, LoadError):
+            log(f"[Error] {item.item[0]}: {item.error}")
+            continue
+        (key, dpath, apath), loaded = item
         tag = key[0] if key[1] is None else f"{key[0]}_{key[1]}"
         log(f"[Processing] {tag} ...")
         rows_all.extend(

@@ -66,3 +66,30 @@ def test_fa_restore_cell_settings(tmp_path):
                             "max_area_um": 25.0, "close_radius": 2,
                             "subtract_bg": False}}
     assert restore_cell_settings(str(tmp_path), "S09") == {}
+
+
+def test_corrupt_frame_is_skipped(tmp_path):
+    """A corrupt TIFF logs an error and the run continues
+    (reference worker error capture, Fluor_INT.py:1139-1143)."""
+    import numpy as np
+
+    from imageprocess_tpu.core import roiio, tiffio
+    from imageprocess_tpu.pipelines.intensity import IntensityConfig, run_intensity
+
+    rng = np.random.default_rng(0)
+    H, W = 64, 96
+    poly = np.array([[10, 10], [50, 12], [48, 50], [8, 46]], float)
+    (tmp_path / "roi").mkdir()
+    for s in (1, 2):
+        roiio.save_roi_bundle(str(tmp_path / "roi" / f"S{s:02d}.json"),
+                              f"S{s:02d}", (H, W), [poly])
+    tiffio.write_tiff16(str(tmp_path / "S01_1.TIF"),
+                        rng.integers(10, 2000, (H, W)).astype(np.uint16))
+    (tmp_path / "S02_1.TIF").write_bytes(b"not a tiff at all")
+
+    logs = []
+    rows = run_intensity(str(tmp_path), IntensityConfig(channels=(1,),
+                                                        do_xls=False),
+                         out_root=str(tmp_path / "RES"), log=logs.append)
+    assert len(rows) == 1 and rows[0]["stage"] == "S01"
+    assert any("[ERROR][WORKER]" in l and "S02" in l for l in logs)
