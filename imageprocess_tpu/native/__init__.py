@@ -68,17 +68,26 @@ def _load():
         lib.ip_tiff_decode_batch.argtypes = [
             ctypes.POINTER(ctypes.c_char_p), ctypes.c_int, ctypes.c_int,
             ctypes.POINTER(ctypes.c_uint8), ctypes.c_longlong,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
         ]
         lib.ip_tiff_decode_batch.restype = ctypes.c_int
+        lib.ip_u16_percentile_strided.argtypes = [
+            ctypes.POINTER(ctypes.c_uint16), ctypes.c_longlong,
+            ctypes.c_longlong, ctypes.c_int,
+        ]
+        lib.ip_u16_percentile_strided.restype = ctypes.c_double
         _lib = lib
         return _lib
 
 
 def decode_tiff_batch(paths, page: int = 0) -> Optional[np.ndarray]:
     """Decode N same-shaped TIFFs into one (N, H, W[, S]) array with a
-    single native call (per-file thread pool in C++).  Returns None when
-    the native library is unavailable or any file is unsupported — callers
-    fall back to per-file decode."""
+    single native call (per-file thread pool in C++; per-file decode runs
+    single-threaded inside the pool).  Every file must match the first
+    file's (H, W, bits, samples) — the native side verifies and errors on
+    mismatch rather than decoding into a misaligned slot.  Returns None
+    when the native library is unavailable or any file is unsupported —
+    callers fall back to per-file decode."""
     lib = _load()
     if lib is None or not paths:
         return None
@@ -99,10 +108,28 @@ def decode_tiff_batch(paths, page: int = 0) -> Optional[np.ndarray]:
         arr, len(paths), page,
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
         out.nbytes // len(paths),
+        h.value, w.value, bits.value, samples.value,
     )
     if rc != 0:
         return None
     return out
+
+
+def u16_percentile_strided(arr: np.ndarray, stride: int, p1000: int) -> float:
+    """Exact ``np.percentile(arr.ravel()[::stride], p1000/1000)`` for uint16
+    arrays (counting pass, no sort — ~10x faster than np.percentile on this
+    host).  Falls back to numpy when the native library is unavailable."""
+    a = np.ascontiguousarray(arr, dtype=np.uint16)
+    lib = _load()
+    if lib is not None:
+        return float(lib.ip_u16_percentile_strided(
+            a.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
+            a.size, max(1, int(stride)), int(p1000),
+        ))
+    vals = a.ravel()[::max(1, int(stride))]
+    if vals.size == 0:
+        return 0.0
+    return float(np.percentile(vals.astype(np.float64), p1000 / 1000.0))
 
 
 def decode_tiff(path: str, page: int = 0) -> Optional[np.ndarray]:

@@ -17,12 +17,16 @@
 //   int ip_tiff_info(path, page, *height, *width, *bits_per_sample,
 //                    *samples_per_pixel)           -> 0 ok / negative error
 //   int ip_tiff_decode(path, page, out, out_bytes) -> 0 ok / negative error
+//   int ip_tiff_decode_batch(paths, n, page, out, frame_bytes,
+//                            height, width, bits, samples)
+//       -> 0 ok / negative error; every file must match the given shape
 //   const char* ip_tiff_error()                    -> last error string
 
 #include <atomic>
 #include <cstdint>
 #include <cstdio>
 #include <cstring>
+#include <mutex>
 #include <string>
 #include <thread>
 #include <vector>
@@ -89,8 +93,8 @@ uint32_t entry_value(const Reader& r, const IFDEntry& e, size_t entry_off,
     return 0;
 }
 
-bool parse_page(const Reader& r, int page, TiffPage* out) {
-    if (r.data.size() < 8) { g_error = "file too small"; return false; }
+bool parse_page(const Reader& r, int page, TiffPage* out, std::string* err) {
+    if (r.data.size() < 8) { *err = "file too small"; return false; }
     uint32_t ifd_off = r.u32(4);
     for (int p = 0; p < page; ++p) {
         uint16_t n = r.u16(ifd_off);
@@ -99,7 +103,7 @@ bool parse_page(const Reader& r, int page, TiffPage* out) {
         ifd_off = next;
     }
     uint16_t n = r.u16(ifd_off);
-    if (n == 0) { g_error = "empty IFD"; return false; }
+    if (n == 0) { *err = "empty IFD"; return false; }
     for (uint16_t i = 0; i < n; ++i) {
         size_t eo = ifd_off + 2 + 12u * i;
         IFDEntry e{r.u16(eo), r.u16(eo + 2), r.u32(eo + 4), r.u32(eo + 8)};
@@ -125,7 +129,7 @@ bool parse_page(const Reader& r, int page, TiffPage* out) {
         }
     }
     if (!out->width || !out->height || out->strip_offsets.empty()) {
-        g_error = "missing required tags";
+        *err = "missing required tags";
         return false;
     }
     if (out->bits == 0) out->bits = 1;
@@ -135,43 +139,54 @@ bool parse_page(const Reader& r, int page, TiffPage* out) {
 
 // TIFF-variant LZW decode (9..12-bit codes, early change).
 //
-// Strings are emitted by memcpy from the already-decoded OUTPUT history:
+// Strings are emitted by copying from the already-decoded OUTPUT history:
 // every table code remembers where its string first appeared in dst, so
-// emission is a sequential forward copy (overlap-safe byte loop only when
-// regions overlap) instead of a per-byte backward chain walk.
+// emission is a forward copy (fixed 16-byte block copies for the common
+// short strings; overlap-safe byte loop only when regions overlap)
+// instead of a per-byte backward chain walk.
+//
+// A stream is valid only if it fills dst exactly: a short stream means a
+// truncated/corrupt strip and must fail (so callers surface it as a
+// LoadError instead of reading uninitialized memory).
 bool lzw_decode(const uint8_t* src, size_t src_len, uint8_t* dst,
-                size_t dst_len) {
+                size_t dst_len, std::string* err) {
     constexpr int kClear = 256, kEoi = 257, kFirstFree = 258, kMaxCode = 4096;
     static thread_local std::vector<uint32_t> pos;  // first emission offset
     static thread_local std::vector<uint32_t> len;
     pos.assign(kMaxCode, 0);
     len.assign(kMaxCode, 0);
+    uint32_t* const posp = pos.data();
+    uint32_t* const lenp = len.data();
+    for (int i = 0; i < 256; ++i) lenp[i] = 1;
 
     int next_code = kFirstFree, code_bits = 9;
+    uint32_t code_mask = (1u << 9) - 1;
     uint64_t bitbuf = 0;
     int bitcnt = 0;
     size_t si = 0, di = 0;
     int prev_code = -1;
+    // Fast emit is allowed while the write cursor stays >=16 bytes clear of
+    // the end; the tail runs through the careful path.
+    const size_t safe_end = dst_len >= 16 ? dst_len - 16 : 0;
 
-    auto emit = [&](int code) {
-        uint32_t l = len[code];
+    // Careful emit for the tail region: clips at dst_len.
+    auto emit_careful = [&](int code) {
+        uint32_t l = lenp[code];
         if (di + l > dst_len) l = (uint32_t)(dst_len - di);
         if (code < 256) {
             if (di < dst_len) dst[di] = (uint8_t)code;
             di += l;
             return;
         }
-        const uint8_t* s = dst + pos[code];
+        const uint8_t* s = dst + posp[code];
         uint8_t* d = dst + di;
-        if (pos[code] + l <= di) {
+        if (posp[code] + l <= di) {
             std::memcpy(d, s, l);
         } else {  // overlapping (run-length-style) copy
             for (uint32_t i = 0; i < l; ++i) d[i] = s[i];
         }
         di += l;
     };
-
-    for (int i = 0; i < 256; ++i) len[i] = 1;
 
     while (si < src_len || bitcnt >= code_bits) {
         if (bitcnt < code_bits) {
@@ -189,48 +204,75 @@ bool lzw_decode(const uint8_t* src, size_t src_len, uint8_t* dst,
                 if (bitcnt < code_bits) break;
             }
         }
-        int code = (int)((bitbuf >> (bitcnt - code_bits)) & ((1u << code_bits) - 1));
+        int code = (int)((bitbuf >> (bitcnt - code_bits)) & code_mask);
         bitcnt -= code_bits;
 
         if (code == kEoi) break;
         if (code == kClear) {
             next_code = kFirstFree;
             code_bits = 9;
+            code_mask = (1u << 9) - 1;
             prev_code = -1;
             continue;
         }
         if (prev_code < 0) {
-            if (code >= 256) { g_error = "bad first LZW code"; return false; }
-            emit(code);
-            prev_code = code;
+            if (code >= 256) { *err = "bad first LZW code"; return false; }
+            if (di < dst_len) dst[di] = (uint8_t)code;
+            ++di;
         } else {
             int new_entry = next_code;
-            if (code > new_entry) { g_error = "bad LZW code"; return false; }
+            if (code > new_entry) { *err = "bad LZW code"; return false; }
             // new entry = prev string + first char of current emission;
             // both live contiguously starting at prev string's last emission,
             // i.e. at (di - len[prev]) once we emit at di.
-            size_t prev_start = di - len[prev_code];
+            size_t prev_start = di - lenp[prev_code];
             if (new_entry < kMaxCode) {
-                pos[new_entry] = (uint32_t)prev_start;
-                len[new_entry] = len[prev_code] + 1;
+                posp[new_entry] = (uint32_t)prev_start;
+                lenp[new_entry] = lenp[prev_code] + 1;
             }
-            if (code == new_entry) {
-                // KwKwK case: string = prev + prev[0]; it starts at
-                // prev_start and we're about to emit it at di, so the
-                // overlap-safe emit reproduces it correctly.
-                emit(new_entry < kMaxCode ? new_entry : code);
+            // KwKwK case (code == new_entry): string = prev + prev[0]; it
+            // starts at prev_start and is about to be emitted at di, so the
+            // overlap-safe path reproduces it correctly.
+            int ec = (code == new_entry && new_entry < kMaxCode) ? new_entry
+                                                                 : code;
+            uint32_t l = lenp[ec];
+            if (di + l <= safe_end) {
+                if (ec < 256) {
+                    dst[di] = (uint8_t)ec;
+                } else {
+                    uint32_t p = posp[ec];
+                    const uint8_t* s = dst + p;
+                    uint8_t* d = dst + di;
+                    if (l <= 16 && p + 16 <= di) {
+                        // fixed-size block copy: covers the common short
+                        // strings without memcpy length dispatch
+                        std::memcpy(d, s, 16);
+                    } else if (p + l <= di) {
+                        std::memcpy(d, s, l);
+                    } else {
+                        for (uint32_t i = 0; i < l; ++i) d[i] = s[i];
+                    }
+                }
+                di += l;
             } else {
-                emit(code);
+                emit_careful(ec);
             }
             // record/refresh this code's latest emission position so future
             // table entries reference in-bounds history
-            if (code < kMaxCode) pos[code] = (uint32_t)(di - len[code]);
+            if (code < kMaxCode) posp[code] = (uint32_t)(di - lenp[code]);
             ++next_code;
             // TIFF early change: bump width one code early
-            if (next_code == (1 << code_bits) - 1 && code_bits < 12) ++code_bits;
-            prev_code = code;
+            if (next_code == (1 << code_bits) - 1 && code_bits < 12) {
+                ++code_bits;
+                code_mask = (1u << code_bits) - 1;
+            }
         }
+        prev_code = code;
         if (di >= dst_len) break;
+    }
+    if (di != dst_len) {
+        *err = "short LZW stream (truncated or corrupt strip)";
+        return false;
     }
     return true;
 }
@@ -247,77 +289,57 @@ void undo_predictor(uint8_t* row, uint32_t width, uint16_t bits,
     }
 }
 
-bool load_file(const char* path, Reader* r) {
+bool load_file(const char* path, Reader* r, std::string* err) {
     FILE* f = std::fopen(path, "rb");
-    if (!f) { g_error = "cannot open file"; return false; }
+    if (!f) { *err = "cannot open file"; return false; }
     std::fseek(f, 0, SEEK_END);
     long sz = std::ftell(f);
     std::fseek(f, 0, SEEK_SET);
     r->data.resize((size_t)sz);
     size_t got = std::fread(r->data.data(), 1, (size_t)sz, f);
     std::fclose(f);
-    if (got != (size_t)sz) { g_error = "short read"; return false; }
-    if (sz < 8) { g_error = "not a TIFF"; return false; }
+    if (got != (size_t)sz) { *err = "short read"; return false; }
+    if (sz < 8) { *err = "not a TIFF"; return false; }
     if (r->data[0] == 'I' && r->data[1] == 'I') r->big_endian = false;
     else if (r->data[0] == 'M' && r->data[1] == 'M') r->big_endian = true;
-    else { g_error = "not a TIFF"; return false; }
-    if (r->u16(2) != 42) { g_error = "not classic TIFF"; return false; }
+    else { *err = "not a TIFF"; return false; }
+    if (r->u16(2) != 42) { *err = "not classic TIFF"; return false; }
     return true;
 }
 
-}  // namespace
-
-extern "C" {
-
-const char* ip_tiff_error() { return g_error.c_str(); }
-
-int ip_tiff_info(const char* path, int page, int* height, int* width,
-                 int* bits_per_sample, int* samples_per_pixel) {
-    Reader r;
-    if (!load_file(path, &r)) return -1;
-    TiffPage pg;
-    if (!parse_page(r, page, &pg)) return -2;
+int validate_page(const TiffPage& pg, std::string* err) {
     if (pg.compression != 1 && pg.compression != 5) {
-        g_error = "unsupported compression";
+        *err = "unsupported compression";
         return -3;
     }
     if (pg.bits != 8 && pg.bits != 16) {
-        g_error = "unsupported bit depth";
+        *err = "unsupported bit depth";
         return -4;
     }
-    *height = (int)pg.height;
-    *width = (int)pg.width;
-    *bits_per_sample = (int)pg.bits;
-    *samples_per_pixel = (int)pg.samples;
     return 0;
 }
 
-int ip_tiff_decode(const char* path, int page, uint8_t* out,
-                   long long out_bytes) {
-    Reader r;
-    if (!load_file(path, &r)) return -1;
-    TiffPage pg;
-    if (!parse_page(r, page, &pg)) return -2;
-    if (pg.compression != 1 && pg.compression != 5) {
-        g_error = "unsupported compression";
-        return -3;
-    }
-    if (pg.bits != 8 && pg.bits != 16) {
-        g_error = "unsupported bit depth";
-        return -4;
-    }
+// Decode one parsed page into out.  max_threads==1 runs inline (used by the
+// batch call, whose parallelism is per-file); otherwise strips fan out over
+// up to hardware_concurrency threads.
+int decode_page(const Reader& r, const TiffPage& pg, uint8_t* out,
+                long long out_bytes, unsigned max_threads, std::string* err) {
     size_t bytes_per_px = (pg.bits / 8) * pg.samples;
     size_t row_bytes = (size_t)pg.width * bytes_per_px;
     size_t need = row_bytes * pg.height;
-    if ((long long)need > out_bytes) { g_error = "output buffer too small"; return -5; }
+    if ((long long)need > out_bytes) { *err = "output buffer too small"; return -5; }
 
     size_t n_strips = pg.strip_offsets.size();
     std::atomic<int> rc{0};
+    std::mutex err_mu;
     unsigned hw = std::thread::hardware_concurrency();
-    size_t n_threads = hw ? (hw < n_strips ? hw : n_strips) : 1;
+    if (hw == 0) hw = 1;
+    if (hw > max_threads) hw = max_threads;
+    size_t n_threads = hw < n_strips ? hw : n_strips;
     if (n_threads == 0) n_threads = 1;
 
     auto work = [&](size_t tid) {
+        std::string werr;
         for (size_t s = tid; s < n_strips; s += n_threads) {
             uint32_t row0 = (uint32_t)(s * pg.rows_per_strip);
             if (row0 >= pg.height) continue;
@@ -328,13 +350,26 @@ int ip_tiff_decode(const char* path, int page, uint8_t* out,
             uint32_t off = pg.strip_offsets[s];
             uint32_t cnt = s < pg.strip_counts.size() ? pg.strip_counts[s]
                                                       : (uint32_t)strip_bytes;
-            if ((size_t)off + cnt > r.data.size()) { rc = -6; return; }
+            if ((size_t)off + cnt > r.data.size()) {
+                rc = -6;
+                std::lock_guard<std::mutex> g(err_mu);
+                *err = "strip outside file";
+                return;
+            }
             if (pg.compression == 1) {
-                size_t c = cnt < strip_bytes ? cnt : strip_bytes;
-                std::memcpy(dst, r.data.data() + off, c);
+                if (cnt < strip_bytes) {
+                    rc = -6;
+                    std::lock_guard<std::mutex> g(err_mu);
+                    *err = "short uncompressed strip";
+                    return;
+                }
+                std::memcpy(dst, r.data.data() + off, strip_bytes);
             } else {
-                if (!lzw_decode(r.data.data() + off, cnt, dst, strip_bytes)) {
+                if (!lzw_decode(r.data.data() + off, cnt, dst, strip_bytes,
+                                &werr)) {
                     rc = -7;
+                    std::lock_guard<std::mutex> g(err_mu);
+                    *err = werr;
                     return;
                 }
             }
@@ -364,14 +399,87 @@ int ip_tiff_decode(const char* path, int page, uint8_t* out,
     return rc.load();
 }
 
+int decode_one(const char* path, int page, uint8_t* out, long long out_bytes,
+               unsigned max_threads, std::string* err) {
+    Reader r;
+    if (!load_file(path, &r, err)) return -1;
+    TiffPage pg;
+    if (!parse_page(r, page, &pg, err)) return -2;
+    int rc = validate_page(pg, err);
+    if (rc != 0) return rc;
+    return decode_page(r, pg, out, out_bytes, max_threads, err);
+}
+
+}  // namespace
+
+extern "C" {
+
+const char* ip_tiff_error() { return g_error.c_str(); }
+
+int ip_tiff_info(const char* path, int page, int* height, int* width,
+                 int* bits_per_sample, int* samples_per_pixel) {
+    Reader r;
+    if (!load_file(path, &r, &g_error)) return -1;
+    TiffPage pg;
+    if (!parse_page(r, page, &pg, &g_error)) return -2;
+    int rc = validate_page(pg, &g_error);
+    if (rc != 0) return rc;
+    *height = (int)pg.height;
+    *width = (int)pg.width;
+    *bits_per_sample = (int)pg.bits;
+    *samples_per_pixel = (int)pg.samples;
+    return 0;
+}
+
+int ip_tiff_decode(const char* path, int page, uint8_t* out,
+                   long long out_bytes) {
+    unsigned hw = std::thread::hardware_concurrency();
+    return decode_one(path, page, out, out_bytes, hw ? hw : 1, &g_error);
+}
+
+double ip_u16_percentile_strided(const uint16_t* buf, long long n_total,
+                                 long long stride, int p1000) {
+    // Exact np.percentile (method="linear") of buf[::stride] for u16 data,
+    // via a 65536-bin counting pass + integer order-statistic lookup —
+    // O(n) with no sort.  Matches the reference's host background
+    // percentile (src/INT/Fluor_INT.py:461-492, vals[::stride]) bit-for-bit
+    // for integer pixel values.  p1000 = percentile in thousandths.
+    if (stride < 1) stride = 1;
+    std::vector<uint32_t> hist(65536, 0);
+    long long n = 0;
+    for (long long i = 0; i < n_total; i += stride) {
+        ++hist[buf[i]];
+        ++n;
+    }
+    if (n == 0) return 0.0;
+    long long idx = (n - 1) * (long long)p1000;
+    long long k = idx / 100000;
+    double g = (double)(idx % 100000) / 100000.0;
+    long long k1 = k + 1 <= n - 1 ? k + 1 : k;
+    long long c = 0;
+    int lo = -1, hi = -1;
+    for (int v = 0; v < 65536; ++v) {
+        c += hist[v];
+        if (lo < 0 && c >= k + 1) lo = v;
+        if (c >= k1 + 1) { hi = v; break; }
+    }
+    if (hi < 0) hi = lo;
+    return (double)lo + g * (double)(hi - lo);
+}
+
 int ip_tiff_decode_batch(const char** paths, int n_files, int page,
-                         uint8_t* out, long long frame_bytes) {
+                         uint8_t* out, long long frame_bytes,
+                         int height, int width, int bits, int samples) {
     // Decode n same-shaped files into one contiguous buffer, one worker
-    // thread per file (each file additionally strip-parallel inside
-    // ip_tiff_decode would oversubscribe; per-file threading is the right
-    // granularity for whole-experiment loads).
+    // thread per file; the per-file strip decode runs single-threaded so
+    // the pool never oversubscribes (file-level parallelism is the right
+    // granularity for whole-experiment loads).  Each file's shape must
+    // match (height, width, bits, samples) — a smaller frame decoding into
+    // a larger slot would silently misalign rows.
     std::atomic<int> rc{0};
     std::atomic<int> next{0};
+    std::mutex err_mu;
+    std::string first_err;
     unsigned hw = std::thread::hardware_concurrency();
     size_t n_threads = hw ? (hw < (unsigned)n_files ? hw : (unsigned)n_files) : 1;
 
@@ -379,10 +487,28 @@ int ip_tiff_decode_batch(const char** paths, int n_files, int page,
         for (;;) {
             int i = next.fetch_add(1);
             if (i >= n_files) return;
-            int r = ip_tiff_decode(paths[i], page,
-                                   out + (long long)i * frame_bytes,
-                                   frame_bytes);
-            if (r != 0) rc = r;
+            std::string err;
+            Reader r;
+            int frc = 0;
+            if (!load_file(paths[i], &r, &err)) frc = -1;
+            TiffPage pg;
+            if (frc == 0 && !parse_page(r, page, &pg, &err)) frc = -2;
+            if (frc == 0) frc = validate_page(pg, &err);
+            if (frc == 0 &&
+                ((int)pg.height != height || (int)pg.width != width ||
+                 (int)pg.bits != bits || (int)pg.samples != samples)) {
+                err = "batch shape mismatch: " + std::string(paths[i]);
+                frc = -8;
+            }
+            if (frc == 0)
+                frc = decode_page(r, pg, out + (long long)i * frame_bytes,
+                                  frame_bytes, 1, &err);
+            if (frc != 0) {
+                rc = frc;
+                std::lock_guard<std::mutex> g(err_mu);
+                if (first_err.empty())
+                    first_err = err + " [" + std::string(paths[i]) + "]";
+            }
         }
     };
     if (n_threads <= 1) {
@@ -392,6 +518,8 @@ int ip_tiff_decode_batch(const char** paths, int n_files, int page,
         for (size_t t = 0; t < n_threads; ++t) pool.emplace_back(work);
         for (auto& th : pool) th.join();
     }
+    // propagate worker error text to the calling thread's error slot
+    if (rc.load() != 0) g_error = first_err;
     return rc.load();
 }
 

@@ -1,0 +1,140 @@
+"""Native C++ TIFF/LZW decoder: round-trip, corruption, and batch-shape
+guards (native/tiff_lzw.cpp via imageprocess_tpu.native ctypes bindings).
+
+The reference reads TIFFs through tifffile-with-PIL-fallback
+(src/INT/Fluor_INT.py:350-368); the rebuild's native tier must fail loudly
+on corrupt input (feeding the per-key LoadError isolation) instead of
+returning partially-initialized buffers.
+"""
+
+import os
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from imageprocess_tpu.native import decode_tiff, decode_tiff_batch
+
+
+def _write(path, arr, compression="tiff_lzw"):
+    Image.fromarray(arr).save(path, format="TIFF", compression=compression)
+
+
+@pytest.fixture(scope="module")
+def rng():
+    return np.random.default_rng(7)
+
+
+@pytest.mark.parametrize("dtype,comp", [
+    (np.uint16, "tiff_lzw"),
+    (np.uint8, "tiff_lzw"),
+    (np.uint16, None),
+])
+def test_roundtrip_vs_pil(tmp_path_factory, rng, dtype, comp):
+    p = str(tmp_path_factory.mktemp("nat") / "a.tif")
+    hi = 65535 if dtype == np.uint16 else 255
+    arr = rng.integers(0, hi + 1, size=(300, 257)).astype(dtype)
+    _write(p, arr, compression=comp)
+    got = decode_tiff(p)
+    if got is None:
+        pytest.skip("native decoder unavailable")
+    assert got.dtype == arr.dtype
+    assert np.array_equal(got, np.asarray(Image.open(p)))
+
+
+def test_batch_matches_serial(tmp_path, rng):
+    paths = []
+    for i in range(4):
+        arr = rng.integers(0, 65536, size=(64, 96)).astype(np.uint16)
+        p = str(tmp_path / f"s{i}.tif")
+        _write(p, arr)
+        paths.append(p)
+    out = decode_tiff_batch(paths)
+    if out is None:
+        pytest.skip("native decoder unavailable")
+    assert out.shape == (4, 64, 96)
+    for i, p in enumerate(paths):
+        assert np.array_equal(out[i], np.asarray(Image.open(p)))
+
+
+def test_batch_rejects_shape_mismatch(tmp_path, rng):
+    """A smaller frame must NOT silently decode into a larger slot
+    (misaligned rows + uninitialized tail) — the batch call errors and the
+    wrapper returns None so callers fall back to per-file decode."""
+    a = rng.integers(0, 65536, size=(64, 96)).astype(np.uint16)
+    b = rng.integers(0, 65536, size=(32, 96)).astype(np.uint16)
+    pa, pb = str(tmp_path / "a.tif"), str(tmp_path / "b.tif")
+    _write(pa, a)
+    _write(pb, b)
+    if decode_tiff(pa) is None:
+        pytest.skip("native decoder unavailable")
+    assert decode_tiff_batch([pa, pb]) is None
+
+
+def test_truncated_lzw_strip_fails(tmp_path, rng):
+    """An in-bounds but short LZW stream must surface as a decode error
+    (None), not a silently half-filled buffer."""
+    arr = rng.integers(0, 65536, size=(128, 128)).astype(np.uint16)
+    p = str(tmp_path / "t.tif")
+    _write(p, arr)
+    if decode_tiff(p) is None:
+        pytest.skip("native decoder unavailable")
+    raw = bytearray(open(p, "rb").read())
+    # Truncate the file body: chop the last 25% of bytes and re-point any
+    # strip that now runs off the end... simpler: zero out the tail of the
+    # data so the LZW stream hits EOI/garbage early while staying in-bounds.
+    cut = len(raw) * 3 // 4
+    truncated = raw[:cut] + bytes(len(raw) - cut)
+    p2 = str(tmp_path / "t2.tif")
+    open(p2, "wb").write(bytes(truncated))
+    got = decode_tiff(p2)
+    # Either the header parse fails (None) or the strip decodes short (None);
+    # a full-size array of correct content is impossible from corrupt data.
+    if got is not None:
+        assert not np.array_equal(got, arr)
+        pytest.fail("corrupt file decoded without error")
+
+
+def test_truncated_single_strip_fails(tmp_path, rng):
+    """Surgically shorten one strip's byte count so the stream is valid but
+    short: decode must fail (ADVICE r1: di == dst_len check)."""
+    import struct
+
+    arr = rng.integers(0, 65536, size=(200, 64)).astype(np.uint16)
+    p = str(tmp_path / "s.tif")
+    _write(p, arr)
+    if decode_tiff(p) is None:
+        pytest.skip("native decoder unavailable")
+    raw = bytearray(open(p, "rb").read())
+    # classic little-endian TIFF: walk IFD entries, find StripByteCounts
+    # (279) and halve the first count value
+    ifd = struct.unpack_from("<I", raw, 4)[0]
+    n = struct.unpack_from("<H", raw, ifd)[0]
+    for i in range(n):
+        eo = ifd + 2 + 12 * i
+        tag, typ, cnt = struct.unpack_from("<HHI", raw, eo)
+        if tag != 279:
+            continue
+        if cnt == 1 and typ == 4:  # inline LONG
+            v = struct.unpack_from("<I", raw, eo + 8)[0]
+            struct.pack_into("<I", raw, eo + 8, max(1, v // 2))
+        else:
+            off = struct.unpack_from("<I", raw, eo + 8)[0]
+            size = 2 if typ == 3 else 4
+            fmt = "<H" if typ == 3 else "<I"
+            v = struct.unpack_from(fmt, raw, off)[0]
+            struct.pack_into(fmt, raw, off, max(1, v // 2))
+        break
+    else:
+        pytest.skip("no StripByteCounts tag found")
+    p2 = str(tmp_path / "s2.tif")
+    open(p2, "wb").write(bytes(raw))
+    assert decode_tiff(p2) is None
+
+
+def test_golden_parity(golden_intensity_dir):
+    p = os.path.join(golden_intensity_dir, "e1_P0", "S01_2.TIF")
+    got = decode_tiff(p)
+    if got is None:
+        pytest.skip("native decoder unavailable")
+    assert np.array_equal(got, np.asarray(Image.open(p)))
