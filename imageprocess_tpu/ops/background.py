@@ -20,9 +20,35 @@ from typing import Optional, Tuple
 
 import jax.numpy as jnp
 
-from .percentile import masked_quantile, strided_submask
+from .percentile import exact_quantile_pos, masked_quantile, strided_submask
 
 HIST_BINS = 2048
+U16_BINS = 65536
+
+
+def integral_masked_quantile(
+    x: jnp.ndarray, mask: jnp.ndarray, p1000: int
+) -> jnp.ndarray:
+    """Exact np.percentile-linear quantile of x[mask] for INTEGRAL frames
+    (u8/u16) via a 65536-bin histogram — no megapixel sort.
+
+    Bitwise-identical to sorting the float32-cast values: both order
+    statistics are exact integers and the interpolation formula is the
+    same.  On TPU the scatter-add + cumsum is ~10x cheaper than a
+    megapixel sort, which dominated the full-frame intensity program."""
+    xi = jnp.clip(x.astype(jnp.int32), 0, U16_BINS - 1).ravel()
+    hist = jnp.zeros((U16_BINS,), jnp.int32).at[xi].add(
+        mask.ravel().astype(jnp.int32)
+    )
+    n = hist.sum()
+    k, g = exact_quantile_pos(n, p1000)
+    cdf = jnp.cumsum(hist)
+    # value of the j-th order statistic = first bin with cdf > j
+    lo = jnp.clip(jnp.searchsorted(cdf, k, side="right"), 0, U16_BINS - 1)
+    k1 = jnp.minimum(k + 1, jnp.maximum(n - 1, 0))
+    hi = jnp.clip(jnp.searchsorted(cdf, k1, side="right"), 0, U16_BINS - 1)
+    val = lo.astype(jnp.float32) + g * (hi - lo).astype(jnp.float32)
+    return jnp.where(n > 0, val, jnp.nan)
 
 
 def histogram_mode_value(x: jnp.ndarray, mask: jnp.ndarray, p1000: int) -> jnp.ndarray:
@@ -62,22 +88,38 @@ def bg_value(
     stride: int = 4,
 ) -> jnp.ndarray:
     """Scalar background level of one 2-D frame."""
-    if scope_mask is None:
-        # full-frame scope: the i-th masked pixel IS flat index i, so the
-        # stride pattern is a plain iota test (avoids a megapixel cumsum).
-        if stride <= 1:
-            eff = jnp.ones(img.shape, bool)
-        else:
-            n = img.size
-            eff = (jnp.arange(n, dtype=jnp.int32) % stride == 0).reshape(img.shape)
-    else:
-        eff = strided_submask(scope_mask.astype(bool), stride)
-    if mode == "percentile":
-        b = masked_quantile(img, eff, p1000)
-    elif mode == "hist-mode":
-        b = histogram_mode_value(img, eff, p1000)
-    else:
+    if mode not in ("percentile", "hist-mode"):
         return jnp.float32(0.0)
+    if scope_mask is None:
+        # full-frame scope: the strided subsample img.ravel()[::stride] has
+        # a STATIC shape, so slice it out up front — the downstream sort or
+        # histogram shrinks by the stride factor (4x at GUI defaults)
+        # instead of masking the full frame.
+        sub = img.ravel()[::stride] if stride > 1 else img.ravel()
+        sub2 = sub[None, :]  # the helpers expect >=1-D x & mask pairs
+        eff = jnp.ones(sub2.shape, bool)
+        if mode == "percentile":
+            if jnp.issubdtype(img.dtype, jnp.integer):
+                b = integral_masked_quantile(sub2, eff, p1000)
+            else:
+                from .percentile import quantile_from_sorted
+
+                b = quantile_from_sorted(
+                    jnp.sort(sub.astype(jnp.float32)), sub.size, p1000
+                )
+        else:
+            b = histogram_mode_value(sub2.astype(jnp.float32), eff, p1000)
+        return b.astype(jnp.float32)
+    eff = strided_submask(scope_mask.astype(bool), stride)
+    if mode == "percentile":
+        if jnp.issubdtype(img.dtype, jnp.integer):
+            b = integral_masked_quantile(img, eff, p1000)
+        else:
+            b = masked_quantile(img, eff, p1000)
+    else:
+        # hist-mode bins in float32 (reference arithmetic); cast integral
+        # frames first so the binning matches the f32 path bit-for-bit
+        b = histogram_mode_value(img.astype(jnp.float32), eff, p1000)
     # empty scope -> 0.0 (reference: bg_value returns 0.0 for no values)
     return jnp.where(eff.sum() > 0, b, 0.0).astype(jnp.float32)
 

@@ -159,6 +159,38 @@ def sharded_batched_intensity_tiled(mesh: Mesh, *, tile: int,
     )
 
 
+@partial(jax.jit, static_argnames=("clip_neg",))
+def batched_tile_stats_step(
+    tiles: jnp.ndarray,        # (B, N, C, t, t) raw tile pixels (u16 ok)
+    local_polys: jnp.ndarray,  # (B, N, V, 2)
+    roi_valid: jnp.ndarray,    # (B, N)
+    bgs: jnp.ndarray,          # (B, C) float32 host-computed backgrounds
+    *,
+    clip_neg: bool = True,
+):
+    """Whole-batch minimum-transfer intensity program: the host gathers ROI
+    tiles and computes the (scalar) backgrounds natively, so only ~10% of
+    the pixel bytes cross the host->device link (the e2e bottleneck on the
+    tunneled chip).  Returns (stats (B, C, N), area (B, N))."""
+    from ..ops.roistats import tile_stats_from_gathered
+
+    f = partial(tile_stats_from_gathered, clip_neg=clip_neg)
+    return jax.vmap(f)(tiles, local_polys, roi_valid, bgs)
+
+
+def sharded_batched_tile_stats(mesh: Mesh, *, clip_neg=True) -> Callable:
+    """batched_tile_stats_step with the batch axis sharded over *mesh*."""
+    axis = mesh.axis_names[0]
+    shard = NamedSharding(mesh, P(axis))
+
+    f = partial(batched_tile_stats_step, clip_neg=clip_neg)
+    return jax.jit(
+        f,
+        in_shardings=(shard,) * 4,
+        out_shardings=(shard, shard),
+    )
+
+
 class LoadError:
     """Sentinel yielded by PrefetchLoader when an item's load_fn raised:
     carries the item and the exception so callers can log-and-skip (the

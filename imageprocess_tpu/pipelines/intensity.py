@@ -27,6 +27,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..core import naming, roiio, tiffio
+from ..core.i18n import t
 from ..core.naming import ChannelGrammar
 from ..geom.polygon import pad_polygons
 from ..geom.rasterize import rasterize_polygons
@@ -115,7 +116,6 @@ def intensity_step(
       imgs_bc: (C, H, W) float32 background-corrected frames.
     """
     C, H, W = imgs.shape
-    imgs = imgs.astype(jnp.float32)  # compact u16 upload, f32 on-chip
     if use_masks:
         masks = masks_in & roi_valid[:, None, None]
     else:
@@ -126,10 +126,14 @@ def intensity_step(
     if bg_mode == "none":
         bgs = jnp.zeros((C,), jnp.float32)
     else:
+        # BG from the RAW (possibly integral) frames: u16 inputs take the
+        # exact histogram quantile (no megapixel sort), bit-identical to
+        # sorting the f32 cast
         bgs = jax.vmap(
             lambda im, p: bg_value(im, p, scope, bg_mode, bg_stride)
         )(imgs, p1000s)
 
+    imgs = imgs.astype(jnp.float32)  # compact u16 upload, f32 on-chip
     imgs_bc = imgs - bgs[:, None, None]
     if clip_neg:
         imgs_bc = jnp.maximum(imgs_bc, 0.0)
@@ -161,13 +165,14 @@ def intensity_step_tiled(
     from ..ops.roistats import roi_stats_tiled
 
     C = imgs.shape[0]
-    imgs = imgs.astype(jnp.float32)  # compact u16 upload, f32 on-chip
     if bg_mode == "none":
         bgs = jnp.zeros((C,), jnp.float32)
     else:
+        # raw-dtype BG: u16 inputs take the exact histogram quantile path
         bgs = jax.vmap(
             lambda im, p: bg_value(im, p, None, bg_mode, bg_stride)
         )(imgs, p1000s)
+    imgs = imgs.astype(jnp.float32)  # compact u16 upload, f32 on-chip
     imgs_bc = imgs - bgs[:, None, None]
     if clip_neg:
         imgs_bc = jnp.maximum(imgs_bc, 0.0)
@@ -190,7 +195,7 @@ def _apply_subset(keymap, cfg: IntensityConfig, log):
         t_code = naming.fmt_time(cfg.subset_time)
         keymap = {k: v for k, v in keymap.items() if k == (s_code, t_code)}
     if not keymap:
-        log(f"[subset] no files match stage={s_code}")
+        log(t("subset_no_match").format(stage=s_code))
     return keymap
 
 def _device_inputs(
@@ -239,7 +244,7 @@ def load_key(
             chs.append(ch)
             paths.append(p)
     if not chs:
-        return stid, f"[SKIP] {stid} — no channels"
+        return stid, t("log_no_ch").format(stid=stid)
     # preserve the on-disk dtype (u16): halves host->device transfer; the
     # device step casts to f32 on-chip.  One native batch call decodes all
     # channels with an in-C++ thread pool when available.
@@ -258,7 +263,7 @@ def load_key(
     )
     polys, union_mask = roiio.load_polys_or_mask(base, (H, W))
     if polys is None and union_mask is None and cfg.skip_no_roi:
-        return stid, f"[SKIP] {stid} — no ROI"
+        return stid, t("log_no_roi").format(stid=stid)
     return stid, (chs, imgs, polys, union_mask)
 
 
@@ -366,7 +371,7 @@ def finalize_key(pending, cfg: IntensityConfig):
             row[f"ch{ch}_color"] = cfg.channel_colors.get(ch, "Grayscale")
         rows.append(row)
 
-    logs = [f"[DONE-QUANT] {stid} ROI={n_roi}"]
+    logs = [t("log_done_quant").format(stid=stid, roi_count=n_roi)]
     extras = {
         "stid": stid,
         "chs": chs,
@@ -410,14 +415,25 @@ def run_intensity_batched(
     reference's process pool at scale).  Table-only (XLS/CSV); use
     :func:`run_intensity` when TIF/PNG image outputs are needed.
 
-    Requires a uniform experiment (same shape and channel set per key);
-    falls back to the serial runner otherwise."""
-    from ..ops.roistats import choose_tile, tile_offsets, pad_local_polys
+    Streaming: chunks are consumed from the PrefetchLoader as they decode,
+    with ONE batch kept in flight on the device, so host decode of chunk
+    k+1 overlaps device compute of chunk k.  Keys that don't match the
+    experiment's dominant (shape, channel-set) signature — or that lack
+    polygons — drop to the per-key serial path inline; a non-"full"
+    background scope uses the serial runner throughout."""
+    from ..ops.roistats import (
+        choose_tile, gather_tiles, pad_local_polys, tile_offsets,
+    )
     from ..parallel.runner import (
-        PrefetchLoader, batched_intensity_step_tiled,
-        sharded_batched_intensity_tiled,
+        LoadError, PrefetchLoader, batched_intensity_step_tiled,
+        batched_tile_stats_step, sharded_batched_intensity_tiled,
+        sharded_batched_tile_stats,
     )
     from ..report.excel import save_intensity_excel
+
+    if cfg.bg_scope != "full":
+        return run_intensity(folder, cfg, out_root=out_root, log=log,
+                             prefetch_workers=prefetch_workers)
 
     files = naming.list_tifs(folder)
     keymap = naming.build_keymap(files, cfg.timelapse, cfg.grammar)
@@ -429,77 +445,126 @@ def run_intensity_batched(
         lambda kv: (kv[0], load_key(kv[0], kv[1], roi_dir, cfg)),
         list(keymap.items()), workers=max(1, prefetch_workers),
     )
-    from ..parallel.runner import LoadError
-
-    loaded_all = []
-    for item in loader:
-        if isinstance(item, LoadError):
-            log(f"[ERROR][WORKER] {item.item[0]}: {item.error}")
-            continue
-        key, (stid, payload) = item
-        if isinstance(payload, str):
-            log(payload)
-            continue
-        loaded_all.append((key, payload))
-    if not loaded_all:
-        return []
-
-    shapes = {p[1].shape for _, p in loaded_all}
-    chsets = {tuple(p[0]) for _, p in loaded_all}
-    uniform = len(shapes) == 1 and len(chsets) == 1 and all(
-        p[2] is not None for _, p in loaded_all
-    ) and cfg.bg_scope == "full"
-    if not uniform:
-        log("[batched] non-uniform experiment — using the serial runner")
-        return run_intensity(folder, cfg, out_root=out_root, log=log,
-                             prefetch_workers=prefetch_workers)
-
-    H, W = loaded_all[0][1][1].shape[1:]
-    all_polys = [p[2] for _, p in loaded_all]
-    tile = choose_tile([poly for ps in all_polys for poly in ps], H, W)
-    if tile is None:
-        return run_intensity(folder, cfg, out_root=out_root, log=log)
-    nb = _bucket(max(len(ps) for ps in all_polys))
-    vb = _bucket(max(len(poly) for ps in all_polys for poly in ps), 32)
 
     if mesh is not None:
-        step = sharded_batched_intensity_tiled(
-            mesh, tile=tile, bg_mode=cfg.bg_mode, clip_neg=cfg.clip_neg,
-            bg_stride=cfg.bg_stride)
         n_dev = len(mesh.devices.ravel())
         batch_size = max(batch_size, n_dev)
         batch_size -= batch_size % n_dev
-    else:
-        step = partial(batched_intensity_step_tiled, tile=tile,
-                       bg_mode=cfg.bg_mode, clip_neg=cfg.clip_neg,
-                       bg_stride=cfg.bg_stride)
+
+    step_cache: Dict[int, object] = {}
+
+    def step_for(tile: int):
+        if tile not in step_cache:
+            if mesh is not None:
+                step_cache[tile] = sharded_batched_intensity_tiled(
+                    mesh, tile=tile, bg_mode=cfg.bg_mode,
+                    clip_neg=cfg.clip_neg, bg_stride=cfg.bg_stride)
+            else:
+                step_cache[tile] = partial(
+                    batched_intensity_step_tiled, tile=tile,
+                    bg_mode=cfg.bg_mode, clip_neg=cfg.clip_neg,
+                    bg_stride=cfg.bg_stride)
+        return step_cache[tile]
+
+    # Minimum-transfer path: background is a scalar per channel, so compute
+    # it on host (exact native u16 counting percentile) and ship ONLY each
+    # ROI's tile — ~10x fewer bytes over the host->device link, which is
+    # the e2e bottleneck.  hist-mode keeps the full-frame device program
+    # (its float32 binning must stay bit-identical to the device op).
+    use_tiles = cfg.bg_mode in ("percentile", "none")
+
+    if use_tiles:
+        tile_step = (sharded_batched_tile_stats(mesh, clip_neg=cfg.clip_neg)
+                     if mesh is not None
+                     else partial(batched_tile_stats_step,
+                                  clip_neg=cfg.clip_neg))
+
+    def _host_bg(imgs: np.ndarray, chs) -> np.ndarray:
+        """Per-channel background, host-side (exact np.percentile of the
+        strided subsample — the reference's own semantics,
+        Fluor_INT.py:461-492)."""
+        from ..native import u16_percentile_strided
+
+        C = imgs.shape[0]
+        bgs = np.zeros(C, np.float32)
+        if cfg.bg_mode == "none":
+            return bgs
+        for ci, ch in enumerate(chs):
+            p1000 = p1000_of(cfg.per_channel_p.get(ch, cfg.percentile))
+            if imgs.dtype == np.uint16:
+                bgs[ci] = u16_percentile_strided(imgs[ci], cfg.bg_stride, p1000)
+            else:
+                vals = imgs[ci].ravel()[::max(1, cfg.bg_stride)]
+                bgs[ci] = np.percentile(vals.astype(np.float64), p1000 / 1000.0)
+        return bgs
 
     rows_all: List[dict] = []
-    for start in range(0, len(loaded_all), batch_size):
-        chunk = loaded_all[start:start + batch_size]
+    n_done = 0
+
+    def run_serial(key, stid, payload):
+        """Per-key fallback for chunks the batch program can't take."""
+        nonlocal n_done
+        rows, logs, _ = process_key(key, None, roi_dir, cfg,
+                                    loaded=(stid, payload))
+        rows_all.extend(rows)
+        for line in logs:
+            log(line)
+        n_done += 1
+
+    def dispatch(chunk):
+        """Build padded arrays and launch the batch WITHOUT synchronizing."""
+        all_p = [poly for _, _, (_, _, polys, _) in chunk for poly in polys]
+        H, W = chunk[0][2][1].shape[1:]
+        tile = choose_tile(all_p, H, W)
+        if tile is None:
+            return None
+        nb = _bucket(max(len(payload[2]) for _, _, payload in chunk))
+        vb = _bucket(max(len(poly) for poly in all_p), 32)
         B = len(chunk)
         pad_b = batch_size if mesh is not None else B
-        imgs_b = np.zeros((pad_b,) + chunk[0][1][1].shape,
-                          chunk[0][1][1].dtype)
+        C = chunk[0][2][1].shape[0]
         lp_b = np.zeros((pad_b, nb, vb, 2), np.float32)
         off_b = np.zeros((pad_b, nb, 2), np.int32)
         val_b = np.zeros((pad_b, nb), bool)
-        p_b = np.zeros((pad_b, imgs_b.shape[1]), np.int32)
-        for bi, (key, (chs, imgs, polys, _)) in enumerate(chunk):
+        if use_tiles:
+            tiles_b = np.zeros((pad_b, nb, C, tile, tile),
+                               chunk[0][2][1].dtype)
+            bgs_b = np.zeros((pad_b, C), np.float32)
+            for bi, (key, _, (chs, imgs, polys, _)) in enumerate(chunk):
+                offs = tile_offsets(polys, H, W, tile)
+                lp, off_pad, valid = pad_local_polys(polys, offs, nb, vb)
+                lp_b[bi], off_b[bi], val_b[bi] = lp, off_pad, valid
+                tiles_b[bi] = gather_tiles(imgs, offs, nb, tile)
+                bgs_b[bi] = _host_bg(imgs, chs)
+            stats, areas = tile_step(
+                jnp.asarray(tiles_b), jnp.asarray(lp_b),
+                jnp.asarray(val_b), jnp.asarray(bgs_b),
+            )
+            return chunk, stats, areas, bgs_b
+        imgs_b = np.zeros((pad_b,) + chunk[0][2][1].shape,
+                          chunk[0][2][1].dtype)
+        p_b = np.zeros((pad_b, C), np.int32)
+        for bi, (key, _, (chs, imgs, polys, _)) in enumerate(chunk):
             imgs_b[bi] = imgs
             offs = tile_offsets(polys, H, W, tile)
             lp, off_pad, valid = pad_local_polys(polys, offs, nb, vb)
             lp_b[bi], off_b[bi], val_b[bi] = lp, off_pad, valid
             p_b[bi] = [p1000_of(cfg.per_channel_p.get(ch, cfg.percentile))
                        for ch in chs]
-        stats, areas, bgs = step(
+        stats, areas, bgs = step_for(tile)(
             jnp.asarray(imgs_b), jnp.asarray(lp_b), jnp.asarray(off_b),
             jnp.asarray(val_b), jnp.asarray(p_b),
         )
+        return chunk, stats, areas, bgs
+
+    def finalize(rec):
+        """Fetch a dispatched batch's results and emit rows."""
+        nonlocal n_done
+        chunk, stats, areas, bgs = rec
         stats = jax.device_get(stats)
         areas = np.asarray(areas)
         bgs = np.asarray(bgs)
-        for bi, (key, (chs, _, polys, _)) in enumerate(chunk):
+        for bi, (key, _, (chs, _, polys, _)) in enumerate(chunk):
             s, t_code = key
             for i in range(len(polys)):
                 row = {
@@ -522,7 +587,48 @@ def run_intensity_batched(
                     row[f"ch{ch}_color"] = cfg.channel_colors.get(
                         ch, "Grayscale")
                 rows_all.append(row)
-        log(f"[batch] {start + B}/{len(loaded_all)} frames")
+        n_done += len(chunk)
+        log(t("batch_progress").format(done=n_done))
+
+    sig = None        # dominant (shape, channel set), set by the first key
+    buf: List[tuple] = []
+    pending = None    # one dispatched batch in flight
+
+    def flush():
+        nonlocal pending
+        if not buf:
+            return
+        rec = dispatch(list(buf))  # copy: buf.clear() must not empty the
+                                   # chunk held by the in-flight record
+        if rec is None:   # some ROI needs the full frame: serialize chunk
+            for key, stid, payload in buf:
+                run_serial(key, stid, payload)
+        else:
+            if pending is not None:
+                finalize(pending)
+            pending = rec
+        buf.clear()
+
+    for item in loader:
+        if isinstance(item, LoadError):
+            log(t("err_worker").format(key=item.item[0], error=item.error))
+            continue
+        key, (stid, payload) = item
+        if isinstance(payload, str):
+            log(payload)
+            continue
+        chs, imgs, polys, union_mask = payload
+        if sig is None and polys is not None:
+            sig = (imgs.shape, tuple(chs))
+        if polys is None or (imgs.shape, tuple(chs)) != sig:
+            run_serial(key, stid, payload)
+            continue
+        buf.append((key, stid, payload))
+        if len(buf) == batch_size:
+            flush()
+    flush()
+    if pending is not None:
+        finalize(pending)
 
     if cfg.do_xls and rows_all:
         xls_dir = os.path.join(out_root, "xls")
@@ -607,13 +713,13 @@ def run_intensity(
         in_flight = None  # one key pipelined: upload k+1 overlaps fetch of k
         for item in loader:
             if isinstance(item, LoadError):
-                logger(f"[ERROR][WORKER] {item.item[0]}: {item.error}")
+                logger(t("err_worker").format(key=item.item[0], error=item.error))
                 if prog is not None:
                     prog.step(1)
                 continue
             key, chmap, loaded = item
             if cancel is not None and cancel():
-                logger("[CANCELLED]")
+                logger(t("cancelled"))
                 break
             # per-key error isolation: a corrupt frame logs and skips, like
             # the reference's worker exception capture (Fluor_INT.py:1139-1143)
@@ -621,7 +727,7 @@ def run_intensity(
                 pending, logs = submit_key(key, chmap, roi_dir, cfg,
                                            loaded=loaded)
             except Exception as e:
-                logger(f"[ERROR][WORKER] {key}: {e}")
+                logger(t("err_worker").format(key=key, error=e))
                 pending, logs = None, []
             for line in logs:
                 logger(line)
@@ -639,7 +745,7 @@ def run_intensity(
             xls_dir = os.path.join(out_root, "xls")
             os.makedirs(xls_dir, exist_ok=True)
             save_intensity_excel(rows_all, keymap, xls_dir)
-            logger(f"[SAVED] {xls_dir}")
+            logger(t("saved_dir").format(dir=xls_dir))
     finally:
         if run_log:
             logger.close()

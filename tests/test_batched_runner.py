@@ -12,9 +12,12 @@ from imageprocess_tpu.pipelines.intensity import (
 
 @pytest.fixture(scope="module")
 def timelapse_folder(tmp_path_factory):
+    # frames must be >= the tiled path's min_tile (128) in BOTH dims so the
+    # batch program actually runs (smaller frames silently fall back to the
+    # serial path and the parity asserts compare serial vs serial)
     folder = tmp_path_factory.mktemp("tl")
     rng = np.random.default_rng(0)
-    H, W = 96, 128
+    H, W = 160, 192
     polys = [np.array([[15, 15], [60, 18], [55, 70], [12, 66]], float),
              np.array([[70, 40], [115, 45], [110, 85], [65, 80]], float)]
     for t in range(8):
@@ -35,9 +38,13 @@ def test_batched_matches_serial(timelapse_folder, tmp_path):
     cfg = IntensityConfig(channels=(1, 2), timelapse=True, do_xls=False)
     serial = run_intensity(str(timelapse_folder), cfg,
                            out_root=str(tmp_path / "s"), log=lambda *_: None)
+    batch_logs = []
     batched = run_intensity_batched(str(timelapse_folder), cfg,
                                     out_root=str(tmp_path / "b"),
-                                    log=lambda *_: None, batch_size=3)
+                                    log=batch_logs.append, batch_size=3)
+    # the batch program (not the serial fallback) must have run
+    assert any(str(line).startswith(("[batch]", "[배치]"))
+               for line in batch_logs)
     assert len(serial) == len(batched) == 16
     sd = {_key(r): r for r in serial}
     for r in batched:
@@ -50,6 +57,25 @@ def test_batched_matches_serial(timelapse_folder, tmp_path):
                     assert abs(r[k] - v) <= 1e-5 * max(abs(v), 1e-9), (k, r[k], v)
             else:
                 assert r[k] == v, k
+
+
+def test_batched_single_full_chunk(timelapse_folder, tmp_path):
+    """batch_size == number of keys: exactly one in-flight batch whose
+    finalize happens after the loader is drained (regression: the in-flight
+    record must own its chunk list, not alias the reused buffer)."""
+    cfg = IntensityConfig(channels=(1, 2), timelapse=True, do_xls=False)
+    rows = run_intensity_batched(str(timelapse_folder), cfg,
+                                 out_root=str(tmp_path), log=lambda *_: None,
+                                 batch_size=8)
+    assert len(rows) == 16
+    serial = run_intensity(str(timelapse_folder), cfg,
+                           out_root=str(tmp_path / "s"), log=lambda *_: None)
+    sd = {_key(r): r for r in serial}
+    for r in rows:
+        ref = sd[_key(r)]
+        assert r["area_px"] == ref["area_px"]
+        assert abs(r["ch1_mean"] - ref["ch1_mean"]) <= 1e-5 * max(
+            abs(ref["ch1_mean"]), 1e-9)
 
 
 def test_batched_sharded_over_mesh(timelapse_folder, tmp_path):

@@ -179,3 +179,40 @@ def test_spectral_correct():
     np.testing.assert_allclose(np.asarray(out), [(100 - 5 - 5) * 2.0])
     out2 = spectral_correct(f, d, None, alpha=0.5, beta=0.25, g_factor=1.0)
     np.testing.assert_allclose(np.asarray(out2), [95.0])
+
+
+def test_integral_hist_quantile_matches_sort_path():
+    """u16 frames take the 65536-bin histogram quantile (no megapixel
+    sort); must be bit-identical to the f32 sort path and np.percentile."""
+    import jax.numpy as jnp
+
+    from imageprocess_tpu.ops.background import bg_value
+
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 65536, (300, 257)).astype(np.uint16)
+    for stride in (1, 4):
+        for p1000 in (0, 1000, 50000, 99900, 100000):
+            a = float(bg_value(jnp.asarray(img), p1000, None, "percentile",
+                               stride))
+            b = float(bg_value(jnp.asarray(img, jnp.float32), p1000, None,
+                               "percentile", stride))
+            want = float(np.percentile(
+                img.ravel()[::stride].astype(np.float64), p1000 / 1000.0))
+            assert a == b, (stride, p1000, a, b)
+            assert abs(a - want) < 1e-3, (stride, p1000, a, want)
+
+
+def test_integral_hist_quantile_masked_scope():
+    import jax.numpy as jnp
+
+    from imageprocess_tpu.ops.background import bg_value
+
+    rng = np.random.default_rng(12)
+    img = rng.integers(0, 4000, (128, 96)).astype(np.uint16)
+    mask = rng.random((128, 96)) > 0.5
+    for stride in (1, 4):
+        a = float(bg_value(jnp.asarray(img), 1000, jnp.asarray(mask),
+                           "percentile", stride))
+        b = float(bg_value(jnp.asarray(img, jnp.float32), 1000,
+                           jnp.asarray(mask), "percentile", stride))
+        assert a == b, (stride, a, b)
