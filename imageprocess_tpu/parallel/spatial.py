@@ -28,18 +28,22 @@ from ..ops.percentile import exact_quantile_pos
 U16_BINS = 65536
 
 
-def _halo_exchange_rows(x: jnp.ndarray, halo: int, axis_name: str):
-    """Append *halo* rows from each neighbor (edge shards get edge-clamped
-    rows, matching single-device border semantics of reduce_window SAME)."""
+def _halo_exchange_rows(x: jnp.ndarray, halo: int, axis_name: str, fill):
+    """Append *halo* rows from each neighbor.  Edge shards (which have no
+    neighbor on that side) get rows filled with *fill*, which must be the
+    identity element of the window reduction that will consume the halo
+    (-inf for max/dilation, +inf for min/erosion, 0 for sum) — this matches
+    single-device ``reduce_window(..., "SAME")`` border semantics, whose
+    implicit padding is the init value."""
     idx = jax.lax.axis_index(axis_name)
     n = jax.lax.axis_size(axis_name)
     up = jax.lax.ppermute(x[:halo], axis_name,
                           [(i, (i - 1) % n) for i in range(n)])
     down = jax.lax.ppermute(x[-halo:], axis_name,
                             [(i, (i + 1) % n) for i in range(n)])
-    # wrap-around neighbors are invalid at the edges -> replicate edge rows
-    top_pad = jnp.where(idx == 0, jnp.zeros_like(down), down)
-    bot_pad = jnp.where(idx == n - 1, jnp.zeros_like(up), up)
+    # wrap-around neighbors are invalid at the edges -> identity fill
+    top_pad = jnp.where(idx == 0, jnp.full_like(down, fill), down)
+    bot_pad = jnp.where(idx == n - 1, jnp.full_like(up, fill), up)
     return jnp.concatenate([top_pad, x, bot_pad], axis=0)
 
 
@@ -106,12 +110,36 @@ def sharded_square_dilation(mesh: Mesh, k: int):
 
     def local(x):
         xf = x.astype(jnp.float32)
-        xh = _halo_exchange_rows(xf, k, axis)
+        xh = _halo_exchange_rows(xf, k, axis, -jnp.inf)
         y = jax.lax.reduce_window(
             xh, -jnp.inf, jax.lax.max, (2 * k + 1, 1), (1, 1), "VALID"
         )
         y = jax.lax.reduce_window(
             y, -jnp.inf, jax.lax.max, (1, 2 * k + 1), (1, 1), "SAME"
+        )
+        return y > 0.5
+
+    return jax.jit(jax.shard_map(
+        local, mesh=mesh, in_specs=P(axis, None), out_specs=P(axis, None),
+    ))
+
+
+def sharded_square_erosion(mesh: Mesh, k: int):
+    """Row-sharded binary erosion with a (2k+1)^2 all-ones window — the
+    min-window dual of :func:`sharded_square_dilation`.  The halo identity
+    is +inf, so out-of-frame pixels act as foreground (reduce_window SAME
+    parity: a single-device ``reduce_window(x, +inf, min, SAME)`` gives the
+    identical border behavior)."""
+    axis = mesh.axis_names[0]
+
+    def local(x):
+        xf = x.astype(jnp.float32)
+        xh = _halo_exchange_rows(xf, k, axis, jnp.inf)
+        y = jax.lax.reduce_window(
+            xh, jnp.inf, jax.lax.min, (2 * k + 1, 1), (1, 1), "VALID"
+        )
+        y = jax.lax.reduce_window(
+            y, jnp.inf, jax.lax.min, (1, 2 * k + 1), (1, 1), "SAME"
         )
         return y > 0.5
 

@@ -12,6 +12,7 @@ from imageprocess_tpu.parallel.spatial import (
     sharded_bg_correct_u16,
     sharded_quantile_u16,
     sharded_square_dilation,
+    sharded_square_erosion,
 )
 
 
@@ -52,3 +53,28 @@ def test_sharded_square_dilation_matches_single_device(mesh, k):
     got = np.asarray(run(shard_frame(mesh, fg)))
     want = ndi.binary_dilation(fg, np.ones((2 * k + 1, 2 * k + 1), bool))
     assert np.array_equal(got, want)
+
+
+@pytest.mark.parametrize("k", [1, 3])
+def test_sharded_square_erosion_matches_single_device(mesh, k):
+    """Erosion needs the +inf halo identity at edge shards: a zeros-pad
+    halo (the round-1 bug class) would erode away every shard-boundary
+    row.  Oracle = single-device reduce_window min with SAME padding
+    (border acts foreground)."""
+    import jax
+
+    rng = np.random.default_rng(2)
+    fg = (rng.random((256, 192)) > 0.3)
+    fg[24:48, 50:100] = True  # solid block across the 32-row shard boundary
+    run = sharded_square_erosion(mesh, k)
+    got = np.asarray(run(shard_frame(mesh, fg)))
+    want = np.asarray(
+        jax.lax.reduce_window(
+            jnp.asarray(fg, jnp.float32), jnp.inf, jax.lax.min,
+            (2 * k + 1, 2 * k + 1), (1, 1), "SAME",
+        ) > 0.5
+    )
+    assert np.array_equal(got, want)
+    # and it must differ from what a zeros-filled halo would produce:
+    # interior foreground rows adjacent to shard boundaries survive
+    assert got.any()
