@@ -73,8 +73,20 @@ _INVALID_SHEET = re.compile(r"[\\/?*\[\]:]")
 def write_xlsx(path: str, sheets: Dict[str, Iterable[Sequence]]) -> None:
     """Write ``{sheet_name: rows}`` (rows = iterable of cell sequences) to
     *path* atomically."""
-    names = [(_INVALID_SHEET.sub("_", n)[:31] or f"Sheet{i+1}")
-             for i, n in enumerate(sheets)]
+    names: List[str] = []
+    seen = set()
+    for i, n in enumerate(sheets):
+        base = _INVALID_SHEET.sub("_", n)[:31] or f"Sheet{i+1}"
+        name, k = base, 2
+        # sanitization can collapse distinct inputs to one name; duplicate
+        # sheet names make the workbook invalid, so de-dup with a numeric
+        # suffix kept inside the 31-char limit
+        while name.lower() in seen:
+            suffix = f"_{k}"
+            name = base[: 31 - len(suffix)] + suffix
+            k += 1
+        seen.add(name.lower())
+        names.append(name)
     sheet_entries = "".join(
         f'<sheet name="{_esc(n)}" sheetId="{i+1}" r:id="rId{i+1}"/>'
         for i, n in enumerate(names)

@@ -92,3 +92,23 @@ def test_golden_tiff_decode(golden_intensity_dir):
     a = tiffio.read_2d(p)
     assert a.shape == (1536, 2048)
     assert a.dtype == np.float32
+
+
+def test_xlsx_sheet_name_dedup(tmp_path):
+    """Sanitization can collapse distinct sheet names ("a/b" and "a?b" both
+    become "a_b"); duplicates make the workbook invalid, so xlsxlite must
+    de-dup with numeric suffixes inside the 31-char limit."""
+    from imageprocess_tpu.report.xlsxlite import read_xlsx, write_xlsx
+
+    p = str(tmp_path / "dup.xlsx")
+    write_xlsx(p, {
+        "a/b": [[1]],
+        "a?b": [[2]],
+        "x" * 40: [[3]],
+        "x" * 40 + "y": [[4]],
+    })
+    back = read_xlsx(p)
+    assert len(back) == 4
+    assert back["a_b"] == [[1]]
+    assert back["a_b_2"] == [[2]]
+    assert all(len(n) <= 31 for n in back)
