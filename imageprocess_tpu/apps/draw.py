@@ -20,6 +20,7 @@ from typing import Dict, List, Optional
 import numpy as np
 
 from ..core import naming, tiffio
+from ..core.i18n import t
 from ..segment.autoseg import segment_inside_polygon
 from ..segment.drawer import DEFAULT_VIEW_PARAMS, apply_view_and_color, save_drawer_bundle
 
@@ -204,5 +205,5 @@ def main(img_dir: str, timelapse: bool = False, log=print) -> None:
     roi_dir = os.path.join(img_dir, "roi")
     for (s, t_code), chmap in keymap.items():
         base = s if t_code is None else f"{s}_{t_code}"
-        log(f"[task] {base}: channels {sorted(chmap)}")
+        log(t("draw_task").format(base=base, channels=sorted(chmap)))
         ROIAnnotator(chmap, base, roi_dir, log=log).show()

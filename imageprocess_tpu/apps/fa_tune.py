@@ -21,6 +21,7 @@ import numpy as np
 import pandas as pd
 
 from ..core import tiffio
+from ..core.i18n import t
 from ..pipelines.fa import (
     FA_CSV_COLS,
     FaConfig,
@@ -127,7 +128,7 @@ class FATuner:
             })
         path = os.path.join(indiv, f"{self.s_tag}_results.csv")
         pd.DataFrame(out_rows)[FA_CSV_COLS].to_csv(path, index=False)
-        self.log(f"[saved] {path}")
+        self.log(t("tune_saved").format(path=path))
         return path
 
     # --- matplotlib UI ------------------------------------------------------
@@ -200,5 +201,5 @@ def main(img_dir: str, roi_dir: str, out_root: str,
     cfg = cfg or FaConfig()
     for img_path, json_path, s_tag in list_fa_pairs(img_dir, roi_dir,
                                                     cfg.channel):
-        log(f"[tune] {s_tag}")
+        log(t("tune_tag").format(tag=s_tag))
         FATuner(img_path, json_path, s_tag, out_root, cfg, log=log).show()

@@ -21,7 +21,9 @@ STRINGS = {
         "run_end": "================= 실행 종료 =================",
         "log_no_ch": "[스킵] {stid} — 채널 없음",
         "log_no_roi": "[스킵] {stid} — ROI 없음",
-        "log_done_quant": "[완료-정량] {stid} ROI={roi_count}",
+        # stays English even in ko — the reference's Korean golden run log
+        # carries the literal tag (Testsamples/.../run_20251122_122406.txt:7)
+        "log_done_quant": "[DONE-QUANT] {stid} ROI={roi_count}",
         "log_save_xls": "[저장 완료] {path}",
         "msg_no_pairs": "매칭되는 (donor, fret) 채널 쌍이 없습니다.",
         "msg_info_pairs": "[정보] 총 처리 대상 쌍: {count}",
@@ -35,6 +37,36 @@ STRINGS = {
         "ppt_no_pairs": "유효한 FRET/BF 페어가 없습니다.",
         "progress": "[진행] {done}/{total}",
         "elapsed": "[소요] {mm:02d}:{ss:02d}",
+        # shared pipeline events
+        "err_worker": "[오류][작업] {key}: {error}",
+        "cancelled": "[취소됨]",
+        "saved_dir": "[저장 완료] {dir}",
+        "subset_no_match": "[부분집합] 스테이지 {stage}에 해당하는 파일이 없습니다",
+        "batch_progress": "[배치] {done} 프레임",
+        "batch_nonuniform": "[배치] 실험 구성이 균일하지 않음 — 순차 실행으로 전환",
+        # crop (roi_channel_cropper)
+        "crop_no_channel": "[스킵] 채널 ch={ch} 파일 없음",
+        "crop_subset_no_match": "[부분집합] 일치 항목 없음",
+        "crop_no_roi": "[스킵] ROI 없음 {tag}",
+        "crop_subset_warn": "[부분집합 경고] {tag}: ROI 없음 {k}",
+        "crop_warn_too_large": "[경고] {tag}: 크롭이 프레임보다 큼 — 잘라냄",
+        "crop_warn_norm": "[경고] 정규화 실패: {tag}",
+        # FA analyzer
+        "fa_export": "[내보내기] {tag}: 세포 {count}개",
+        "fa_fig": "[그림] {path}",
+        # FRET builder
+        "fret_saved": "[저장 완료] xls/fret_ratio_perROI.xlsx + csv",
+        "fret_no_roi": "[경고] ROI 없음 -> 지표 테이블을 생성하지 않음.",
+        # morphology
+        "mor_info_files": "[정보] 파일: {total} | 사용: {used} | {extra}",
+        "mor_skip_parse": "[스킵] 스테이지 파싱 실패: {base}",
+        "mor_no_roi": "[경고] ROI를 찾지 못함: {tag}.json",
+        "mor_no_results": "[경고] 결과 없음",
+        "mor_saved": "[저장 완료] {path}",
+        # annotator / tuner apps
+        "draw_task": "[작업] {base}: 채널 {channels}",
+        "tune_saved": "[저장 완료] {path}",
+        "tune_tag": "[튜닝] {tag}",
     },
     "en": {
         "app_title": "ImageProcess TPU — fluorescence image quantification",
@@ -56,6 +88,36 @@ STRINGS = {
         "ppt_no_pairs": "No valid FRET/BF pairs.",
         "progress": "[Progress] {done}/{total}",
         "elapsed": "[Elapsed] {mm:02d}:{ss:02d}",
+        # shared pipeline events
+        "err_worker": "[ERROR][WORKER] {key}: {error}",
+        "cancelled": "[CANCELLED]",
+        "saved_dir": "[SAVED] {dir}",
+        "subset_no_match": "[subset] no files match stage={stage}",
+        "batch_progress": "[batch] {done} frames",
+        "batch_nonuniform": "[batch] non-uniform experiment — using the serial runner",
+        # crop (roi_channel_cropper)
+        "crop_no_channel": "[skip] no files for channel ch={ch}",
+        "crop_subset_no_match": "[subset] no match",
+        "crop_no_roi": "[skip] no ROI {tag}",
+        "crop_subset_warn": "[subset warn] {tag}: no ROI {k}",
+        "crop_warn_too_large": "[warn] {tag}: crop larger than frame side, clipping",
+        "crop_warn_norm": "[warn] normalization failed: {tag}",
+        # FA analyzer
+        "fa_export": "[export] {tag}: {count} cells",
+        "fa_fig": "[fig] {path}",
+        # FRET builder
+        "fret_saved": "[Saved] xls/fret_ratio_perROI.xlsx + csv",
+        "fret_no_roi": "[Warn] No ROI -> metric table not generated.",
+        # morphology
+        "mor_info_files": "[info] files: {total} | used: {used} | {extra}",
+        "mor_skip_parse": "[skip] stage parse failed: {base}",
+        "mor_no_roi": "[warn] ROI not found: {tag}.json",
+        "mor_no_results": "[warn] no results",
+        "mor_saved": "[saved] {path}",
+        # annotator / tuner apps
+        "draw_task": "[task] {base}: channels {channels}",
+        "tune_saved": "[saved] {path}",
+        "tune_tag": "[tune] {tag}",
     },
 }
 

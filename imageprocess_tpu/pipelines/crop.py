@@ -24,6 +24,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..core import naming, roiio, tiffio
+from ..core.i18n import t
 from ..core.naming import ChannelGrammar
 from ..geom.rasterize import rasterize_polygons
 from ..ops.percentile import masked_quantile, p1000_of
@@ -130,7 +131,7 @@ def run_crop(
         t_code = naming.fmt_time(k.time) if (cfg.timelapse and k.time is not None) else None
         fmap[(s, t_code)] = p
     if not fmap:
-        log(f"[skip] no files for channel ch={cfg.channel}")
+        log(t("crop_no_channel").format(ch=cfg.channel))
         return []
 
     if cfg.subset_stage is not None:
@@ -141,7 +142,7 @@ def run_crop(
             t_code = naming.fmt_time(cfg.subset_time)
             fmap = {k: v for k, v in fmap.items() if k == (s_code, t_code)}
         if not fmap:
-            log("[subset] no match")
+            log(t("crop_subset_no_match"))
             return []
 
     png_dir = os.path.join(out_root, "PNG")
@@ -174,13 +175,13 @@ def run_crop(
 
     for item in PrefetchLoader(_load, sorted(fmap.items()), workers=8):
         if isinstance(item, LoadError):
-            log(f"[error] {item.item[0]}: {item.error}")
+            log(t("err_worker").format(key=item.item[0], error=item.error))
             continue
         (s, t_code), keytag, raw_full, polys = item
         img = raw_full.astype(np.float32, copy=False)
         H, W = img.shape
         if not polys:
-            log(f"[skip] no ROI {keytag}")
+            log(t("crop_no_roi").format(tag=keytag))
             continue
 
         roi_indices = list(range(1, len(polys) + 1))
@@ -189,7 +190,7 @@ def run_crop(
             if 1 <= k <= len(polys):
                 roi_indices = [k]
             else:
-                log(f"[subset warn] {keytag}: no ROI {k}")
+                log(t("crop_subset_warn").format(tag=keytag, k=k))
                 continue
         sel_polys = [np.asarray(polys[i - 1], float) for i in roi_indices]
 
@@ -209,7 +210,7 @@ def run_crop(
             tile *= 2
         tile = min(tile, min(H, W))
         if tile < need:
-            log(f"[warn] {keytag}: crop larger than frame side, clipping")
+            log(t("crop_warn_too_large").format(tag=keytag))
 
         n = len(sel_polys)
         nb = _bucket(n)
@@ -240,7 +241,7 @@ def run_crop(
 
         for i, (roi_i, (y0, x0, ch_, cw_)) in enumerate(zip(roi_indices, boxes)):
             if not oks[i]:
-                log(f"[warn] normalization failed: {keytag}_roi{roi_i}")
+                log(t("crop_warn_norm").format(tag=f"{keytag}_roi{roi_i}"))
                 continue
             sy, sx = cstart[i]
             ng = norm_g[i, sy:sy + ch_, sx:sx + cw_]
@@ -275,5 +276,5 @@ def run_crop(
                 else:
                     tiffio.write_tiff32(praw, raw_out.astype(np.float32))
                 written.append(praw)
-    log("[done] all crops complete")
+    log(t("done_all"))
     return written

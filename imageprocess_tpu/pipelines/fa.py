@@ -31,6 +31,7 @@ import numpy as np
 import pandas as pd
 
 from ..core import roiio, tiffio
+from ..core.i18n import t
 from ..geom.rasterize import EdgeRule, rasterize_polygons
 from ..morphology.binary import binary_closing_skimage, disk
 from ..morphology.ccl import label
@@ -397,7 +398,7 @@ def export_fa_crops(
                 px_size=cfg.px_size, out_dpi=dpi,
             )
             written.append(path)
-        log(f"[export] {s_tag}: {len(rois)} cells")
+        log(t("fa_export").format(tag=s_tag, count=len(rois)))
     return written
 
 
@@ -449,7 +450,7 @@ def save_fa_figs(
         fig.savefig(out, dpi=dpi)
         plt.close(fig)
         written.append(out)
-        log(f"[fig] {out}")
+        log(t("fa_fig").format(path=out))
     return written
 
 
@@ -504,5 +505,5 @@ def merge_fa_report(out_root: str, name: str = "FA_Results_Master.xlsx",
         "Cell_Summary": _df_rows(cell_grp.reset_index()),
         "All_Data": _df_rows(full_df),
     })
-    log(f"[saved] {out_xls}")
+    log(t("log_save_xls").format(path=out_xls))
     return full_df

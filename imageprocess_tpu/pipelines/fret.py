@@ -26,6 +26,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..core import naming, roiio, tiffio
+from ..core.i18n import t
 from ..core.naming import ChannelGrammar
 from ..geom.rasterize import rasterize_polygons
 from ..ops.background import bg_value
@@ -356,7 +357,7 @@ def run_fret(
     rows_all: List[dict] = []
     for item in loader:
         if isinstance(item, LoadError):
-            log(f"[Error] {item.item[0]}: {item.error}")
+            log(t("err_worker").format(key=item.item[0], error=item.error))
             continue
         (key, dpath, apath), loaded = item
         log(f"  - Processing: {key[0] if key[1] is None else f'{key[0]}_{key[1]}'}")
@@ -367,7 +368,7 @@ def run_fret(
 
     if cfg.do_xls and rows_all:
         save_fret_excel(rows_all, os.path.join(out_root, "xls"), cfg.timelapse)
-        log("[Saved] xls/fret_ratio_perROI.xlsx + csv")
+        log(t("fret_saved"))
     elif cfg.do_xls:
-        log("[Warn] No ROI -> metric table not generated.")
+        log(t("fret_no_roi"))
     return rows_all

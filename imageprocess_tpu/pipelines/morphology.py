@@ -26,6 +26,7 @@ import numpy as np
 import pandas as pd
 
 from ..core import naming, roiio, tiffio
+from ..core.i18n import t
 from ..core.naming import ChannelGrammar
 from ..geom.polygon import convex_hull, polygon_perimeter, shoelace_area
 from ..geom.rasterize import rasterize_polygons
@@ -216,19 +217,19 @@ def run_morphology(
     rows: List[dict] = []
     for item in PrefetchLoader(_load, files, workers=8):
         if isinstance(item, LoadError):
-            log(f"[error] {os.path.basename(str(item.item))}: {item.error}")
+            log(t("err_worker").format(key=os.path.basename(str(item.item)), error=item.error))
             continue
         img_path, img, polys = item
         base = os.path.basename(img_path)
         k = meta[img_path]
         if k.stage is None:
-            log(f"[skip] stage parse failed: {base}")
+            log(t("mor_skip_parse").format(base=base))
             continue
         S = naming.fmt_stage(k.stage)
         t_code = naming.fmt_time(k.time) if (cfg.timelapse and k.time is not None) else None
         tag = f"{S}_{t_code}" if (cfg.timelapse and t_code is not None) else S
         if not polys:
-            log(f"[warn] ROI not found: {tag}.json")
+            log(t("mor_no_roi").format(tag=tag))
             continue
 
         H, W = img.shape
@@ -248,7 +249,7 @@ def run_morphology(
             )
 
     if not rows:
-        log("[warn] no results")
+        log(t("mor_no_results"))
         return rows
 
     if cfg.do_xls:
@@ -264,5 +265,5 @@ def run_morphology(
         write_xlsx(os.path.join(xls_dir, "morphology_perROI.xlsx"),
                    {"per_ROI": _df_rows(df)})
         df.to_csv(os.path.join(xls_dir, "morphology_perROI.csv"), index=False)
-        log(f"[saved] {xls_dir}/morphology_perROI.csv")
+        log(t("mor_saved").format(path=f"{xls_dir}/morphology_perROI.csv"))
     return rows

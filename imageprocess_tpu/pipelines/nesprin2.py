@@ -30,6 +30,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..core import naming, roiio, tiffio
+from ..core.i18n import t
 from ..core.naming import ChannelGrammar
 from ..geom.polygon import pad_polygons
 from ..geom.rasterize import rasterize_polygons
@@ -314,7 +315,7 @@ def process_pair_nesprin2(key, dpath, apath, roi_dir, cfg: Nesprin2Config,
         load_pair_nesprin2(key, dpath, apath, roi_dir, cfg)
     H, W = D.shape
     if not polys:
-        log(f"[Warn] {tag}: no ROI — skipped")
+        log(t("msg_warn_no_roi_tag").format(tag=tag))
         return []
 
     nb = _bucket(len(polys))
@@ -425,7 +426,7 @@ def run_nesprin2(
     pairs, _ = naming.build_pairs_by_channel(
         files, cfg.timelapse, cfg.donor_ch, cfg.fret_ch, cfg.grammar
     )
-    log(f"[Info] pairs: {len(pairs)}")
+    log(t("msg_info_pairs").format(count=len(pairs)))
     if not pairs:
         log("no matched (donor, fret) channel pairs")
         return []
@@ -460,11 +461,11 @@ def run_nesprin2(
     rows_all: List[dict] = []
     for item in loader:
         if isinstance(item, LoadError):
-            log(f"[Error] {item.item[0]}: {item.error}")
+            log(t("err_worker").format(key=item.item[0], error=item.error))
             continue
         (key, dpath, apath), loaded = item
         tag = key[0] if key[1] is None else f"{key[0]}_{key[1]}"
-        log(f"[Processing] {tag} ...")
+        log(t("msg_processing").format(tag=tag))
         rows_all.extend(
             process_pair_nesprin2(key, dpath, apath, roi_dir, cfg, dirs,
                                   log=log, loaded=loaded)

@@ -26,6 +26,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..core import naming, roiio, tiffio
+from ..core.i18n import t
 from ..morphology.binary import binary_dilation, binary_erosion, disk
 from ..morphology.ccl import fill_holes, label, remove_small_objects
 from ..morphology.contours import masks_to_polygons
@@ -196,7 +197,7 @@ def run_auto_drawer(
                                          naming.ChannelGrammar.KEYWORD)
         img = tiffio.read_2d(path)
         polys = auto_segment_frame(img, cfg)
-        log(f"[auto] {tag}: {len(polys)} ROIs")
+        log(t("auto_found").format(tag=tag, count=len(polys)))
         out = os.path.join(roi_dir, f"{tag}.json")
         gen = {
             "cellpose": f"cellpose:{cfg.model_type}",

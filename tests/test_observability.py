@@ -92,4 +92,5 @@ def test_corrupt_frame_is_skipped(tmp_path):
                                                         do_xls=False),
                          out_root=str(tmp_path / "RES"), log=logs.append)
     assert len(rows) == 1 and rows[0]["stage"] == "S01"
-    assert any("[ERROR][WORKER]" in l and "S02" in l for l in logs)
+    assert any(("[ERROR][WORKER]" in l or "[오류][작업]" in l) and "S02" in l
+               for l in logs)
