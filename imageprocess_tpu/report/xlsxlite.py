@@ -174,14 +174,22 @@ def _df_rows(df, index: bool = False) -> List[List]:
 
 
 def read_xlsx(path: str) -> Dict[str, List[List]]:
-    """Minimal reader for files written by :func:`write_xlsx` (inline
-    strings + numeric cells) — used by round-trip tests."""
+    """Minimal reader for xlsx workbooks: inline strings (our writer),
+    shared strings (openpyxl/xlsxwriter output, e.g. the reference's
+    committed golden masters), booleans and numerics."""
     import xml.etree.ElementTree as ET
 
     ns = {"m": "http://schemas.openxmlformats.org/spreadsheetml/2006/main",
           "r": "http://schemas.openxmlformats.org/officeDocument/2006/relationships"}
     out: Dict[str, List[List]] = {}
     with zipfile.ZipFile(path) as zf:
+        shared: List[str] = []
+        if "xl/sharedStrings.xml" in zf.namelist():
+            sst = ET.fromstring(zf.read("xl/sharedStrings.xml"))
+            for si in sst.findall("m:si", ns):
+                shared.append("".join(t.text or ""
+                                      for t in si.iter(
+                                          "{%s}t" % ns["m"])))
         wb = ET.fromstring(zf.read("xl/workbook.xml"))
         rels = ET.fromstring(zf.read("xl/_rels/workbook.xml.rels"))
         rel_map = {
@@ -194,7 +202,11 @@ def read_xlsx(path: str) -> Dict[str, List[List]]:
             name = sheet.get("name")
             target = rel_map[sheet.get(
                 "{http://schemas.openxmlformats.org/officeDocument/2006/relationships}id")]
-            ws = ET.fromstring(zf.read("xl/" + target.lstrip("/")))
+            # rel targets may be workbook-relative ("worksheets/sheet1.xml")
+            # or package-absolute ("/xl/worksheets/sheet1.xml")
+            member = (target.lstrip("/") if target.startswith("/")
+                      else "xl/" + target)
+            ws = ET.fromstring(zf.read(member))
             rows = []
             for row in ws.find("m:sheetData", ns).findall("m:row", ns):
                 cells: Dict[int, object] = {}
@@ -211,10 +223,15 @@ def read_xlsx(path: str) -> Dict[str, List[List]]:
                     if t == "inlineStr":
                         tnode = c.find("m:is/m:t", ns)
                         cells[col] = tnode.text if tnode is not None else ""
+                    elif t == "str":  # formula cached string
+                        v = c.find("m:v", ns)
+                        cells[col] = v.text if v is not None else ""
                     else:
                         v = c.find("m:v", ns)
                         if v is None or v.text is None:
                             cells[col] = None
+                        elif t == "s":
+                            cells[col] = shared[int(v.text)]
                         elif t == "b":
                             cells[col] = bool(int(v.text))
                         else:
