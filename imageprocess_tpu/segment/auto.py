@@ -36,8 +36,10 @@ from ..ops.view import gaussian_blur
 MIN_POLY_AREA = 20.0  # px, ROI_auto_drawer.py:304
 
 
+# trained on the golden manual ROIs (scripts/train_unet_golden.py);
+# held-out eval e1_P0: mean IoU 0.887, recall 1.00 — see tests/test_unet_golden.py
 DEFAULT_UNET_CKPT = os.path.join(
-    os.path.dirname(__file__), "..", "models", "pretrained", "unet_blobs_v1"
+    os.path.dirname(__file__), "..", "models", "pretrained", "unet_golden_v1"
 )
 
 

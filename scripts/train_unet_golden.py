@@ -67,9 +67,10 @@ def main():
     np.savez_compressed(
         os.path.join(OUT, "params.npz"),
         **{jax.tree_util.keystr(k): np.asarray(v) for k, v in flat})
-    with open(os.path.join(OUT, "config.txt"), "w") as f:
-        f.write(f"features={FEATURES}\ntile={TILE}\nsteps={steps}\n"
-                "train=e2_P1/S01_4.TIF\n")
+    import json
+    with open(os.path.join(OUT, "config.json"), "w") as f:
+        json.dump({"features": list(FEATURES), "tile": TILE,
+                   "steps": steps, "train": "e2_P1/S01_4.TIF"}, f, indent=1)
     print("saved", OUT)
 
     # held-out eval: e1_P0 (18 cells)
