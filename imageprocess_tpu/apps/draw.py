@@ -81,6 +81,63 @@ class ROIAnnotator:
                  f"({len(chosen)} vertices)")
         return chosen
 
+    def propose_polygon(self, verts, thr_param: Optional[float] = None):
+        """Accept/retry loop support (roi_manual_drawer.py:1052-1077):
+        segment WITHOUT committing — returns (thr, candidate polygon or
+        None).  Call again with a new *thr_param* to retry; pass the
+        accepted candidate to :meth:`accept`."""
+        poly = np.asarray(verts, float)
+        if poly.shape[0] < 3:
+            return None, None
+        thr, _, best = segment_inside_polygon(
+            self.image, poly,
+            thr_param=self.thr_param if thr_param is None else thr_param,
+            min_area=self.min_area, tolerance=self.tolerance, mode=self.mode,
+        )
+        return thr, (best if best is not None else poly)
+
+    def accept(self, poly: np.ndarray, index: Optional[int] = None) -> int:
+        """Commit a proposed polygon: append, or replace ROI *index*
+        (per-index redraw, roi_manual_drawer.py:1206-1276)."""
+        if index is None:
+            self.rois.append(np.asarray(poly, float))
+            return len(self.rois) - 1
+        self.rois[index] = np.asarray(poly, float)
+        return index
+
+    def roi_index_at(self, x: float, y: float) -> Optional[int]:
+        """ROI under a click: topmost polygon containing (x, y), else the
+        nearest centroid within 50 px (the reference ROI manager's
+        pick-by-click selection)."""
+        from matplotlib.path import Path as MplPath
+
+        for i in reversed(range(len(self.rois))):
+            if MplPath(self.rois[i]).contains_point((x, y)):
+                return i
+        best, best_d = None, 50.0
+        for i, p in enumerate(self.rois):
+            d = float(np.hypot(*(np.asarray(p).mean(axis=0) - [x, y])))
+            if d < best_d:
+                best, best_d = i, d
+        return best
+
+    def delete_index(self, i: int) -> None:
+        """Delete one ROI by index (remaining ROIs renumber)."""
+        if 0 <= i < len(self.rois):
+            self.rois.pop(i)
+
+    def replace_index(self, i: int, verts) -> Optional[np.ndarray]:
+        """Re-draw ROI *i*: re-run the in-polygon segmentation on the new
+        rough polygon and swap it in place, keeping the ROI's number."""
+        if not (0 <= i < len(self.rois)):
+            return None
+        _, chosen = self.propose_polygon(verts)
+        if chosen is None:
+            return None
+        self.rois[i] = chosen
+        self.log(f"  ROI {i + 1} redrawn ({len(chosen)} vertices)")
+        return chosen
+
     def delete_last(self) -> None:
         if self.rois:
             self.rois.pop()
@@ -155,7 +212,8 @@ class ROIAnnotator:
 
     def _title(self):
         return (f"{self.base} ch{self.channel} — p: draw, d: delete last, "
-                f"c: clear, Tab: channel, i/g/G: view, q: save & close")
+                f"x: delete @cursor, r: redraw @cursor, c: clear, "
+                f"Tab: channel, i/g/G: view, q: save & close")
 
     def _on_key(self, event):  # pragma: no cover - needs a display
         if event.key == "p":
@@ -163,6 +221,23 @@ class ROIAnnotator:
         elif event.key == "d":
             self.delete_last()
             self._redraw()
+        elif event.key == "x" and event.xdata is not None:
+            i = self.roi_index_at(event.xdata, event.ydata)
+            if i is not None:
+                self.delete_index(i)
+                self._redraw()
+        elif event.key == "r" and event.xdata is not None:
+            i = self.roi_index_at(event.xdata, event.ydata)
+            if i is not None:
+                from matplotlib.widgets import PolygonSelector
+
+                def on_select(verts, i=i):
+                    self.replace_index(i, verts)
+                    self._selector.disconnect_events()
+                    self._selector = None
+                    self._redraw()
+
+                self._selector = PolygonSelector(self._ax, on_select)
         elif event.key == "c":
             self.clear()
             self._redraw()

@@ -60,3 +60,46 @@ def test_annotator_view_filters(tmp_path):
     rgb = ann.rendered()
     assert rgb.shape == (120, 160, 3)
     assert np.isfinite(rgb).all() and rgb.min() >= 0 and rgb.max() <= 1.0
+
+
+def test_annotator_per_index_edit(tmp_path):
+    """Per-index ROI management (reference ROI manager,
+    roi_manual_drawer.py:1206-1276): pick by click, delete by index,
+    redraw one ROI in place without renumbering the others."""
+    ann = _setup(tmp_path)
+    rough = [(60, 40), (105, 40), (105, 85), (60, 85)]
+    far = [(5, 5), (30, 5), (30, 30), (5, 30)]
+    ann.add_rough_polygon(rough)
+    ann.add_rough_polygon(far)
+    assert len(ann.rois) == 2
+
+    # pick by click: point inside the blob ROI selects index 0
+    assert ann.roi_index_at(80, 60) == 0
+    assert ann.roi_index_at(15, 15) == 1
+    assert ann.roi_index_at(150, 110) is None
+
+    # redraw index 0 with a different rough polygon; index 1 untouched
+    before_1 = ann.rois[1].copy()
+    out = ann.replace_index(0, [(55, 35), (110, 35), (110, 90), (55, 90)])
+    assert out is not None and len(ann.rois) == 2
+    np.testing.assert_array_equal(ann.rois[1], before_1)
+
+    # delete by index
+    ann.delete_index(0)
+    assert len(ann.rois) == 1
+    np.testing.assert_array_equal(ann.rois[0], before_1)
+
+
+def test_annotator_accept_retry_loop(tmp_path):
+    """The modal accept/retry flow (roi_manual_drawer.py:1052-1077):
+    propose with one threshold, retry with another, nothing committed
+    until accept."""
+    ann = _setup(tmp_path)
+    rough = [(60, 40), (105, 40), (105, 85), (60, 85)]
+    thr1, cand1 = ann.propose_polygon(rough)
+    assert cand1 is not None and ann.rois == []
+    thr2, cand2 = ann.propose_polygon(rough, thr_param=70.0)
+    assert cand2 is not None and ann.rois == []
+    assert thr2 != thr1  # retry actually re-thresholded
+    idx = ann.accept(cand2)
+    assert idx == 0 and len(ann.rois) == 1
