@@ -26,8 +26,13 @@ Measured reality check (v5e, 24 ROI x 2 ch, 256^2 tiles): this kernel is
 reduces per program) — while the XLA batched-sort path (ops.roistats) runs
 the same workload in ~1.2 ms by trading extra FLOPs for full-width
 parallelism.  Production pipelines therefore use the XLA path; this kernel
-stays as the scalar-prefetch + dynamic-DMA-gather reference pattern and a
-seed for a future histogram-based variant.
+stays as the scalar-prefetch + dynamic-DMA-gather reference pattern.
+
+Round-2 successor: ops.tilestats_u16 (16-step u16 value-range bisection,
+vectorized across ALL (B, N, C, quantile) lanes — wired into the
+production tile path) and ops.pallas_tilestats (the VMEM-resident kernel
+variant of that bisection, which ties XLA under the tunneled dispatch
+floor; numbers in tests/test_pallas_tilestats.py).
 """
 
 from __future__ import annotations

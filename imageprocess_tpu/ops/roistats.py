@@ -129,6 +129,15 @@ def tile_stats_from_gathered(
     """
     t = tiles.shape[-1]
     masks = rasterize_polygons(local_polys, (t, t)) & roi_valid[:, None, None]
+    area = masks.sum(axis=(1, 2)).astype(jnp.int32)
+    if tiles.dtype == jnp.uint16:
+        # sort-free exact quantiles by 16-step value-range bisection —
+        # measured 54.6 -> 29.4 ms at bench shapes on v5e (the remaining
+        # ~28 ms is the tunneled per-dispatch floor; see
+        # ops.pallas_tilestats for the VMEM-resident variant that ties it)
+        from .tilestats_u16 import tile_stats_u16
+
+        return tile_stats_u16(tiles, masks, bgs, clip_neg=clip_neg), area
     x = tiles.astype(jnp.float32) - bgs[None, :, None, None]
     if clip_neg:
         x = jnp.maximum(x, 0.0)
@@ -138,7 +147,6 @@ def tile_stats_from_gathered(
 
     stats = jax.vmap(per_roi)(masks, x)                    # dict of (N, C)
     stats = {k: v.T for k, v in stats.items()}             # -> (C, N)
-    area = masks.sum(axis=(1, 2)).astype(jnp.int32)
     return stats, area
 
 
