@@ -58,45 +58,88 @@ def get_cmap_for_color(color_name: Optional[str]):
     )
 
 
-def draw_scalebar(ax, img_w, img_h, bar_px, bar_um, lw=3, anchor="br", font_size=10):
+# --- scalebar / colorbar geometry (pure, unit-testable) ---------------------
+#
+# Visual constants matching the reference output (Fluor_INT.py:588-640):
+# 5% frame margins, label offset max(10 px, 2% of height), bar length
+# clamped to [2 px, 80% of width], inset colorbar 2/3 of the image height
+# and 0.02 figure-widths wide with a 0.01 gap.
+
+@dataclass(frozen=True)
+class ScalebarSpec:
+    x0: float
+    x1: float
+    y: float
+    label_y: float
+    label_va: str
+    label: str
+
+
+def scalebar_spec(img_w: int, img_h: int, scalebar_um: float, px_um: float,
+                  anchor: str = "br") -> ScalebarSpec:
+    """Placement of a scalebar in image coordinates.  The printed label is
+    the CLAMPED physical length, not the requested one."""
     if anchor not in SB_ANCHORS:
         anchor = "br"
-    margin_x = int(img_w * 0.05)
-    margin_y = int(img_h * 0.05)
-    x_start = img_w - margin_x - bar_px if anchor in ("br", "tr") else margin_x
-    y = img_h - margin_y if anchor in ("br", "bl") else margin_y
-    x_end = x_start + bar_px
-    ax.plot([x_start, x_end], [y, y], color="w", linewidth=lw)
+    bar_px = int(round(float(scalebar_um) / float(px_um)))
+    bar_px = max(2, min(bar_px, int(0.8 * img_w)))
+    mx, my = int(img_w * 0.05), int(img_h * 0.05)
+    at_bottom = anchor in ("br", "bl")
+    x0 = (img_w - mx - bar_px) if anchor in ("br", "tr") else mx
+    y = (img_h - my) if at_bottom else my
     dy = max(10, int(0.02 * img_h))
-    ax.text(
-        (x_start + x_end) / 2,
-        y - dy if anchor in ("br", "bl") else y + dy,
-        f"{bar_um:.0f} µm",
-        color="w",
-        ha="center",
-        va="bottom" if anchor in ("br", "bl") else "top",
-        fontsize=font_size,
-        bbox=dict(facecolor="black", alpha=0.4, pad=1, edgecolor="none"),
+    return ScalebarSpec(
+        x0=x0, x1=x0 + bar_px, y=y,
+        label_y=y - dy if at_bottom else y + dy,
+        label_va="bottom" if at_bottom else "top",
+        label=f"{bar_px * float(px_um):.0f} µm",
     )
+
+
+def _inset_colorbar_rect(bbox) -> list:
+    """[x0, y0, w, h] of the inset colorbar axes, centered vertically at
+    2/3 of the image axes' height, just right of it."""
+    h = bbox.height * (2.0 / 3.0)
+    return [bbox.x1 + 0.01, bbox.y0 + (bbox.height - h) / 2.0, 0.02, h]
+
+
+# --- painters ----------------------------------------------------------------
+
+def draw_scalebar(ax, img_w, img_h, bar_px, bar_um, lw=3, anchor="br",
+                  font_size=10):
+    """Paint a white scalebar + boxed label (kept for API compatibility;
+    geometry comes from :func:`scalebar_spec`)."""
+    spec = scalebar_spec(img_w, img_h, bar_um, bar_um / max(bar_px, 1), anchor)
+    _paint_scalebar(ax, spec, lw=lw, font_size=font_size)
+
+
+def _paint_scalebar(ax, spec: ScalebarSpec, lw=3, font_size=10):
+    ax.plot([spec.x0, spec.x1], [spec.y, spec.y], color="w", linewidth=lw)
+    ax.text((spec.x0 + spec.x1) / 2, spec.label_y, spec.label,
+            color="w", ha="center", va=spec.label_va, fontsize=font_size,
+            bbox=dict(facecolor="black", alpha=0.4, pad=1, edgecolor="none"))
 
 
 def add_short_colorbar(fig, ax, vmin, vmax, cmap="jet", label="Intensity (a.u.)"):
-    bbox = ax.get_position()
-    cb_h = bbox.height * (2.0 / 3.0)
-    cb_ax = fig.add_axes(
-        [bbox.x1 + 0.01, bbox.y0 + (bbox.height - cb_h) / 2.0, 0.02, cb_h]
-    )
+    """White-on-black inset colorbar with endpoint-only ticks."""
+    cb_ax = fig.add_axes(_inset_colorbar_rect(ax.get_position()))
     cb_ax.set_facecolor("black")
-    norm = mpl.colors.Normalize(vmin=vmin, vmax=vmax)
-    cmap_obj = plt.get_cmap(cmap) if isinstance(cmap, str) else cmap
-    cb = mpl.colorbar.ColorbarBase(
-        cb_ax, cmap=cmap_obj, norm=norm, orientation="vertical"
+    sm = mpl.cm.ScalarMappable(
+        norm=mpl.colors.Normalize(vmin=vmin, vmax=vmax),
+        cmap=plt.get_cmap(cmap) if isinstance(cmap, str) else cmap,
     )
+    cb = fig.colorbar(sm, cax=cb_ax, orientation="vertical")
     cb.set_label(label, rotation=90, color="w")
     cb.set_ticks([vmin, vmax])
     cb.ax.set_yticklabels([f"{vmin:.2f}", f"{vmax:.2f}"], color="w")
     cb.ax.tick_params(color="w", labelcolor="w", length=3)
     cb.outline.set_edgecolor("w")
+
+
+def _transparent_outside(cmap):
+    cm_obj = (plt.get_cmap(cmap) if isinstance(cmap, str) else cmap).copy()
+    cm_obj.set_bad(alpha=0.0)
+    return cm_obj
 
 
 def save_png_colormap(
@@ -116,25 +159,22 @@ def save_png_colormap(
     bar_font=10,
 ):
     """Black-background borderless PNG with optional mask transparency,
-    scalebar and inset colorbar (Fluor_INT.py:642-675)."""
+    scalebar and inset colorbar (visual parity with Fluor_INT.py:642-675)."""
     fig, ax = plt.subplots()
     ax.set_facecolor("black")
     fig.patch.set_facecolor("black")
     shown = np.array(img2d, copy=True)
     if mask is not None:
         shown = np.ma.array(shown, mask=~mask)
-        cmap_obj = (plt.get_cmap(cmap) if isinstance(cmap, str) else cmap).copy()
-        cmap_obj.set_bad(alpha=0.0)
-        ax.imshow(shown, cmap=cmap_obj, vmin=vmin, vmax=vmax)
+        ax.imshow(shown, cmap=_transparent_outside(cmap),
+                  vmin=vmin, vmax=vmax)
     else:
         ax.imshow(shown, cmap=cmap, vmin=vmin, vmax=vmax)
     ax.set_axis_off()
     if scalebar_um is not None and px_um is not None and scalebar_um > 0:
         H, W = shown.shape[:2]
-        bar_px = int(round(float(scalebar_um) / float(px_um)))
-        bar_px = max(2, min(bar_px, int(0.8 * W)))
-        draw_scalebar(ax, W, H, bar_px, bar_px * float(px_um),
-                      anchor=bar_anchor, font_size=bar_font)
+        _paint_scalebar(ax, scalebar_spec(W, H, scalebar_um, px_um, bar_anchor),
+                        font_size=bar_font)
     if show_colorbar and vmin is not None and vmax is not None:
         add_short_colorbar(fig, ax, vmin, vmax, cmap=cmap, label=cbar_label)
     fig.tight_layout(pad=0)

@@ -112,3 +112,23 @@ def test_xlsx_sheet_name_dedup(tmp_path):
     assert back["a_b"] == [[1]]
     assert back["a_b_2"] == [[2]]
     assert all(len(n) <= 31 for n in back)
+
+
+def test_scalebar_spec_geometry():
+    """Scalebar placement math: 5% margins, [2 px, 0.8W] clamp, the printed
+    label reflects the CLAMPED physical length (Fluor_INT.py:588-613)."""
+    from imageprocess_tpu.report.render import scalebar_spec
+
+    s = scalebar_spec(1000, 800, scalebar_um=10.0, px_um=0.1, anchor="br")
+    assert s.x1 - s.x0 == 100          # 10 um / 0.1 um/px
+    assert s.x1 == 1000 - 50           # 5% right margin
+    assert s.y == 800 - 40             # 5% bottom margin
+    assert s.label == "10 µm" and s.label_va == "bottom"
+
+    s = scalebar_spec(100, 100, scalebar_um=500.0, px_um=0.1, anchor="tl")
+    assert s.x1 - s.x0 == 80           # clamped to 0.8 * W
+    assert s.label == "8 µm"           # label follows the clamp
+    assert s.x0 == 5 and s.y == 5 and s.label_va == "top"
+
+    s = scalebar_spec(1000, 800, scalebar_um=0.01, px_um=0.1, anchor="bl")
+    assert s.x1 - s.x0 == 2            # minimum bar length
