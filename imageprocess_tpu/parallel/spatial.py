@@ -148,6 +148,67 @@ def sharded_square_erosion(mesh: Mesh, k: int):
     ))
 
 
+def sharded_rim_mask(mesh: Mesh, rim_px: int):
+    """Row-sharded nuclear-envelope rim mask — EXACT parity with the
+    single-device ``morphology.edt.rim_mask`` (Nesprin2_FRET_Builder.py:
+    409-414 semantics).
+
+    The radius-clamped squared EDT only looks rim_px pixels away, so a
+    rim_px-row halo exchange makes each shard's local EDT exact.  The halo
+    fill for edge shards is True (foreground): out-of-image is NOT
+    background in the reference/scipy semantics, and only background
+    pixels act as distance sources."""
+    axis = mesh.axis_names[0]
+
+    def local(u):
+        from ..morphology.edt import clamped_sq_edt
+
+        u = u.astype(bool)
+        if rim_px <= 0:
+            return u
+        uh = _halo_exchange_rows(u, rim_px, axis, True)
+        sq = clamped_sq_edt(uh, rim_px)[rim_px:-rim_px]
+        return u & (sq <= jnp.float32(rim_px * rim_px))
+
+    return jax.jit(jax.shard_map(
+        local, mesh=mesh, in_specs=P(axis, None), out_specs=P(axis, None),
+    ))
+
+
+def sharded_annulus_mask(mesh: Mesh, inner_px: int, outer_px: int):
+    """Row-sharded square-dilation annulus — parity with
+    ``morphology.binary.annulus_mask`` (Nesprin2's per-ROI local-BG ring,
+    src/FRET/Nesprin2_FRET_Builder.py:416-427), one halo exchange sized
+    for the OUTER window shared by both dilations."""
+    inner_px = max(1, int(inner_px))
+    outer_px = int(outer_px)
+    if outer_px <= inner_px:
+        outer_px = inner_px + 1
+    axis = mesh.axis_names[0]
+    o = outer_px
+
+    def local(x):
+        xf = x.astype(jnp.float32)
+        xh = _halo_exchange_rows(xf, o, axis, -jnp.inf)
+        L = x.shape[0]
+
+        def dilate(k):
+            y = jax.lax.reduce_window(
+                xh, -jnp.inf, jax.lax.max, (2 * k + 1, 1), (1, 1), "VALID"
+            )
+            y = jax.lax.dynamic_slice_in_dim(y, o - k, L, axis=0)
+            y = jax.lax.reduce_window(
+                y, -jnp.inf, jax.lax.max, (1, 2 * k + 1), (1, 1), "SAME"
+            )
+            return y > 0.5
+
+        return dilate(outer_px) & ~dilate(inner_px)
+
+    return jax.jit(jax.shard_map(
+        local, mesh=mesh, in_specs=P(axis, None), out_specs=P(axis, None),
+    ))
+
+
 def shard_frame(mesh: Mesh, img: np.ndarray):
     """Place a (H, W) frame row-sharded over the mesh (H must divide)."""
     axis = mesh.axis_names[0]

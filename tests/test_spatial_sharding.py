@@ -78,3 +78,40 @@ def test_sharded_square_erosion_matches_single_device(mesh, k):
     # and it must differ from what a zeros-filled halo would produce:
     # interior foreground rows adjacent to shard boundaries survive
     assert got.any()
+
+
+@pytest.mark.parametrize("rim_px", [1, 3, 6])
+def test_sharded_rim_mask_matches_single_device(mesh, rim_px):
+    """Exact sharded nuclear-rim mask vs morphology.edt.rim_mask, with
+    blobs crossing shard boundaries AND touching the frame edge (where
+    out-of-image must act as non-background)."""
+    from imageprocess_tpu.morphology.edt import rim_mask
+    from imageprocess_tpu.parallel.spatial import sharded_rim_mask
+
+    rng = np.random.default_rng(3)
+    u = np.zeros((256, 192), bool)
+    u[20:70, 30:120] = True      # interior blob
+    u[28:37, 50:110] = True      # spans the 32-row shard boundary
+    u[0:12, 150:190] = True      # touches the top frame edge
+    u[240:256, 0:40] = True      # touches the bottom frame edge
+    u |= rng.random((256, 192)) > 0.995
+    run = sharded_rim_mask(mesh, rim_px)
+    got = np.asarray(run(shard_frame(mesh, u)))
+    want = np.asarray(rim_mask(jnp.asarray(u), rim_px))
+    assert np.array_equal(got, want)
+
+
+@pytest.mark.parametrize("inner,outer", [(2, 5), (1, 2), (4, 9)])
+def test_sharded_annulus_matches_single_device(mesh, inner, outer):
+    from imageprocess_tpu.morphology.binary import annulus_mask
+    from imageprocess_tpu.parallel.spatial import sharded_annulus_mask
+
+    rng = np.random.default_rng(4)
+    base = np.zeros((256, 192), bool)
+    base[30:34, 40:44] = True
+    base[92:100, 100:140] = True  # spans the 96-row shard boundary
+    base |= rng.random((256, 192)) > 0.999
+    run = sharded_annulus_mask(mesh, inner, outer)
+    got = np.asarray(run(shard_frame(mesh, base)))
+    want = np.asarray(annulus_mask(jnp.asarray(base), inner, outer))
+    assert np.array_equal(got, want)
