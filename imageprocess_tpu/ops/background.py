@@ -100,7 +100,21 @@ def bg_value(
         eff = jnp.ones(sub2.shape, bool)
         if mode == "percentile":
             if jnp.issubdtype(img.dtype, jnp.integer):
-                b = integral_masked_quantile(sub2, eff, p1000)
+                # 16-step value-range bisection: exact order stats with no
+                # sort and no 65536-bin scatter (ops.tilestats_u16)
+                from .tilestats_u16 import _order_stats_bisect
+
+                n = sub.size
+                k, g = exact_quantile_pos(jnp.int32(n), p1000)
+                ks = jnp.stack([
+                    jnp.clip(k, 0, n - 1),
+                    jnp.clip(jnp.minimum(k + 1, n - 1), 0, n - 1),
+                ])[None]                                      # (1, 2)
+                os2 = _order_stats_bisect(
+                    jnp.clip(sub2.astype(jnp.int32), 0, U16_BINS - 1),
+                    eff, ks,
+                ).astype(jnp.float32)                         # (1, 2)
+                b = os2[0, 0] + g * (os2[0, 1] - os2[0, 0])
             else:
                 from .percentile import quantile_from_sorted
 

@@ -441,9 +441,20 @@ def run_intensity_batched(
     roi_dir = os.path.join(folder, "roi")
     out_root = out_root or os.path.join(folder, "RES")
 
+    def _load(kv):
+        # decode + ROI parse, plus the host background when the
+        # minimum-transfer tile path applies: computed here so it overlaps
+        # device compute inside the prefetch threads (the native counting
+        # percentile releases the GIL)
+        key = kv[0]
+        stid, payload = load_key(key, kv[1], roi_dir, cfg)
+        bgs = None
+        if use_tiles and not isinstance(payload, str):
+            bgs = _host_bg(payload[1], payload[0])
+        return key, (stid, payload), bgs
+
     loader = PrefetchLoader(
-        lambda kv: (kv[0], load_key(kv[0], kv[1], roi_dir, cfg)),
-        list(keymap.items()), workers=max(1, prefetch_workers),
+        _load, list(keymap.items()), workers=max(1, prefetch_workers),
     )
 
     if mesh is not None:
@@ -513,12 +524,12 @@ def run_intensity_batched(
 
     def dispatch(chunk):
         """Build padded arrays and launch the batch WITHOUT synchronizing."""
-        all_p = [poly for _, _, (_, _, polys, _) in chunk for poly in polys]
+        all_p = [poly for _, _, (_, _, polys, _), _ in chunk for poly in polys]
         H, W = chunk[0][2][1].shape[1:]
         tile = choose_tile(all_p, H, W)
         if tile is None:
             return None
-        nb = _bucket(max(len(payload[2]) for _, _, payload in chunk))
+        nb = _bucket(max(len(payload[2]) for _, _, payload, _ in chunk))
         vb = _bucket(max(len(poly) for poly in all_p), 32)
         B = len(chunk)
         pad_b = batch_size if mesh is not None else B
@@ -530,12 +541,13 @@ def run_intensity_batched(
             tiles_b = np.zeros((pad_b, nb, C, tile, tile),
                                chunk[0][2][1].dtype)
             bgs_b = np.zeros((pad_b, C), np.float32)
-            for bi, (key, _, (chs, imgs, polys, _)) in enumerate(chunk):
+            for bi, (key, _, (chs, imgs, polys, _), bgs_pre) in enumerate(chunk):
                 offs = tile_offsets(polys, H, W, tile)
                 lp, off_pad, valid = pad_local_polys(polys, offs, nb, vb)
                 lp_b[bi], off_b[bi], val_b[bi] = lp, off_pad, valid
                 tiles_b[bi] = gather_tiles(imgs, offs, nb, tile)
-                bgs_b[bi] = _host_bg(imgs, chs)
+                bgs_b[bi] = bgs_pre if bgs_pre is not None else _host_bg(
+                    imgs, chs)
             stats, areas = tile_step(
                 jnp.asarray(tiles_b), jnp.asarray(lp_b),
                 jnp.asarray(val_b), jnp.asarray(bgs_b),
@@ -544,7 +556,7 @@ def run_intensity_batched(
         imgs_b = np.zeros((pad_b,) + chunk[0][2][1].shape,
                           chunk[0][2][1].dtype)
         p_b = np.zeros((pad_b, C), np.int32)
-        for bi, (key, _, (chs, imgs, polys, _)) in enumerate(chunk):
+        for bi, (key, _, (chs, imgs, polys, _), _) in enumerate(chunk):
             imgs_b[bi] = imgs
             offs = tile_offsets(polys, H, W, tile)
             lp, off_pad, valid = pad_local_polys(polys, offs, nb, vb)
@@ -575,7 +587,7 @@ def run_intensity_batched(
         stats = {f: packed[:, k] for k, f in enumerate(STAT_FIELDS)}
         areas = packed[:, len(STAT_FIELDS), 0]  # (B, N), channel-invariant
         bgs = bgs_host if bgs_host is not None else np.asarray(bgs_dev)
-        for bi, (key, _, (chs, _, polys, _)) in enumerate(chunk):
+        for bi, (key, _, (chs, _, polys, _), _) in enumerate(chunk):
             s, t_code = key
             for i in range(len(polys)):
                 row = {
@@ -612,7 +624,7 @@ def run_intensity_batched(
         rec = dispatch(list(buf))  # copy: buf.clear() must not empty the
                                    # chunk held by the in-flight record
         if rec is None:   # some ROI needs the full frame: serialize chunk
-            for key, stid, payload in buf:
+            for key, stid, payload, _ in buf:
                 run_serial(key, stid, payload)
         else:
             if pending is not None:
@@ -624,7 +636,7 @@ def run_intensity_batched(
         if isinstance(item, LoadError):
             log(t("err_worker").format(key=item.item[0], error=item.error))
             continue
-        key, (stid, payload) = item
+        key, (stid, payload), bgs_pre = item
         if isinstance(payload, str):
             log(payload)
             continue
@@ -634,7 +646,7 @@ def run_intensity_batched(
         if polys is None or (imgs.shape, tuple(chs)) != sig:
             run_serial(key, stid, payload)
             continue
-        buf.append((key, stid, payload))
+        buf.append((key, stid, payload, bgs_pre))
         if len(buf) == batch_size:
             flush()
     flush()

@@ -12,8 +12,8 @@ Visual-output parity with the reference:
 from __future__ import annotations
 
 import os
-from dataclasses import dataclass, field
-from typing import Optional, Sequence, Tuple
+from dataclasses import dataclass
+from typing import Optional, Sequence
 
 import matplotlib
 

@@ -26,14 +26,17 @@ def _esc(s: str) -> str:
     return re.sub(r'[&<>"]', lambda m: _XML_ESCAPES[m.group(0)], s)
 
 
-def _col_ref(idx: int) -> str:
-    """0-based column index -> A, B, ..., AA, ..."""
-    ref = ""
-    idx += 1
-    while idx:
-        idx, rem = divmod(idx - 1, 26)
-        ref = chr(ord("A") + rem) + ref
-    return ref
+def _col_ref(idx: int, _cache: List[str] = []) -> str:
+    """0-based column index -> A, B, ..., AA, ... (memoized: the ref is
+    recomputed for every cell of every row)."""
+    while len(_cache) <= idx:
+        i = len(_cache) + 1
+        ref = ""
+        while i:
+            i, rem = divmod(i - 1, 26)
+            ref = chr(ord("A") + rem) + ref
+        _cache.append(ref)
+    return _cache[idx]
 
 
 def _cell_xml(ref: str, value) -> str:
