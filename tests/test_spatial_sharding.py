@@ -115,3 +115,29 @@ def test_sharded_annulus_matches_single_device(mesh, inner, outer):
     got = np.asarray(run(shard_frame(mesh, base)))
     want = np.asarray(annulus_mask(jnp.asarray(base), inner, outer))
     assert np.array_equal(got, want)
+
+
+@pytest.mark.parametrize("connectivity", [1, 2])
+def test_sharded_label_matches_single_device(mesh, connectivity):
+    """Sharded CCL vs morphology.ccl.label, exact numbering parity —
+    including a snake that crosses ALL eight shards (worst case for the
+    outer reconciliation loop) and blobs touching shard boundaries."""
+    from imageprocess_tpu.morphology.ccl import label
+    from imageprocess_tpu.parallel.spatial import sharded_label
+
+    rng = np.random.default_rng(5)
+    fg = np.zeros((256, 192), bool)
+    # vertical snake spanning the whole frame (all 8 shards), 2 px wide,
+    # weaving left-right so its pixels alternate column ranges per shard
+    for y in range(256):
+        x = 20 + int(60 * (0.5 + 0.5 * np.sin(y / 17.0)))
+        fg[y, x:x + 2] = True
+    fg[40:44, 100:140] = True     # blob inside one shard
+    fg[62:70, 150:170] = True     # blob across the 64-row boundary
+    fg[0:2, 0:4] = True           # corner blob
+    fg |= rng.random((256, 192)) > 0.995
+    run = sharded_label(mesh, connectivity=connectivity, max_labels=256)
+    got = np.asarray(run(shard_frame(mesh, fg)))
+    want = np.asarray(label(jnp.asarray(fg), connectivity=connectivity,
+                            max_labels=256))
+    assert np.array_equal(got, want)
