@@ -210,84 +210,221 @@ def sharded_annulus_mask(mesh: Mesh, inner_px: int, outer_px: int):
     ))
 
 
-def sharded_label(mesh: Mesh, connectivity: int = 2, max_labels: int = 1024):
-    """Row-sharded connected-component labeling — EXACT skimage
-    ``label`` numbering parity with the single-device ``morphology.ccl``
-    (components numbered 1..K in raster order of their first pixel).
+def _sharded_roots(fg, axis: str, n_shards: int, connectivity: int):
+    """Shard-local piece of distributed CCL: every foreground pixel ends
+    up labeled with its component's GLOBAL minimum flat index.
 
-    Algorithm: every shard seeds its foreground pixels with GLOBAL flat
-    indices and runs the local min-label propagation (pointer jumping, no
-    collectives, shard-divergent trip counts are fine).  An outer loop
-    then exchanges one boundary label row with each neighbor (``ppermute``)
-    and re-runs the local fixpoint; it terminates when a ``psum`` of the
-    shards' change flags reaches zero — components snaking across k shards
-    converge in <= k outer rounds, each a 2-row exchange, never a gather
-    of the frame.  Final numbering ranks the union of per-shard root sets
-    (one ``all_gather`` of max_labels ints per shard).
-    """
+    Local min-label propagation with pointer jumping runs to a fixpoint
+    with no collectives (shard-divergent trip counts are fine); an outer
+    loop exchanges one boundary label row per neighbor (``ppermute``) and
+    re-runs the local fixpoint until a ``psum`` of change flags reaches
+    zero — a component snaking across k shards converges in <= k rounds
+    and the frame is never gathered.  Path compression hops only through
+    labels homed in THIS shard; foreign labels compress in their home
+    shard on later rounds.  Returns (roots int32 (h, W), sentinel)."""
+    h, W = fg.shape
+    H = h * n_shards
+    sentinel = jnp.int32(H * W)
+    i = jax.lax.axis_index(axis)
+    base = (i * h * W).astype(jnp.int32)
+    idx = base + jnp.arange(h * W, dtype=jnp.int32).reshape(h, W)
+    L0 = jnp.where(fg, idx, sentinel)
+
+    def jump(L):
+        flat = L.ravel()
+        local_ptr = flat - base
+        ours = (local_ptr >= 0) & (local_ptr < h * W)
+        ptr = jnp.clip(local_ptr, 0, h * W - 1)
+        hop = jnp.where(ours, flat[ptr], flat)
+        return jnp.where(fg, jnp.minimum(flat, hop).reshape(h, W), sentinel)
+
+    def local_fix(L, halo_top, halo_bot):
+        ext0 = jnp.concatenate([halo_top[None], L, halo_bot[None]], 0)
+
+        def body(state):
+            Lc, _ = state
+            ext = ext0.at[1:-1].set(Lc)
+            Ln = _neighbor_min(ext, sentinel, connectivity)[1:-1]
+            Ln = jnp.where(fg, Ln, sentinel)
+            Ln = jump(jump(Ln))
+            return Ln, jnp.any(Ln != Lc)
+
+        # initial flag must be marked varying over the manual axis to
+        # match the loop-carried (shard-local) change flag
+        start = jax.lax.pvary(jnp.bool_(True), (axis,))
+        L, _ = jax.lax.while_loop(lambda s: s[1], body, (L, start))
+        return L
+
+    def outer(state):
+        L, _ = state
+        ext = _halo_exchange_rows(L, 1, axis, sentinel)
+        Ln = local_fix(L, ext[0], ext[-1])
+        changed = jax.lax.psum(jnp.any(Ln != L).astype(jnp.int32), axis)
+        return Ln, changed > 0
+
+    sent_row = jnp.full((W,), sentinel, jnp.int32)
+    L = local_fix(L0, sent_row, sent_row)
+    L, _ = jax.lax.while_loop(lambda s: s[1], outer, (L, jnp.bool_(True)))
+    return L, sentinel
+
+
+def _rank_roots(L, fg, sentinel, axis: str, max_labels: int):
+    """Consecutive 1..K raster-order numbering (skimage parity): rank each
+    root within the sorted union of every shard's root set (one
+    ``all_gather`` of max_labels ints per shard)."""
+    uniq = jnp.unique(L, size=max_labels + 1, fill_value=sentinel)
+    allu = jax.lax.all_gather(uniq, axis).ravel()
+    ug = jnp.unique(allu, size=max_labels + 1, fill_value=sentinel)
+    comp = jnp.searchsorted(ug, L.ravel()).astype(jnp.int32)
+    return jnp.where(fg.ravel(), comp + 1, 0).reshape(fg.shape)
+
+
+def sharded_label(mesh: Mesh, connectivity: int = 2, max_labels: int = 1024):
+    """Row-sharded connected-component labeling — EXACT skimage ``label``
+    numbering parity with the single-device ``morphology.ccl`` (components
+    numbered 1..K in raster order of their first pixel)."""
     axis = mesh.axis_names[0]
     n_shards = len(mesh.devices.ravel())
 
     def local(fg):
-        h, W = fg.shape
-        H = h * n_shards
-        sentinel = jnp.int32(H * W)
-        i = jax.lax.axis_index(axis)
-        base = (i * h * W).astype(jnp.int32)
-        idx = base + jnp.arange(h * W, dtype=jnp.int32).reshape(h, W)
-        L0 = jnp.where(fg, idx, sentinel)
-
-        def jump(L):
-            # path-compress through labels that live in THIS shard; foreign
-            # labels compress in their home shard on later outer rounds
-            flat = L.ravel()
-            local_ptr = flat - base
-            ours = (local_ptr >= 0) & (local_ptr < h * W)
-            ptr = jnp.clip(local_ptr, 0, h * W - 1)
-            hop = jnp.where(ours, flat[ptr], flat)
-            return jnp.where(fg, jnp.minimum(flat, hop).reshape(h, W),
-                             sentinel)
-
-        def local_fix(L, halo_top, halo_bot):
-            ext0 = jnp.concatenate([halo_top[None], L, halo_bot[None]], 0)
-
-            def body(state):
-                Lc, _ = state
-                ext = ext0.at[1:-1].set(Lc)
-                Ln = _neighbor_min(ext, sentinel, connectivity)[1:-1]
-                Ln = jnp.where(fg, Ln, sentinel)
-                Ln = jump(jump(Ln))
-                return Ln, jnp.any(Ln != Lc)
-
-            # initial flag must be marked varying over the manual axis to
-            # match the loop-carried (shard-local) change flag
-            start = jax.lax.pvary(jnp.bool_(True), (axis,))
-            L, _ = jax.lax.while_loop(lambda s: s[1], body, (L, start))
-            return L
-
-        def outer(state):
-            L, _ = state
-            ext = _halo_exchange_rows(L, 1, axis, sentinel)
-            Ln = local_fix(L, ext[0], ext[-1])
-            changed = jax.lax.psum(
-                jnp.any(Ln != L).astype(jnp.int32), axis)
-            return Ln, changed > 0
-
-        sent_row = jnp.full((W,), sentinel, jnp.int32)
-        L = local_fix(L0, sent_row, sent_row)
-        L, _ = jax.lax.while_loop(lambda s: s[1], outer, (L, jnp.bool_(True)))
-
-        # consecutive raster-order numbering: rank each root within the
-        # sorted union of every shard's root set
-        uniq = jnp.unique(L, size=max_labels + 1, fill_value=sentinel)
-        allu = jax.lax.all_gather(uniq, axis).ravel()
-        ug = jnp.unique(allu, size=max_labels + 1, fill_value=sentinel)
-        comp = jnp.searchsorted(ug, L.ravel()).astype(jnp.int32)
-        return jnp.where(fg.ravel(), comp + 1, 0).reshape(h, W)
+        roots, sentinel = _sharded_roots(fg, axis, n_shards, connectivity)
+        return _rank_roots(roots, fg, sentinel, axis, max_labels)
 
     return jax.jit(jax.shard_map(
         local, mesh=mesh, in_specs=P(axis, None), out_specs=P(axis, None),
     ))
+
+
+def sharded_remove_small(mesh: Mesh, min_size: int, connectivity: int = 1,
+                         max_labels: int = 1024):
+    """Row-sharded ``remove_small_objects`` (skimage parity: strict
+    ``< min_size`` removal, 4-connected default): distributed roots ->
+    ranked component ids -> one ``psum`` of the (max_labels+2,) component
+    size table."""
+    axis = mesh.axis_names[0]
+    n_shards = len(mesh.devices.ravel())
+
+    def local(fg):
+        roots, sentinel = _sharded_roots(fg, axis, n_shards, connectivity)
+        lab = _rank_roots(roots, fg, sentinel, axis, max_labels)
+        sizes = jnp.zeros(max_labels + 2, jnp.int32).at[lab.ravel()].add(1)
+        sizes = jax.lax.psum(sizes, axis)
+        keep = sizes[lab.ravel()].reshape(fg.shape) >= min_size
+        return fg & keep
+
+    return jax.jit(jax.shard_map(
+        local, mesh=mesh, in_specs=P(axis, None), out_specs=P(axis, None),
+    ))
+
+
+def sharded_closing_disk(mesh: Mesh, radius: int):
+    """Row-sharded skimage binary_closing with a disk SE (the FA chain's
+    smoothing pass): one 2r-row halo serves both the dilation (out-of-
+    frame = False) and the erosion (out-of-frame = True, skimage's
+    border_true) — after dilating the haloed block, the rows BEYOND the
+    frame on edge shards are forced True so the erosion sees skimage's
+    border convention; interior block edges only corrupt rows within r of
+    the halo boundary, which the 2r crop discards."""
+    from ..morphology.binary import _dilate, _erode, _se_key, disk
+
+    if radius <= 0:
+        return jax.jit(jax.shard_map(
+            lambda x: x.astype(bool), mesh=mesh,
+            in_specs=P(mesh.axis_names[0], None),
+            out_specs=P(mesh.axis_names[0], None)))
+    axis = mesh.axis_names[0]
+    n_shards = len(mesh.devices.ravel())
+    key = _se_key(disk(radius))
+    r2 = 2 * radius
+
+    def local(x):
+        h = x.shape[0]
+        i = jax.lax.axis_index(axis)
+        xh = _halo_exchange_rows(x.astype(bool), r2, axis, False)
+        d = _dilate(xh, key)
+        rows = jnp.arange(h + 2 * r2)
+        out_of_frame = ((i == 0) & (rows < r2)) | (
+            (i == n_shards - 1) & (rows >= r2 + h))
+        d = jnp.where(out_of_frame[:, None], True, d)
+        e = _erode(d, key, True)
+        return e[r2:r2 + h]
+
+    return jax.jit(jax.shard_map(
+        local, mesh=mesh, in_specs=P(axis, None), out_specs=P(axis, None),
+    ))
+
+
+def sharded_fa_stats(mesh: Mesh):
+    """Row-sharded FA global statistics (FA_Analyzer.py:624-626 semantics):
+    whole-image nan-mean/nan-std for the threshold, background = exact p1
+    of the GLOBAL ``img[::10, ::10]`` subsample — all via psum reductions
+    and a histogram psum, the frame never leaves the shards.  Input must
+    be u16-integral-valued (microscopy frames are)."""
+    axis = mesh.axis_names[0]
+
+    def local(x):
+        h, W = x.shape
+        i = jax.lax.axis_index(axis)
+        xf = x.astype(jnp.float32)
+        finite = jnp.isfinite(xf)
+        n = jax.lax.psum(finite.sum().astype(jnp.float32), axis)
+        n = jnp.maximum(n, 1.0)
+        m = jax.lax.psum(jnp.where(finite, xf, 0.0).sum(), axis) / n
+        var = jax.lax.psum(
+            jnp.where(finite, (xf - m) ** 2, 0.0).sum(), axis) / n
+        # [::10, ::10] over GLOBAL row indices
+        grow = i * h + jnp.arange(h)
+        gcol = jnp.arange(W)
+        sample = ((grow % 10 == 0)[:, None] & (gcol % 10 == 0)[None, :]
+                  & finite)
+        xi = jnp.clip(x.astype(jnp.int32), 0, U16_BINS - 1)
+        hist = jnp.zeros((U16_BINS,), jnp.int32).at[xi.ravel()].add(
+            sample.ravel().astype(jnp.int32))
+        hist = jax.lax.psum(hist, axis)
+        ns = hist.sum()
+        k, g = exact_quantile_pos(ns, jnp.int32(1000))
+        cdf = jnp.cumsum(hist)
+        lo = jnp.searchsorted(cdf, k, side="right").astype(jnp.float32)
+        hi = jnp.searchsorted(cdf, jnp.minimum(k + 1, ns - 1),
+                              side="right").astype(jnp.float32)
+        bg = lo + g * (hi - lo)
+        return jnp.stack([m, jnp.sqrt(var), bg])[None]
+
+    fn = jax.jit(jax.shard_map(
+        local, mesh=mesh, in_specs=P(axis, None), out_specs=P(axis),
+    ))
+
+    def run(img):
+        out = np.asarray(fn(img))
+        return float(out[0, 0]), float(out[0, 1]), float(out[0, 2])
+
+    return run
+
+
+def sharded_fa_segment(mesh: Mesh, alpha: float, min_px: float,
+                       close_radius: int, max_labels: int = 1024):
+    """The FA segmentation chain (threshold mu + alpha*sigma inside the
+    cell mask -> remove_small_objects -> binary_closing(disk) -> label,
+    src/INT/FA_Analyzer.py:123-195) on a row-sharded frame, composed from
+    the sharded primitives.  Returns (labels, threshold, bg)."""
+    stats = sharded_fa_stats(mesh)
+    rm = sharded_remove_small(mesh, int(np.ceil(min_px)), 1, max_labels)
+    close = sharded_closing_disk(mesh, close_radius)
+    lab = sharded_label(mesh, 2, max_labels)
+
+    @jax.jit
+    def _threshold(img, roi, thr):
+        return (img.astype(jnp.float32) > thr) & roi
+
+    def run(img, roi_mask):
+        mu, sigma, bg = stats(img)
+        thr = mu + alpha * sigma
+        bw = _threshold(img, roi_mask, jnp.float32(thr))
+        bw = rm(bw)
+        bw = close(bw)
+        return lab(bw), thr, bg
+
+    return run
 
 
 def shard_frame(mesh: Mesh, img: np.ndarray):

@@ -141,3 +141,43 @@ def test_sharded_label_matches_single_device(mesh, connectivity):
     want = np.asarray(label(jnp.asarray(fg), connectivity=connectivity,
                             max_labels=256))
     assert np.array_equal(got, want)
+
+
+def test_sharded_fa_chain_matches_single_device(mesh):
+    """Full FA segmentation chain on a row-sharded frame (threshold
+    mu+alpha*sigma -> remove_small -> closing(disk) -> label) vs the
+    single-device ops, exact labels + threshold + background."""
+    from imageprocess_tpu.morphology.binary import binary_closing_skimage, disk
+    from imageprocess_tpu.morphology.ccl import label, remove_small_objects
+    from imageprocess_tpu.parallel.spatial import sharded_fa_segment
+
+    rng = np.random.default_rng(6)
+    H, W = 256, 192
+    img = rng.integers(90, 120, (H, W)).astype(np.uint16)
+    for cy, cx, r, v in [(40, 50, 6, 4000), (126, 90, 5, 3500),
+                         (130, 96, 4, 3600),  # crosses the 128-row boundary
+                         (250, 180, 4, 3900), (70, 20, 2, 3000)]:
+        yy, xx = np.mgrid[0:H, 0:W]
+        img[(yy - cy) ** 2 + (xx - cx) ** 2 <= r * r] = v
+    roi = np.zeros((H, W), bool)
+    roi[10:256, 5:190] = True
+    alpha, min_px, close_r = 3.0, 10.0, 1
+
+    run = sharded_fa_segment(mesh, alpha, min_px, close_r, max_labels=64)
+    got_lab, got_thr, got_bg = run(shard_frame(mesh, img),
+                                   shard_frame(mesh, roi))
+    got_lab = np.asarray(got_lab)
+
+    from imageprocess_tpu.pipelines.fa import fa_global_stats
+
+    mu, sigma, bg = fa_global_stats(jnp.asarray(img))
+    thr = float(mu) + alpha * float(sigma)
+    bw = (img.astype(np.float32) > thr) & roi
+    bw = np.asarray(remove_small_objects(jnp.asarray(bw), 10, connectivity=1))
+    bw = np.asarray(binary_closing_skimage(jnp.asarray(bw), disk(close_r)))
+    want = np.asarray(label(jnp.asarray(bw), connectivity=2, max_labels=64))
+
+    assert abs(got_thr - thr) < 1e-2
+    assert abs(got_bg - float(bg)) < 1e-6
+    assert np.array_equal(got_lab, want)
+    assert want.max() >= 3  # the fixture produced several components
