@@ -276,7 +276,7 @@ def _dispatch(args, log) -> int:
         return 0
 
     if args.cmd == "fret":
-        from .pipelines.fret import FretConfig, run_fret
+        from .pipelines.fret import FretConfig, run_fret_batched
 
         cfg = FretConfig(
             donor_ch=args.donor_ch, acceptor_ch=args.acceptor_ch,
@@ -285,7 +285,9 @@ def _dispatch(args, log) -> int:
             bg_scope=args.bg_scope, do_tif=args.tif, do_png=args.png,
             subset_stage=args.subset_stage,
         )
-        run_fret(args.folder, cfg, out_root=args.out, log=log)
+        # tables-only runs take the minimum-transfer batched path;
+        # image outputs fall back to the rendering runner automatically
+        run_fret_batched(args.folder, cfg, out_root=args.out, log=log)
         return 0
 
     if args.cmd == "nesprin2":

@@ -372,3 +372,249 @@ def run_fret(
     elif cfg.do_xls:
         log(t("fret_no_roi"))
     return rows_all
+
+
+# --------------------------------------------------------------------------
+# minimum-transfer batched runner (tables-only)
+# --------------------------------------------------------------------------
+
+def _host_fret_scalars(D: np.ndarray, A: np.ndarray, cfg: FretConfig):
+    """(bg_donor, bg_acceptor, eps) computed host-side for u16 frames.
+
+    Backgrounds use the native exact counting percentile (stride=1, the
+    FRET builder's convention).  eps = max(eps_abs, percentile of the
+    bg-corrected DENOMINATOR over the full frame): the correction is a
+    monotone transform, so the exact raw-u16 order statistics are
+    transformed first and np.percentile-interpolated after — identical to
+    sorting the corrected frame (fret_ratio_builder.py:338-340)."""
+    from ..native import u16_percentile_strided
+
+    flip = cfg.ratio_mode != "FRET/Donor"
+    d_p = cfg.donor_p if cfg.per_channel_p else cfg.percentile
+    a_p = cfg.fret_p if cfg.per_channel_p else cfg.percentile
+    if cfg.bg_mode == "none":
+        bgd = bga = 0.0
+    else:
+        bgd = u16_percentile_strided(D, 1, p1000_of(d_p))
+        bga = u16_percentile_strided(A, 1, p1000_of(a_p))
+    denom_raw, denom_bg = (A, bga) if flip else (D, bgd)
+
+    hist = np.bincount(denom_raw.ravel(), minlength=65536)
+    n = denom_raw.size
+    idx = (n - 1) * p1000_of(cfg.eps_percentile)
+    k = idx // 100000
+    g = (idx % 100000) / 100000.0
+    cdf = np.cumsum(hist)
+    lo = int(np.searchsorted(cdf, k, side="right"))
+    hi = int(np.searchsorted(cdf, min(k + 1, n - 1), side="right"))
+
+    def tf(v):
+        v = np.float32(v) - np.float32(denom_bg)
+        return float(max(v, 0.0) if cfg.clip_neg else v)
+
+    eps_q = tf(lo) + g * (tf(hi) - tf(lo))
+    return float(bgd), float(bga), float(max(cfg.eps_abs, eps_q))
+
+
+@partial(jax.jit, static_argnames=("clip_neg", "flip"))
+def batched_fret_tile_stats(
+    tiles: jnp.ndarray,       # (B, N, 2, t, t) u16 RAW [donor, acceptor]
+    local_polys: jnp.ndarray,  # (B, N, V, 2)
+    roi_valid: jnp.ndarray,    # (B, N)
+    bgs: jnp.ndarray,          # (B, 2) f32 host backgrounds
+    eps: jnp.ndarray,          # (B,) f32 host epsilons
+    *,
+    clip_neg: bool = True,
+    flip: bool = False,
+):
+    """Per-ROI stats over [ratio, donor_bc, acceptor_bc] from host-gathered
+    tiles — the FRET analogue of the intensity minimum-transfer path: the
+    megapixel ratio frame never exists; only ROI tiles cross the link."""
+
+    def one(tl, lpb, vb, bg, e):
+        t_ = tl.shape[-1]
+        masks = rasterize_polygons(lpb, (t_, t_)) & vb[:, None, None]
+        d = tl[:, 0].astype(jnp.float32) - bg[0]
+        a = tl[:, 1].astype(jnp.float32) - bg[1]
+        if clip_neg:
+            d = jnp.maximum(d, 0.0)
+            a = jnp.maximum(a, 0.0)
+        numer, denom = (d, a) if flip else (a, d)
+        R = (numer + e) / (denom + e)
+        x = jnp.stack([R, d, a], axis=1)                   # (N, 3, t, t)
+
+        def per_roi(mask_i, tc):
+            return jax.vmap(lambda im: masked_stats(im, mask_i))(tc)
+
+        stats = jax.vmap(per_roi)(masks, x)
+        stats = {k: v.T for k, v in stats.items()}          # (3, N)
+        area = masks.sum(axis=(1, 2)).astype(jnp.int32)
+        return stats, area
+
+    return jax.vmap(one)(tiles, local_polys, roi_valid, bgs, eps)
+
+
+def run_fret_batched(
+    folder: str,
+    cfg: FretConfig,
+    out_root: Optional[str] = None,
+    log=print,
+    batch_size: int = 4,
+    prefetch_workers: int = 8,
+) -> List[dict]:
+    """Tables-only batched FRET runner: host backgrounds + eps (exact
+    native u16 percentiles in the prefetch threads), ROI tiles of both
+    channels shipped per chunk, one packed result fetch — the same
+    minimum-transfer architecture as run_intensity_batched.  Falls back to
+    :func:`run_fret` when image outputs are requested or the experiment
+    doesn't fit the fast path."""
+    from ..ops.roistats import choose_tile, gather_tiles, pad_local_polys, tile_offsets
+    from ..ops.stats import STAT_FIELDS
+    from ..parallel.runner import LoadError, PrefetchLoader
+    from ..report.excel import save_fret_excel
+
+    fast_ok = (not cfg.do_tif and not cfg.do_png
+               and cfg.bg_scope == "full"
+               and cfg.bg_mode in ("percentile", "none"))
+    if not fast_ok:
+        return run_fret(folder, cfg, out_root=out_root, log=log,
+                        prefetch_workers=prefetch_workers)
+
+    out_root = out_root or os.path.join(folder, "RES")
+    roi_dir = os.path.join(folder, "roi")
+    pairs = build_fret_pairs(folder, cfg)
+    if not pairs:
+        log(f"No matched files for donor=_{cfg.donor_ch}, "
+            f"acceptor=_{cfg.acceptor_ch}.")
+        return []
+
+    flip = cfg.ratio_mode != "FRET/Donor"
+    d_p = cfg.donor_p if cfg.per_channel_p else cfg.percentile
+    a_p = cfg.fret_p if cfg.per_channel_p else cfg.percentile
+
+    def _load(kv):
+        key, dpath, apath = kv
+        D, A, polys = load_pair(key, dpath, apath, roi_dir, cfg)
+        scalars = (_host_fret_scalars(D, A, cfg)
+                   if (polys and D.dtype == np.uint16
+                       and A.dtype == np.uint16) else None)
+        return kv, (D, A, polys), scalars
+
+    loader = PrefetchLoader(_load, pairs, workers=max(1, prefetch_workers))
+
+    rows_all: List[dict] = []
+
+    def run_serial(kv, loaded):
+        key, dpath, apath = kv
+        rows_all.extend(process_pair(key, dpath, apath, roi_dir, cfg, {},
+                                     log=log, loaded=loaded))
+
+    def emit_rows(chunk, packed):
+        packed = np.asarray(packed)             # ONE fetch per chunk
+        stats = {f: packed[:, j] for j, f in enumerate(STAT_FIELDS)}
+        areas = packed[:, len(STAT_FIELDS), 0]
+        for bi, (kv, (D, A, polys), (bgd, bga, eps_f)) in enumerate(chunk):
+            (s, t_code), _, _ = kv[0], kv[1], kv[2]
+            for i in range(len(polys)):
+                rows_all.append({
+                    "roi": i + 1,
+                    "area_px": int(areas[bi, i]),
+                    "ratio_mean": float(stats["mean"][bi, 0, i]),
+                    "ratio_median": float(stats["median"][bi, 0, i]),
+                    "ratio_std": float(stats["std"][bi, 0, i]),
+                    "ratio_p5": float(stats["p5"][bi, 0, i]),
+                    "ratio_p95": float(stats["p95"][bi, 0, i]),
+                    "donor_mean": float(stats["mean"][bi, 1, i]),
+                    "donor_median": float(stats["median"][bi, 1, i]),
+                    "yfret_mean": float(stats["mean"][bi, 2, i]),
+                    "yfret_median": float(stats["median"][bi, 2, i]),
+                    "stage": s,
+                    "time": t_code if cfg.timelapse else None,
+                    "eps": eps_f,
+                    "p": cfg.percentile,
+                    "donor_p": d_p,
+                    "fret_p": a_p,
+                    "ratio_mode": cfg.ratio_mode,
+                    "bg_scope": cfg.bg_scope,
+                    "bg_mode": cfg.bg_mode,
+                    "clip_neg": cfg.clip_neg,
+                    "eps_p": cfg.eps_percentile,
+                })
+
+    def dispatch(chunk):
+        all_p = [poly for _, (_, _, polys), _ in chunk for poly in polys]
+        H, W = chunk[0][1][0].shape
+        tile = choose_tile(all_p, H, W)
+        if tile is None:
+            return None
+        nb = _bucket(max(len(c[1][2]) for c in chunk))
+        vb = _bucket(max(len(poly) for poly in all_p), 32)
+        B = len(chunk)
+        tiles_b = np.zeros((B, nb, 2, tile, tile), chunk[0][1][0].dtype)
+        lp_b = np.zeros((B, nb, vb, 2), np.float32)
+        val_b = np.zeros((B, nb), bool)
+        bgs_b = np.zeros((B, 2), np.float32)
+        eps_b = np.zeros((B,), np.float32)
+        for bi, (kv, (D, A, polys), (bgd, bga, eps_f)) in enumerate(chunk):
+            offs = tile_offsets(polys, H, W, tile)
+            lp, _, valid = pad_local_polys(polys, offs, nb, vb)
+            lp_b[bi], val_b[bi] = lp, valid
+            tiles_b[bi] = gather_tiles(np.stack([D, A]), offs, nb, tile)
+            bgs_b[bi] = (bgd, bga)
+            eps_b[bi] = eps_f
+        stats, areas = batched_fret_tile_stats(
+            jnp.asarray(tiles_b), jnp.asarray(lp_b), jnp.asarray(val_b),
+            jnp.asarray(bgs_b), jnp.asarray(eps_b),
+            clip_neg=cfg.clip_neg, flip=flip,
+        )
+        rows = [stats[f].astype(jnp.float32) for f in STAT_FIELDS]
+        rows.append(jnp.broadcast_to(
+            areas.astype(jnp.float32)[:, None, :], rows[0].shape))
+        return chunk, jnp.stack(rows, axis=1)
+
+    sig = None
+    buf: List[tuple] = []
+    pending = None
+
+    def flush():
+        nonlocal pending
+        if not buf:
+            return
+        rec = dispatch(list(buf))
+        if rec is None:
+            for kv, loaded, _ in buf:
+                run_serial(kv, loaded)
+        else:
+            if pending is not None:
+                emit_rows(*pending)
+            pending = rec
+        buf.clear()
+
+    for item in loader:
+        if isinstance(item, LoadError):
+            log(t("err_worker").format(key=item.item[0], error=item.error))
+            continue
+        kv, loaded, scalars = item
+        D, A, polys = loaded
+        if scalars is None or not polys or D.shape != A.shape:
+            run_serial(kv, loaded)
+            continue
+        if sig is None:
+            sig = D.shape
+        if D.shape != sig:
+            run_serial(kv, loaded)
+            continue
+        buf.append((kv, loaded, scalars))
+        if len(buf) == batch_size:
+            flush()
+    flush()
+    if pending is not None:
+        emit_rows(*pending)
+
+    if cfg.do_xls and rows_all:
+        save_fret_excel(rows_all, os.path.join(out_root, "xls"),
+                        cfg.timelapse)
+        log(t("fret_saved"))
+    elif cfg.do_xls:
+        log(t("fret_no_roi"))
+    return rows_all

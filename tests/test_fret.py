@@ -138,3 +138,50 @@ def test_fret_timelapse(tmp_path):
     import pandas as pd
     df = pd.read_csv(tmp_path / "RES" / "xls" / "fret_ratio_perROI.csv")
     assert list(df["time_idx"]) == [0, 1, 2]
+
+
+def test_fret_batched_matches_serial(golden_intensity_dir, tmp_path):
+    """run_fret_batched (host bg/eps + ROI-tile transfer) vs run_fret on
+    the golden frames: identical rows within float tolerance."""
+    from imageprocess_tpu.pipelines.fret import run_fret_batched
+
+    folder = os.path.join(golden_intensity_dir, "e1_P0")
+    cfg = FretConfig(donor_ch=2, acceptor_ch=3, do_xls=False)
+    serial = run_fret(folder, cfg, out_root=str(tmp_path / "s"),
+                      log=lambda *_: None)
+    batched = run_fret_batched(folder, cfg, out_root=str(tmp_path / "b"),
+                               log=lambda *_: None, batch_size=2)
+    assert len(serial) == len(batched) == 18
+    sd = {(r["stage"], r["time"], r["roi"]): r for r in serial}
+    for r in batched:
+        ref = sd[(r["stage"], r["time"], r["roi"])]
+        for k, v in ref.items():
+            if isinstance(v, float):
+                assert abs(r[k] - v) <= 1e-5 * max(abs(v), 1e-9), (k, r[k], v)
+            else:
+                assert r[k] == v, k
+
+
+def test_fret_batched_flip_and_fallback(golden_intensity_dir, tmp_path):
+    """Donor/FRET orientation through the fast path; PNG outputs force the
+    fallback to the rendering runner."""
+    from imageprocess_tpu.pipelines.fret import run_fret_batched
+
+    folder = os.path.join(golden_intensity_dir, "e1_P0")
+    cfg = FretConfig(donor_ch=2, acceptor_ch=3, do_xls=False,
+                     ratio_mode="Donor/FRET")
+    serial = run_fret(folder, cfg, out_root=str(tmp_path / "s"),
+                      log=lambda *_: None)
+    batched = run_fret_batched(folder, cfg, out_root=str(tmp_path / "b"),
+                               log=lambda *_: None)
+    sd = {r["roi"]: r for r in serial}
+    for r in batched:
+        want = sd[r["roi"]]["ratio_mean"]
+        assert abs(r["ratio_mean"] - want) <= 1e-5 * max(abs(want), 1e-9)
+
+    cfg_png = FretConfig(donor_ch=2, acceptor_ch=3, do_xls=False,
+                         do_png=True, save_crop=False)
+    rows = run_fret_batched(folder, cfg_png, out_root=str(tmp_path / "p"),
+                            log=lambda *_: None)
+    assert len(rows) == 18
+    assert (tmp_path / "p" / "PNG_RAT" / "full").exists()
