@@ -181,3 +181,26 @@ def test_sharded_fa_chain_matches_single_device(mesh):
     assert abs(got_bg - float(bg)) < 1e-6
     assert np.array_equal(got_lab, want)
     assert want.max() >= 3  # the fixture produced several components
+
+
+def test_sharded_label_empty_and_full(mesh):
+    """Degenerate inputs: all-background and all-foreground frames."""
+    from imageprocess_tpu.morphology.ccl import label
+    from imageprocess_tpu.parallel.spatial import sharded_label
+
+    run = sharded_label(mesh, connectivity=2, max_labels=16)
+    empty = np.zeros((256, 192), bool)
+    assert np.asarray(run(shard_frame(mesh, empty))).max() == 0
+    full = np.ones((256, 192), bool)
+    got = np.asarray(run(shard_frame(mesh, full)))
+    want = np.asarray(label(jnp.asarray(full), connectivity=2, max_labels=16))
+    assert np.array_equal(got, want)
+    assert got.max() == 1  # one component spanning every shard
+
+
+def test_sharded_rim_mask_empty(mesh):
+    from imageprocess_tpu.parallel.spatial import sharded_rim_mask
+
+    run = sharded_rim_mask(mesh, 3)
+    out = np.asarray(run(shard_frame(mesh, np.zeros((256, 192), bool))))
+    assert not out.any()
