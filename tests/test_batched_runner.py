@@ -94,3 +94,30 @@ def test_batched_sharded_over_mesh(timelapse_folder, tmp_path):
         assert abs(r["ch1_mean"] - sd[_key(r)]["ch1_mean"]) <= 1e-5 * max(
             abs(sd[_key(r)]["ch1_mean"]), 1e-9)
     assert (tmp_path / "xls" / "fluor_intensity_perROI.csv").exists()
+
+
+def test_batched_mixed_shapes_fall_back_per_key(tmp_path):
+    """A non-dominant-shape key drops to the serial path INLINE while the
+    rest stream through the batch program — no whole-run restart, no lost
+    rows (round-1 behavior restarted the entire run serially)."""
+    folder = tmp_path / "mixed"
+    rng = np.random.default_rng(1)
+    polys = [np.array([[15, 15], [60, 18], [55, 70], [12, 66]], float)]
+    shapes = {1: (160, 192), 2: (160, 192), 3: (192, 160), 4: (160, 192)}
+    for s, (H, W) in shapes.items():
+        tiffio.write_tiff16(str(folder / f"S{s:02d}_1.TIF"),
+                            rng.integers(10, 3000, (H, W)).astype(np.uint16))
+        roiio.save_roi_bundle(str(folder / "roi" / f"S{s:02d}.json"),
+                              f"S{s:02d}", (H, W), polys)
+    cfg = IntensityConfig(channels=(1,), do_xls=False)
+    logs = []
+    rows = run_intensity_batched(str(folder), cfg, out_root=str(tmp_path),
+                                 log=logs.append, batch_size=2)
+    assert len(rows) == 4
+    assert sorted(r["stage"] for r in rows) == ["S01", "S02", "S03", "S04"]
+    serial = run_intensity(str(folder), cfg, out_root=str(tmp_path / "s"),
+                           log=lambda *_: None)
+    sd = {r["stage"]: r for r in serial}
+    for r in rows:
+        assert abs(r["ch1_mean"] - sd[r["stage"]]["ch1_mean"]) <= 1e-5 * max(
+            abs(sd[r["stage"]]["ch1_mean"]), 1e-9)
