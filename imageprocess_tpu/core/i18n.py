@@ -43,7 +43,6 @@ STRINGS = {
         "saved_dir": "[저장 완료] {dir}",
         "subset_no_match": "[부분집합] 스테이지 {stage}에 해당하는 파일이 없습니다",
         "batch_progress": "[배치] {done} 프레임",
-        "batch_nonuniform": "[배치] 실험 구성이 균일하지 않음 — 순차 실행으로 전환",
         # crop (roi_channel_cropper)
         "crop_no_channel": "[스킵] 채널 ch={ch} 파일 없음",
         "crop_subset_no_match": "[부분집합] 일치 항목 없음",
@@ -94,7 +93,6 @@ STRINGS = {
         "saved_dir": "[SAVED] {dir}",
         "subset_no_match": "[subset] no files match stage={stage}",
         "batch_progress": "[batch] {done} frames",
-        "batch_nonuniform": "[batch] non-uniform experiment — using the serial runner",
         # crop (roi_channel_cropper)
         "crop_no_channel": "[skip] no files for channel ch={ch}",
         "crop_subset_no_match": "[subset] no match",

@@ -39,6 +39,16 @@ def _try_build() -> None:
         pass
 
 
+def _bind(lib) -> bool:
+    """Declare all expected symbols; False when any is missing (a stale
+    libiptiff.so from an older source revision)."""
+    try:
+        _declare(lib)
+        return True
+    except AttributeError:
+        return False
+
+
 def _load():
     global _lib, _tried
     with _lock:
@@ -53,31 +63,47 @@ def _load():
             lib = ctypes.CDLL(_LIB_PATH)
         except OSError:
             return None
-        lib.ip_tiff_info.argtypes = [
-            ctypes.c_char_p, ctypes.c_int,
-            ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
-            ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
-        ]
-        lib.ip_tiff_info.restype = ctypes.c_int
-        lib.ip_tiff_decode.argtypes = [
-            ctypes.c_char_p, ctypes.c_int,
-            ctypes.POINTER(ctypes.c_uint8), ctypes.c_longlong,
-        ]
-        lib.ip_tiff_decode.restype = ctypes.c_int
-        lib.ip_tiff_error.restype = ctypes.c_char_p
-        lib.ip_tiff_decode_batch.argtypes = [
-            ctypes.POINTER(ctypes.c_char_p), ctypes.c_int, ctypes.c_int,
-            ctypes.POINTER(ctypes.c_uint8), ctypes.c_longlong,
-            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
-        ]
-        lib.ip_tiff_decode_batch.restype = ctypes.c_int
-        lib.ip_u16_percentile_strided.argtypes = [
-            ctypes.POINTER(ctypes.c_uint16), ctypes.c_longlong,
-            ctypes.c_longlong, ctypes.c_int,
-        ]
-        lib.ip_u16_percentile_strided.restype = ctypes.c_double
+        if not _bind(lib):
+            # stale binary predating a symbol: rebuild once and retry
+            try:
+                os.remove(_LIB_PATH)
+            except OSError:
+                return None
+            _try_build()
+            try:
+                lib = ctypes.CDLL(_LIB_PATH)
+            except OSError:
+                return None
+            if not _bind(lib):
+                return None
         _lib = lib
         return _lib
+
+
+def _declare(lib) -> None:
+    lib.ip_tiff_info.argtypes = [
+        ctypes.c_char_p, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+        ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+    ]
+    lib.ip_tiff_info.restype = ctypes.c_int
+    lib.ip_tiff_decode.argtypes = [
+        ctypes.c_char_p, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_longlong,
+    ]
+    lib.ip_tiff_decode.restype = ctypes.c_int
+    lib.ip_tiff_error.restype = ctypes.c_char_p
+    lib.ip_tiff_decode_batch.argtypes = [
+        ctypes.POINTER(ctypes.c_char_p), ctypes.c_int, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_longlong,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+    ]
+    lib.ip_tiff_decode_batch.restype = ctypes.c_int
+    lib.ip_u16_percentile_strided.argtypes = [
+        ctypes.POINTER(ctypes.c_uint16), ctypes.c_longlong,
+        ctypes.c_longlong, ctypes.c_int,
+    ]
+    lib.ip_u16_percentile_strided.restype = ctypes.c_double
 
 
 def decode_tiff_batch(paths, page: int = 0) -> Optional[np.ndarray]:

@@ -99,9 +99,10 @@ def bg_value(
         sub2 = sub[None, :]  # the helpers expect >=1-D x & mask pairs
         eff = jnp.ones(sub2.shape, bool)
         if mode == "percentile":
-            if jnp.issubdtype(img.dtype, jnp.integer):
+            if img.dtype in (jnp.uint8, jnp.uint16):
                 # 16-step value-range bisection: exact order stats with no
-                # sort and no 65536-bin scatter (ops.tilestats_u16)
+                # sort and no 65536-bin scatter (ops.tilestats_u16); only
+                # u8/u16 — wider integer types would clip at 65535
                 from .tilestats_u16 import _order_stats_bisect
 
                 n = sub.size
@@ -126,10 +127,10 @@ def bg_value(
         return b.astype(jnp.float32)
     eff = strided_submask(scope_mask.astype(bool), stride)
     if mode == "percentile":
-        if jnp.issubdtype(img.dtype, jnp.integer):
+        if img.dtype in (jnp.uint8, jnp.uint16):
             b = integral_masked_quantile(img, eff, p1000)
         else:
-            b = masked_quantile(img, eff, p1000)
+            b = masked_quantile(img.astype(jnp.float32), eff, p1000)
     else:
         # hist-mode bins in float32 (reference arithmetic); cast integral
         # frames first so the binning matches the f32 path bit-for-bit

@@ -28,11 +28,13 @@ the same workload in ~1.2 ms by trading extra FLOPs for full-width
 parallelism.  Production pipelines therefore use the XLA path; this kernel
 stays as the scalar-prefetch + dynamic-DMA-gather reference pattern.
 
-Round-2 successor: ops.tilestats_u16 (16-step u16 value-range bisection,
-vectorized across ALL (B, N, C, quantile) lanes — wired into the
-production tile path) and ops.pallas_tilestats (the VMEM-resident kernel
-variant of that bisection, which ties XLA under the tunneled dispatch
-floor; numbers in tests/test_pallas_tilestats.py).
+Round-2 successor: ops.tilestats_u16 — the 16-step u16 value-range
+bisection vectorized across ALL (B, N, C, quantile) lanes, which IS wired
+into the production tile path (ops.roistats.tile_stats_from_gathered,
+u16 branch) — and ops.pallas_tilestats, the VMEM-resident kernel variant
+of the same bisection, verified on v5e but unwired because it only ties
+XLA under the tunneled dispatch floor (numbers in
+tests/test_pallas_tilestats.py).
 """
 
 from __future__ import annotations

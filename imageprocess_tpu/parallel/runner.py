@@ -201,6 +201,64 @@ class LoadError:
         self.error = error
 
 
+def stream_batches(loader, batch_size: int, classify, dispatch, emit,
+                   serial, on_error) -> None:
+    """The one-batch-in-flight streaming protocol shared by the batched
+    runners (intensity, fret): consume a PrefetchLoader, keep ONE dispatched
+    batch pending so host decode of chunk k+1 overlaps device compute of
+    chunk k, and preserve key order across serial fallbacks (buffered
+    entries flush, then the in-flight batch drains, before a serial key's
+    rows are emitted — the reference reports are key-ordered).
+
+    - classify(item) -> ("batch", entry) | ("serial", entry) | ("skip", _)
+    - dispatch(entries) -> opaque record, or None when the chunk can't take
+      the batch program (its entries are then serialized in order)
+    - emit(record): fetch + emit a dispatched batch's rows
+    - serial(entry): per-key fallback
+    - on_error(LoadError): log-and-skip
+    """
+    buf = []
+    pending = None
+
+    def drain():
+        nonlocal pending
+        if pending is not None:
+            emit(pending)
+            pending = None
+
+    def flush():
+        nonlocal pending
+        if not buf:
+            return
+        rec = dispatch(list(buf))  # copy: buf.clear() must not empty the
+                                   # chunk held by the in-flight record
+        drain()
+        if rec is None:
+            for e in buf:
+                serial(e)
+        else:
+            pending = rec
+        buf.clear()
+
+    for item in loader:
+        if isinstance(item, LoadError):
+            on_error(item)
+            continue
+        kind, entry = classify(item)
+        if kind == "skip":
+            continue
+        if kind == "serial":
+            flush()
+            drain()
+            serial(entry)
+            continue
+        buf.append(entry)
+        if len(buf) == batch_size:
+            flush()
+    flush()
+    drain()
+
+
 class PrefetchLoader:
     """Decode-ahead host loader: maps *load_fn* over work items with a
     thread pool, yielding results in order while later decodes overlap

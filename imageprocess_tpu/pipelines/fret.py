@@ -470,7 +470,7 @@ def run_fret_batched(
     doesn't fit the fast path."""
     from ..ops.roistats import choose_tile, gather_tiles, pad_local_polys, tile_offsets
     from ..ops.stats import STAT_FIELDS
-    from ..parallel.runner import LoadError, PrefetchLoader
+    from ..parallel.runner import PrefetchLoader, stream_batches
     from ..report.excel import save_fret_excel
 
     fast_ok = (not cfg.do_tif and not cfg.do_png
@@ -573,43 +573,26 @@ def run_fret_batched(
         return chunk, jnp.stack(rows, axis=1)
 
     sig = None
-    buf: List[tuple] = []
-    pending = None
 
-    def flush():
-        nonlocal pending
-        if not buf:
-            return
-        rec = dispatch(list(buf))
-        if rec is None:
-            for kv, loaded, _ in buf:
-                run_serial(kv, loaded)
-        else:
-            if pending is not None:
-                emit_rows(*pending)
-            pending = rec
-        buf.clear()
-
-    for item in loader:
-        if isinstance(item, LoadError):
-            log(t("err_worker").format(key=item.item[0], error=item.error))
-            continue
+    def classify(item):
+        nonlocal sig
         kv, loaded, scalars = item
         D, A, polys = loaded
         if scalars is None or not polys or D.shape != A.shape:
-            run_serial(kv, loaded)
-            continue
+            return "serial", (kv, loaded)
         if sig is None:
             sig = D.shape
         if D.shape != sig:
-            run_serial(kv, loaded)
-            continue
-        buf.append((kv, loaded, scalars))
-        if len(buf) == batch_size:
-            flush()
-    flush()
-    if pending is not None:
-        emit_rows(*pending)
+            return "serial", (kv, loaded)
+        return "batch", (kv, loaded, scalars)
+
+    stream_batches(
+        loader, batch_size, classify, dispatch,
+        lambda rec: emit_rows(*rec),
+        lambda e: run_serial(e[0], e[1]),
+        lambda err: log(t("err_worker").format(key=err.item[0],
+                                               error=err.error)),
+    )
 
     if cfg.do_xls and rows_all:
         save_fret_excel(rows_all, os.path.join(out_root, "xls"),

@@ -425,9 +425,9 @@ def run_intensity_batched(
         choose_tile, gather_tiles, pad_local_polys, tile_offsets,
     )
     from ..parallel.runner import (
-        LoadError, PrefetchLoader, batched_intensity_step_tiled,
+        PrefetchLoader, batched_intensity_step_tiled,
         batched_tile_stats_step, sharded_batched_intensity_tiled,
-        sharded_batched_tile_stats,
+        sharded_batched_tile_stats, stream_batches,
     )
     from ..report.excel import save_intensity_excel
 
@@ -513,7 +513,8 @@ def run_intensity_batched(
     n_done = 0
 
     def run_serial(key, stid, payload):
-        """Per-key fallback for chunks the batch program can't take."""
+        """Per-key fallback for chunks the batch program can't take
+        (stream_batches drains in-flight work first, keeping key order)."""
         nonlocal n_done
         rows, logs, _ = process_key(key, None, roi_dir, cfg,
                                     loaded=(stid, payload))
@@ -535,7 +536,6 @@ def run_intensity_batched(
         pad_b = batch_size if mesh is not None else B
         C = chunk[0][2][1].shape[0]
         lp_b = np.zeros((pad_b, nb, vb, 2), np.float32)
-        off_b = np.zeros((pad_b, nb, 2), np.int32)
         val_b = np.zeros((pad_b, nb), bool)
         if use_tiles:
             tiles_b = np.zeros((pad_b, nb, C, tile, tile),
@@ -543,8 +543,8 @@ def run_intensity_batched(
             bgs_b = np.zeros((pad_b, C), np.float32)
             for bi, (key, _, (chs, imgs, polys, _), bgs_pre) in enumerate(chunk):
                 offs = tile_offsets(polys, H, W, tile)
-                lp, off_pad, valid = pad_local_polys(polys, offs, nb, vb)
-                lp_b[bi], off_b[bi], val_b[bi] = lp, off_pad, valid
+                lp, _, valid = pad_local_polys(polys, offs, nb, vb)
+                lp_b[bi], val_b[bi] = lp, valid
                 tiles_b[bi] = gather_tiles(imgs, offs, nb, tile)
                 bgs_b[bi] = bgs_pre if bgs_pre is not None else _host_bg(
                     imgs, chs)
@@ -555,6 +555,7 @@ def run_intensity_batched(
             return chunk, _pack(stats, areas), None, bgs_b
         imgs_b = np.zeros((pad_b,) + chunk[0][2][1].shape,
                           chunk[0][2][1].dtype)
+        off_b = np.zeros((pad_b, nb, 2), np.int32)
         p_b = np.zeros((pad_b, C), np.int32)
         for bi, (key, _, (chs, imgs, polys, _), _) in enumerate(chunk):
             imgs_b[bi] = imgs
@@ -614,44 +615,26 @@ def run_intensity_batched(
         log(t("batch_progress").format(done=n_done))
 
     sig = None        # dominant (shape, channel set), set by the first key
-    buf: List[tuple] = []
-    pending = None    # one dispatched batch in flight
 
-    def flush():
-        nonlocal pending
-        if not buf:
-            return
-        rec = dispatch(list(buf))  # copy: buf.clear() must not empty the
-                                   # chunk held by the in-flight record
-        if rec is None:   # some ROI needs the full frame: serialize chunk
-            for key, stid, payload, _ in buf:
-                run_serial(key, stid, payload)
-        else:
-            if pending is not None:
-                finalize(pending)
-            pending = rec
-        buf.clear()
-
-    for item in loader:
-        if isinstance(item, LoadError):
-            log(t("err_worker").format(key=item.item[0], error=item.error))
-            continue
+    def classify(item):
+        nonlocal sig
         key, (stid, payload), bgs_pre = item
         if isinstance(payload, str):
             log(payload)
-            continue
-        chs, imgs, polys, union_mask = payload
+            return "skip", None
+        chs, imgs, polys, _ = payload
         if sig is None and polys is not None:
             sig = (imgs.shape, tuple(chs))
         if polys is None or (imgs.shape, tuple(chs)) != sig:
-            run_serial(key, stid, payload)
-            continue
-        buf.append((key, stid, payload, bgs_pre))
-        if len(buf) == batch_size:
-            flush()
-    flush()
-    if pending is not None:
-        finalize(pending)
+            return "serial", (key, stid, payload)
+        return "batch", (key, stid, payload, bgs_pre)
+
+    stream_batches(
+        loader, batch_size, classify, dispatch, finalize,
+        lambda e: run_serial(e[0], e[1], e[2]),
+        lambda err: log(t("err_worker").format(key=err.item[0],
+                                               error=err.error)),
+    )
 
     if cfg.do_xls and rows_all:
         xls_dir = os.path.join(out_root, "xls")

@@ -114,7 +114,8 @@ def test_batched_mixed_shapes_fall_back_per_key(tmp_path):
     rows = run_intensity_batched(str(folder), cfg, out_root=str(tmp_path),
                                  log=logs.append, batch_size=2)
     assert len(rows) == 4
-    assert sorted(r["stage"] for r in rows) == ["S01", "S02", "S03", "S04"]
+    # rows stay in key order even though S03 took the serial path
+    assert [r["stage"] for r in rows] == ["S01", "S02", "S03", "S04"]
     serial = run_intensity(str(folder), cfg, out_root=str(tmp_path / "s"),
                            log=lambda *_: None)
     sd = {r["stage"]: r for r in serial}

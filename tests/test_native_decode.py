@@ -138,3 +138,18 @@ def test_golden_parity(golden_intensity_dir):
     if got is None:
         pytest.skip("native decoder unavailable")
     assert np.array_equal(got, np.asarray(Image.open(p)))
+
+
+def test_stale_library_disables_gracefully():
+    """A libiptiff.so missing a newly-bound symbol must not crash _load:
+    _bind reports the stale binary and the loader rebuilds or disables
+    the native tier (callers fall back to PIL)."""
+    from imageprocess_tpu import native
+
+    class _Stale:
+        ip_tiff_info = object()  # has SOME symbols...
+
+        def __getattr__(self, name):  # ...but not the newer ones
+            raise AttributeError(name)
+
+    assert native._bind(_Stale()) is False

@@ -216,3 +216,28 @@ def test_integral_hist_quantile_masked_scope():
         b = float(bg_value(jnp.asarray(img, jnp.float32), 1000,
                            jnp.asarray(mask), "percentile", stride))
         assert a == b, (stride, a, b)
+
+
+def test_bg_value_wide_integer_dtypes_not_clipped():
+    """int32/int16 frames must NOT take the u16 fast paths (they would
+    clip at 65535 / 0); the background comes out exact regardless."""
+    import jax.numpy as jnp
+
+    from imageprocess_tpu.ops.background import bg_value
+
+    rng = np.random.default_rng(13)
+    img = rng.integers(0, 200000, (200, 160)).astype(np.int32)
+    for stride in (1, 4):
+        got = float(bg_value(jnp.asarray(img), 1000, None, "percentile",
+                             stride))
+        want = float(np.percentile(
+            img.ravel()[::stride].astype(np.float32).astype(np.float64),
+            1.0))
+        assert abs(got - want) <= 1e-3 * max(1.0, abs(want)), (stride, got, want)
+    # masked scope too
+    mask = rng.random((200, 160)) > 0.5
+    got = float(bg_value(jnp.asarray(img), 1000, jnp.asarray(mask),
+                         "percentile", 1))
+    vals = img[mask].astype(np.float32)
+    want = float(np.percentile(vals.astype(np.float64), 1.0))
+    assert abs(got - want) <= 1e-3 * max(1.0, abs(want))
