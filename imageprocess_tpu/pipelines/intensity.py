@@ -441,17 +441,33 @@ def run_intensity_batched(
     roi_dir = os.path.join(folder, "roi")
     out_root = out_root or os.path.join(folder, "RES")
 
+    tile_hint: Dict[str, int] = {}
+
     def _load(kv):
-        # decode + ROI parse, plus the host background when the
-        # minimum-transfer tile path applies: computed here so it overlaps
-        # device compute inside the prefetch threads (the native counting
-        # percentile releases the GIL)
+        # decode + ROI parse, plus tile-path host work moved into the
+        # prefetch threads so it overlaps device compute: the exact native
+        # counting percentile (GIL-released) and the ROI tile gather.  The
+        # first loaded key establishes a tile-size hint; a later key whose
+        # ROIs outgrow it is re-gathered by dispatch (rare — ROI sizes are
+        # homogeneous within an experiment).
         key = kv[0]
         stid, payload = load_key(key, kv[1], roi_dir, cfg)
         bgs = None
+        pre = None
         if use_tiles and not isinstance(payload, str):
-            bgs = _host_bg(payload[1], payload[0])
-        return key, (stid, payload), bgs
+            chs, imgs, polys, _ = payload
+            bgs = _host_bg(imgs, chs)
+            if polys is not None:
+                H, W = imgs.shape[1:]
+                t_need = choose_tile(polys, H, W)
+                if t_need is not None:
+                    t_used = tile_hint.setdefault("tile", t_need)
+                    if t_need <= t_used:
+                        offs = tile_offsets(polys, H, W, t_used)
+                        pre = (t_used,
+                               gather_tiles(imgs, offs, len(polys), t_used),
+                               offs)
+        return key, (stid, payload), bgs, pre
 
     loader = PrefetchLoader(
         _load, list(keymap.items()), workers=max(1, prefetch_workers),
@@ -525,12 +541,15 @@ def run_intensity_batched(
 
     def dispatch(chunk):
         """Build padded arrays and launch the batch WITHOUT synchronizing."""
-        all_p = [poly for _, _, (_, _, polys, _), _ in chunk for poly in polys]
+        all_p = [poly for _, _, (_, _, polys, _), *_ in chunk for poly in polys]
         H, W = chunk[0][2][1].shape[1:]
         tile = choose_tile(all_p, H, W)
         if tile is None:
             return None
-        nb = _bucket(max(len(payload[2]) for _, _, payload, _ in chunk))
+        # align to the loader's pre-gather hint (>= needed, same-shape keys)
+        # so pre-gathered tiles are used and jit tiles stay stable
+        tile = max(tile, tile_hint.get("tile", tile))
+        nb = _bucket(max(len(c[2][2]) for c in chunk))
         vb = _bucket(max(len(poly) for poly in all_p), 32)
         B = len(chunk)
         pad_b = batch_size if mesh is not None else B
@@ -541,11 +560,16 @@ def run_intensity_batched(
             tiles_b = np.zeros((pad_b, nb, C, tile, tile),
                                chunk[0][2][1].dtype)
             bgs_b = np.zeros((pad_b, C), np.float32)
-            for bi, (key, _, (chs, imgs, polys, _), bgs_pre) in enumerate(chunk):
-                offs = tile_offsets(polys, H, W, tile)
+            for bi, (key, _, (chs, imgs, polys, _), bgs_pre, pre) in enumerate(
+                    chunk):
+                if pre is not None and pre[0] == tile:
+                    t_used, tiles_pre, offs = pre
+                    tiles_b[bi, :len(polys)] = tiles_pre
+                else:  # hint missed (first keys raced / ROI outgrew it)
+                    offs = tile_offsets(polys, H, W, tile)
+                    tiles_b[bi] = gather_tiles(imgs, offs, nb, tile)
                 lp, _, valid = pad_local_polys(polys, offs, nb, vb)
                 lp_b[bi], val_b[bi] = lp, valid
-                tiles_b[bi] = gather_tiles(imgs, offs, nb, tile)
                 bgs_b[bi] = bgs_pre if bgs_pre is not None else _host_bg(
                     imgs, chs)
             stats, areas = tile_step(
@@ -557,7 +581,7 @@ def run_intensity_batched(
                           chunk[0][2][1].dtype)
         off_b = np.zeros((pad_b, nb, 2), np.int32)
         p_b = np.zeros((pad_b, C), np.int32)
-        for bi, (key, _, (chs, imgs, polys, _), _) in enumerate(chunk):
+        for bi, (key, _, (chs, imgs, polys, _), *_) in enumerate(chunk):
             imgs_b[bi] = imgs
             offs = tile_offsets(polys, H, W, tile)
             lp, off_pad, valid = pad_local_polys(polys, offs, nb, vb)
@@ -588,7 +612,7 @@ def run_intensity_batched(
         stats = {f: packed[:, k] for k, f in enumerate(STAT_FIELDS)}
         areas = packed[:, len(STAT_FIELDS), 0]  # (B, N), channel-invariant
         bgs = bgs_host if bgs_host is not None else np.asarray(bgs_dev)
-        for bi, (key, _, (chs, _, polys, _), _) in enumerate(chunk):
+        for bi, (key, _, (chs, _, polys, _), *_) in enumerate(chunk):
             s, t_code = key
             for i in range(len(polys)):
                 row = {
@@ -618,7 +642,7 @@ def run_intensity_batched(
 
     def classify(item):
         nonlocal sig
-        key, (stid, payload), bgs_pre = item
+        key, (stid, payload), bgs_pre, pre = item
         if isinstance(payload, str):
             log(payload)
             return "skip", None
@@ -627,7 +651,7 @@ def run_intensity_batched(
             sig = (imgs.shape, tuple(chs))
         if polys is None or (imgs.shape, tuple(chs)) != sig:
             return "serial", (key, stid, payload)
-        return "batch", (key, stid, payload, bgs_pre)
+        return "batch", (key, stid, payload, bgs_pre, pre)
 
     stream_batches(
         loader, batch_size, classify, dispatch, finalize,
