@@ -251,10 +251,19 @@ def _dispatch(args, log) -> int:
                 log(f"=== experiment: {folder}")
             out_root = args.out if len(folders) == 1 else None
             if args.batched:
+                from .core.runlog import RunLogger
                 from .pipelines.intensity import run_intensity_batched
 
-                rows += run_intensity_batched(folder, cfg, out_root=out_root,
-                                              log=log)
+                # L8 parity on the production path: RES/logs/run_*.txt
+                # with [START]/[END] stamps, like the serial runner
+                res_root = out_root or os.path.join(folder, "RES")
+                logger = RunLogger(os.path.join(res_root, "logs"), echo=log)
+                try:
+                    rows += run_intensity_batched(folder, cfg,
+                                                  out_root=out_root,
+                                                  log=logger)
+                finally:
+                    logger.close()
             else:
                 rows += run_intensity(folder, cfg, out_root=out_root, log=log,
                                       run_log=True, progress=True)

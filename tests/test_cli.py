@@ -118,3 +118,24 @@ def test_cli_smoke_remaining_subcommands(tmp_path, capsys):
     assert os.path.exists(f + "/RES_C/TIFF16/S01_roi1_ch1.tif")
     assert os.path.exists(f + "/roi_auto/S01.json")
     assert os.path.exists(f + "/roi/mask/S01_mask.tif")  # refine bundle
+
+
+def test_cli_intensity_batched_writes_run_log(golden_intensity_dir, tmp_path,
+                                              capsys):
+    """--batched produces the same CSV AND the L8 run log
+    (RES/logs/run_*.txt with [START]/[END]) like the serial runner."""
+    import glob
+
+    folder = os.path.join(golden_intensity_dir, "e1_P0")
+    rc = main([
+        "intensity", folder, "--channels", "2", "3", "--batched",
+        "--out", str(tmp_path), "--lang", "en",
+    ])
+    assert rc == 0
+    df = pd.read_csv(tmp_path / "xls" / "fluor_intensity_perROI.csv")
+    assert len(df) == 18
+    logs = glob.glob(str(tmp_path / "logs" / "run_*.txt"))
+    assert len(logs) == 1
+    text = open(logs[0]).read()
+    assert "[START]" in text and "[END]" in text
+    assert "[batch]" in text
