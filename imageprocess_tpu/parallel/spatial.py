@@ -271,12 +271,25 @@ def _sharded_roots(fg, axis: str, n_shards: int, connectivity: int):
 def _rank_roots(L, fg, sentinel, axis: str, max_labels: int):
     """Consecutive 1..K raster-order numbering (skimage parity): rank each
     root within the sorted union of every shard's root set (one
-    ``all_gather`` of max_labels ints per shard)."""
+    ``all_gather`` of max_labels ints per shard).
+
+    Returns (labels, overflow): overflow > 0 when any shard's distinct
+    root count reached the max_labels capacity — labels would ALIAS
+    beyond it (unique truncates, dropped roots searchsort onto wrong
+    ranks), so callers must surface this instead of returning silently
+    wrong components."""
     uniq = jnp.unique(L, size=max_labels + 1, fill_value=sentinel)
+    # capacity check: a frame with background always has the sentinel in
+    # its root set; if it got squeezed out of the size-limited unique, the
+    # shard had > max_labels distinct roots
+    local_over = ~jnp.any(uniq == sentinel)
     allu = jax.lax.all_gather(uniq, axis).ravel()
     ug = jnp.unique(allu, size=max_labels + 1, fill_value=sentinel)
+    global_over = ~jnp.any(ug == sentinel)
+    over = jax.lax.psum((local_over | global_over).astype(jnp.int32), axis)
     comp = jnp.searchsorted(ug, L.ravel()).astype(jnp.int32)
-    return jnp.where(fg.ravel(), comp + 1, 0).reshape(fg.shape)
+    lab = jnp.where(fg.ravel(), comp + 1, 0).reshape(fg.shape)
+    return lab, over
 
 
 def sharded_label(mesh: Mesh, connectivity: int = 2, max_labels: int = 1024):
@@ -288,11 +301,23 @@ def sharded_label(mesh: Mesh, connectivity: int = 2, max_labels: int = 1024):
 
     def local(fg):
         roots, sentinel = _sharded_roots(fg, axis, n_shards, connectivity)
-        return _rank_roots(roots, fg, sentinel, axis, max_labels)
+        lab, over = _rank_roots(roots, fg, sentinel, axis, max_labels)
+        return lab, over[None]
 
-    return jax.jit(jax.shard_map(
-        local, mesh=mesh, in_specs=P(axis, None), out_specs=P(axis, None),
+    fn = jax.jit(jax.shard_map(
+        local, mesh=mesh, in_specs=P(axis, None),
+        out_specs=(P(axis, None), P(axis)),
     ))
+
+    def run(fg):
+        lab, over = fn(fg)
+        if int(np.asarray(over)[0]) > 0:
+            raise ValueError(
+                f"sharded_label: component count exceeded max_labels="
+                f"{max_labels}; labels would alias — raise max_labels")
+        return lab
+
+    return run
 
 
 def sharded_remove_small(mesh: Mesh, min_size: int, connectivity: int = 1,
@@ -306,15 +331,26 @@ def sharded_remove_small(mesh: Mesh, min_size: int, connectivity: int = 1,
 
     def local(fg):
         roots, sentinel = _sharded_roots(fg, axis, n_shards, connectivity)
-        lab = _rank_roots(roots, fg, sentinel, axis, max_labels)
+        lab, over = _rank_roots(roots, fg, sentinel, axis, max_labels)
         sizes = jnp.zeros(max_labels + 2, jnp.int32).at[lab.ravel()].add(1)
         sizes = jax.lax.psum(sizes, axis)
         keep = sizes[lab.ravel()].reshape(fg.shape) >= min_size
-        return fg & keep
+        return fg & keep, over[None]
 
-    return jax.jit(jax.shard_map(
-        local, mesh=mesh, in_specs=P(axis, None), out_specs=P(axis, None),
+    fn = jax.jit(jax.shard_map(
+        local, mesh=mesh, in_specs=P(axis, None),
+        out_specs=(P(axis, None), P(axis)),
     ))
+
+    def run(fg):
+        out, over = fn(fg)
+        if int(np.asarray(over)[0]) > 0:
+            raise ValueError(
+                f"sharded_remove_small: component count exceeded max_labels="
+                f"{max_labels}; sizes would alias — raise max_labels")
+        return out
+
+    return run
 
 
 def sharded_closing_disk(mesh: Mesh, radius: int):

@@ -136,11 +136,14 @@ def test_sharded_label_matches_single_device(mesh, connectivity):
     fg[62:70, 150:170] = True     # blob across the 64-row boundary
     fg[0:2, 0:4] = True           # corner blob
     fg |= rng.random((256, 192)) > 0.995
-    run = sharded_label(mesh, connectivity=connectivity, max_labels=256)
+    # 315 components at conn=1 / 236 at conn=2 (scipy count): the bound
+    # must exceed that or sharded_label refuses (overflow would alias)
+    run = sharded_label(mesh, connectivity=connectivity, max_labels=512)
     got = np.asarray(run(shard_frame(mesh, fg)))
     want = np.asarray(label(jnp.asarray(fg), connectivity=connectivity,
-                            max_labels=256))
+                            max_labels=512))
     assert np.array_equal(got, want)
+    assert got.max() > 200  # the fixture is genuinely component-dense
 
 
 def test_sharded_fa_chain_matches_single_device(mesh):
@@ -204,3 +207,19 @@ def test_sharded_rim_mask_empty(mesh):
     run = sharded_rim_mask(mesh, 3)
     out = np.asarray(run(shard_frame(mesh, np.zeros((256, 192), bool))))
     assert not out.any()
+
+
+def test_sharded_label_overflow_raises(mesh):
+    """More components than max_labels must raise (labels would alias),
+    never return silently wrong label images."""
+    from imageprocess_tpu.parallel.spatial import sharded_label
+
+    fg = np.zeros((256, 192), bool)
+    fg[::4, ::4] = True  # 64*48 = 3072 isolated single-pixel components
+    run = sharded_label(mesh, connectivity=1, max_labels=64)
+    with pytest.raises(ValueError, match="max_labels"):
+        run(shard_frame(mesh, fg))
+    # a large enough bound handles the same frame
+    run_big = sharded_label(mesh, connectivity=1, max_labels=4096)
+    lab = np.asarray(run_big(shard_frame(mesh, fg)))
+    assert lab.max() == 3072
