@@ -441,6 +441,38 @@ def run_intensity_batched(
     roi_dir = os.path.join(folder, "roi")
     out_root = out_root or os.path.join(folder, "RES")
 
+    # Minimum-transfer path: background is a scalar per channel, so compute
+    # it on host (exact native u16 counting percentile) and ship ONLY each
+    # ROI's tile — ~10x fewer bytes over the host->device link, which is
+    # the e2e bottleneck.  hist-mode keeps the full-frame device program
+    # (its float32 binning must stay bit-identical to the device op).
+    use_tiles = cfg.bg_mode in ("percentile", "none")
+
+    if use_tiles:
+        tile_step = (sharded_batched_tile_stats(mesh, clip_neg=cfg.clip_neg)
+                     if mesh is not None
+                     else partial(batched_tile_stats_step,
+                                  clip_neg=cfg.clip_neg))
+
+    def _host_bg(imgs: np.ndarray, chs) -> np.ndarray:
+        """Per-channel background, host-side (exact np.percentile of the
+        strided subsample — the reference's own semantics,
+        Fluor_INT.py:461-492)."""
+        from ..native import u16_percentile_strided
+
+        C = imgs.shape[0]
+        bgs = np.zeros(C, np.float32)
+        if cfg.bg_mode == "none":
+            return bgs
+        for ci, ch in enumerate(chs):
+            p1000 = p1000_of(cfg.per_channel_p.get(ch, cfg.percentile))
+            if imgs.dtype == np.uint16:
+                bgs[ci] = u16_percentile_strided(imgs[ci], cfg.bg_stride, p1000)
+            else:
+                vals = imgs[ci].ravel()[::max(1, cfg.bg_stride)]
+                bgs[ci] = np.percentile(vals.astype(np.float64), p1000 / 1000.0)
+        return bgs
+
     tile_hint: Dict[str, int] = {}
 
     def _load(kv):
@@ -493,38 +525,6 @@ def run_intensity_batched(
                     bg_stride=cfg.bg_stride)
         return step_cache[tile]
 
-    # Minimum-transfer path: background is a scalar per channel, so compute
-    # it on host (exact native u16 counting percentile) and ship ONLY each
-    # ROI's tile — ~10x fewer bytes over the host->device link, which is
-    # the e2e bottleneck.  hist-mode keeps the full-frame device program
-    # (its float32 binning must stay bit-identical to the device op).
-    use_tiles = cfg.bg_mode in ("percentile", "none")
-
-    if use_tiles:
-        tile_step = (sharded_batched_tile_stats(mesh, clip_neg=cfg.clip_neg)
-                     if mesh is not None
-                     else partial(batched_tile_stats_step,
-                                  clip_neg=cfg.clip_neg))
-
-    def _host_bg(imgs: np.ndarray, chs) -> np.ndarray:
-        """Per-channel background, host-side (exact np.percentile of the
-        strided subsample — the reference's own semantics,
-        Fluor_INT.py:461-492)."""
-        from ..native import u16_percentile_strided
-
-        C = imgs.shape[0]
-        bgs = np.zeros(C, np.float32)
-        if cfg.bg_mode == "none":
-            return bgs
-        for ci, ch in enumerate(chs):
-            p1000 = p1000_of(cfg.per_channel_p.get(ch, cfg.percentile))
-            if imgs.dtype == np.uint16:
-                bgs[ci] = u16_percentile_strided(imgs[ci], cfg.bg_stride, p1000)
-            else:
-                vals = imgs[ci].ravel()[::max(1, cfg.bg_stride)]
-                bgs[ci] = np.percentile(vals.astype(np.float64), p1000 / 1000.0)
-        return bgs
-
     rows_all: List[dict] = []
     n_done = 0
 
@@ -546,9 +546,10 @@ def run_intensity_batched(
         tile = choose_tile(all_p, H, W)
         if tile is None:
             return None
-        # align to the loader's pre-gather hint (>= needed, same-shape keys)
-        # so pre-gathered tiles are used and jit tiles stay stable
-        tile = max(tile, tile_hint.get("tile", tile))
+        # align to the loader's pre-gather hint so pre-gathered tiles are
+        # used and jit tile sizes stay stable; clamp to this chunk's frame
+        # (the hint may come from a different-shaped first key)
+        tile = min(max(tile, tile_hint.get("tile", tile)), min(H, W))
         nb = _bucket(max(len(c[2][2]) for c in chunk))
         vb = _bucket(max(len(poly) for poly in all_p), 32)
         B = len(chunk)
