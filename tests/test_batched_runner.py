@@ -122,3 +122,23 @@ def test_batched_mixed_shapes_fall_back_per_key(tmp_path):
     for r in rows:
         assert abs(r["ch1_mean"] - sd[r["stage"]]["ch1_mean"]) <= 1e-5 * max(
             abs(sd[r["stage"]]["ch1_mean"]), 1e-9)
+
+
+def test_batched_histmode_full_frame_path(timelapse_folder, tmp_path):
+    """bg_mode=hist-mode can't take the host-BG tile path (its f32 binning
+    must stay bit-identical to the device op) — the batched runner keeps
+    the full-frame program and still matches the serial rows."""
+    cfg = IntensityConfig(channels=(1, 2), timelapse=True, do_xls=False,
+                          bg_mode="hist-mode")
+    serial = run_intensity(str(timelapse_folder), cfg,
+                           out_root=str(tmp_path / "s"), log=lambda *_: None)
+    batched = run_intensity_batched(str(timelapse_folder), cfg,
+                                    out_root=str(tmp_path / "b"),
+                                    log=lambda *_: None, batch_size=3)
+    assert len(serial) == len(batched) == 16
+    sd = {_key(r): r for r in serial}
+    for r in batched:
+        ref = sd[_key(r)]
+        assert r["area_px"] == ref["area_px"]
+        for f in ("ch1_mean", "ch1_bg", "ch2_median"):
+            assert abs(r[f] - ref[f]) <= 1e-5 * max(abs(ref[f]), 1e-9), f
