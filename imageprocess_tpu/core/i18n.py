@@ -53,9 +53,12 @@ STRINGS = {
         # FA analyzer
         "fa_export": "[내보내기] {tag}: 세포 {count}개",
         "fa_fig": "[그림] {path}",
+        "fa_processing": "{tag} 처리 중...",
         # FRET builder
         "fret_saved": "[저장 완료] xls/fret_ratio_perROI.xlsx + csv",
         "fret_no_roi": "[경고] ROI 없음 -> 지표 테이블을 생성하지 않음.",
+        "fret_no_pairs": "donor=_{donor}, acceptor=_{acceptor} 에 해당하는 파일 쌍이 없습니다.",
+        "fret_roi_missing": "    [경고] ROI 없음: {tag}.json -> ROI 기반 출력을 건너뜀",
         # morphology
         "mor_info_files": "[정보] 파일: {total} | 사용: {used} | {extra}",
         "mor_skip_parse": "[스킵] 스테이지 파싱 실패: {base}",
@@ -103,9 +106,12 @@ STRINGS = {
         # FA analyzer
         "fa_export": "[export] {tag}: {count} cells",
         "fa_fig": "[fig] {path}",
+        "fa_processing": "Processing {tag}...",
         # FRET builder
         "fret_saved": "[Saved] xls/fret_ratio_perROI.xlsx + csv",
         "fret_no_roi": "[Warn] No ROI -> metric table not generated.",
+        "fret_no_pairs": "No matched files for donor=_{donor}, acceptor=_{acceptor}.",
+        "fret_roi_missing": "    [Warn] ROI missing: {tag}.json -> skip ROI-based outputs",
         # morphology
         "mor_info_files": "[info] files: {total} | used: {used} | {extra}",
         "mor_skip_parse": "[skip] stage parse failed: {base}",

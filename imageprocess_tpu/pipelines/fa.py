@@ -249,7 +249,7 @@ def run_fa_batch(
     pairs = list_fa_pairs(img_dir, roi_dir, cfg.channel)
     results: Dict[str, pd.DataFrame] = {}
     for img_path, json_path, s_tag in pairs:
-        log(f"Processing {s_tag}...")
+        log(t("fa_processing").format(tag=s_tag))
         img = tiffio.read_2d(img_path, squeeze="smallest_axis")
         rois = _load_rois(json_path)
         fa_rows, th_val, bg, _ = analyze_image(img, rois, cfg)

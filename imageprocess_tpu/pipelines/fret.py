@@ -238,7 +238,7 @@ def process_pair(key, dpath, apath, roi_dir, cfg: FretConfig, out_dirs,
     H, W = D.shape
     if not polys:
         polys = None
-        log(f"    [Warn] ROI missing: {stid}.json -> skip ROI-based outputs")
+        log(t("fret_roi_missing").format(tag=stid))
 
     from ..geom.polygon import pad_polygons
     from ..ops.roistats import choose_tile, tile_offsets, pad_local_polys
@@ -343,7 +343,8 @@ def run_fret(
     roi_dir = os.path.join(folder, "roi")
     pairs = build_fret_pairs(folder, cfg)
     if not pairs:
-        log(f"No matched files for donor=_{cfg.donor_ch}, acceptor=_{cfg.acceptor_ch}.")
+        log(t("fret_no_pairs").format(donor=cfg.donor_ch,
+                                      acceptor=cfg.acceptor_ch))
         return []
 
     from ..parallel.runner import PrefetchLoader
@@ -360,7 +361,8 @@ def run_fret(
             log(t("err_worker").format(key=item.item[0], error=item.error))
             continue
         (key, dpath, apath), loaded = item
-        log(f"  - Processing: {key[0] if key[1] is None else f'{key[0]}_{key[1]}'}")
+        tag = key[0] if key[1] is None else f"{key[0]}_{key[1]}"
+        log(t("msg_processing").format(tag=tag))
         rows_all.extend(
             process_pair(key, dpath, apath, roi_dir, cfg, dirs, log=log,
                          loaded=loaded)
@@ -484,8 +486,8 @@ def run_fret_batched(
     roi_dir = os.path.join(folder, "roi")
     pairs = build_fret_pairs(folder, cfg)
     if not pairs:
-        log(f"No matched files for donor=_{cfg.donor_ch}, "
-            f"acceptor=_{cfg.acceptor_ch}.")
+        log(t("fret_no_pairs").format(donor=cfg.donor_ch,
+                                      acceptor=cfg.acceptor_ch))
         return []
 
     flip = cfg.ratio_mode != "FRET/Donor"

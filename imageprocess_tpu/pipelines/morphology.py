@@ -198,8 +198,10 @@ def run_morphology(
             meta[p] = k
         else:
             skipped_mismatch += 1
-    log(f"[info] files: {len(files_all)} | used: {len(files)} | "
-        f"no-channel: {skipped_noch} | other-channel: {skipped_mismatch}")
+    log(t("mor_info_files").format(
+        total=len(files_all), used=len(files),
+        extra=f"no-channel: {skipped_noch} | "
+              f"other-channel: {skipped_mismatch}"))
 
     from ..parallel.runner import PrefetchLoader
 

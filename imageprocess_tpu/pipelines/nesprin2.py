@@ -428,7 +428,7 @@ def run_nesprin2(
     )
     log(t("msg_info_pairs").format(count=len(pairs)))
     if not pairs:
-        log("no matched (donor, fret) channel pairs")
+        log(t("msg_no_pairs"))
         return []
 
     if cfg.subset_stage is not None:
