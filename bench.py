@@ -180,7 +180,8 @@ def main():
     # minutes on the CPU backend; steady-state is what we're measuring)
     best = 0.0
     mpix = N_STAGES * len(CHANNELS) * H * W / 1e6
-    reps = 1 if warm >= 60 else (8 if warm < 10 else 3)
+    # best-of-N against shared-box noise; each steady-state rep is ~1-2 s
+    reps = 1 if warm >= 60 else (8 if warm < 10 else (5 if warm < 30 else 3))
     for _ in range(reps):
         t0 = time.perf_counter()
         rows = one_run()

@@ -516,7 +516,7 @@ def run_fret_batched(
         stats = {f: packed[:, j] for j, f in enumerate(STAT_FIELDS)}
         areas = packed[:, len(STAT_FIELDS), 0]
         for bi, (kv, (D, A, polys), (bgd, bga, eps_f)) in enumerate(chunk):
-            (s, t_code), _, _ = kv[0], kv[1], kv[2]
+            s, t_code = kv[0]
             for i in range(len(polys)):
                 rows_all.append({
                     "roi": i + 1,
