@@ -9,6 +9,7 @@
     imageprocess crop       <folder> --channel 1 [...]
     imageprocess roi-auto   <folder> [--backend threshold|cellpose] [...]
     imageprocess refine     <folder> [--thr 90] [...]
+    imageprocess draw       <folder> [--timelapse]
     imageprocess ppt        <png_folder> [--width-cm 2.0]
 
 All commands accept ``--lang en|ko`` or the reference's ``-mode EN`` flag.
@@ -183,6 +184,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--tolerance", type=float, default=1.0)
     p.add_argument("--channel", type=int, default=None)
     _add_common(p)
+
+    p = sub.add_parser("draw",
+                       help="interactive ROI annotator (roi_manual_drawer)")
+    p.add_argument("folder")
+    p.add_argument("--timelapse", action="store_true")
+    p.add_argument("--lang", default=None, choices=["en", "ko"])
 
     p = sub.add_parser("ppt", help="FRET timelapse deck (Make_FRET_timelapsePPT)")
     p.add_argument("folder")
@@ -392,6 +399,12 @@ def _dispatch(args, log) -> int:
             timelapse=args.timelapse,
         )
         refine_and_save(args.folder, cfg, roi_dir=args.out, log=log)
+        return 0
+
+    if args.cmd == "draw":
+        from .apps.draw import main as draw_main
+
+        draw_main(args.folder, timelapse=args.timelapse, log=log)
         return 0
 
     if args.cmd == "ppt":

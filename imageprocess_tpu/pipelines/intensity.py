@@ -18,6 +18,7 @@ equivalent of the reference's ProcessPoolExecutor, SURVEY §2.3).
 from __future__ import annotations
 
 import os
+import time
 from dataclasses import dataclass, field
 from functools import partial
 from typing import Dict, List, Optional, Tuple
@@ -473,6 +474,16 @@ def run_intensity_batched(
                 bgs[ci] = np.percentile(vals.astype(np.float64), p1000 / 1000.0)
         return bgs
 
+    # IP_TIMING=1: accumulate per-phase host wall time and print a one-line
+    # breakdown at the end (perf triage for the streaming path; the phases
+    # are the candidate bottlenecks: loader stall = decode not hidden,
+    # pack = host numpy batching, upload = jnp.asarray + dispatch enqueue,
+    # fetch = the device->host result round trip).
+    tm: Optional[Dict[str, float]] = (
+        dict.fromkeys(("load_wait", "pack", "upload", "fetch", "emit", "xls"),
+                      0.0)
+        if os.environ.get("IP_TIMING") else None)
+
     tile_hint: Dict[str, int] = {}
 
     def _load(kv):
@@ -496,9 +507,17 @@ def run_intensity_batched(
                     t_used = tile_hint.setdefault("tile", t_need)
                     if t_need <= t_used:
                         offs = tile_offsets(polys, H, W, t_used)
-                        pre = (t_used,
-                               gather_tiles(imgs, offs, len(polys), t_used),
-                               offs)
+                        tiles = gather_tiles(imgs, offs, len(polys), t_used)
+                        # upload from the prefetch thread: the tile bytes
+                        # (the bulk of the link traffic) then cross the wire
+                        # DURING the decode phase instead of serializing
+                        # with result fetches after it; dispatch stacks the
+                        # device-resident tiles with zero host bytes
+                        try:
+                            tiles = jax.device_put(tiles)
+                        except Exception:
+                            pass  # stays host-side; dispatch re-gathers/pads
+                        pre = (t_used, tiles, offs)
         return key, (stid, payload), bgs, pre
 
     loader = PrefetchLoader(
@@ -541,6 +560,25 @@ def run_intensity_batched(
 
     def dispatch(chunk):
         """Build padded arrays and launch the batch WITHOUT synchronizing."""
+        if tm is None:
+            return _dispatch_inner(chunk)
+        t0 = time.perf_counter()
+        rec = _dispatch_inner(chunk)
+        tm["pack"] += time.perf_counter() - t0  # _timed_step moves its share
+        return rec
+
+    def _timed_step(fn, *host_arrays):
+        """Upload host arrays and enqueue the device call, timing both out
+        of the enclosing pack phase."""
+        t1 = time.perf_counter() if tm is not None else 0.0
+        out = fn(*(jnp.asarray(a) for a in host_arrays))
+        if tm is not None:
+            dt = time.perf_counter() - t1
+            tm["upload"] += dt
+            tm["pack"] -= dt
+        return out
+
+    def _dispatch_inner(chunk):
         all_p = [poly for _, _, (_, _, polys, _), *_ in chunk for poly in polys]
         H, W = chunk[0][2][1].shape[1:]
         tile = choose_tile(all_p, H, W)
@@ -550,7 +588,10 @@ def run_intensity_batched(
         # used and jit tile sizes stay stable; clamp to this chunk's frame
         # (the hint may come from a different-shaped first key)
         tile = min(max(tile, tile_hint.get("tile", tile)), min(H, W))
-        nb = _bucket(max(len(c[2][2]) for c in chunk))
+        # tile path: N padding is pure wire waste (padded tiles are real
+        # zero bytes on the link), so bucket tightly; the full-frame path
+        # keeps the coarser bucket (N only sizes small poly arrays there)
+        nb = _bucket(max(len(c[2][2]) for c in chunk), 2 if use_tiles else 8)
         vb = _bucket(max(len(poly) for poly in all_p), 32)
         B = len(chunk)
         pad_b = batch_size if mesh is not None else B
@@ -558,25 +599,36 @@ def run_intensity_batched(
         lp_b = np.zeros((pad_b, nb, vb, 2), np.float32)
         val_b = np.zeros((pad_b, nb), bool)
         if use_tiles:
-            tiles_b = np.zeros((pad_b, nb, C, tile, tile),
-                               chunk[0][2][1].dtype)
             bgs_b = np.zeros((pad_b, C), np.float32)
+            per_key = []      # (tiles — device or host exact-N, or None)
             for bi, (key, _, (chs, imgs, polys, _), bgs_pre, pre) in enumerate(
                     chunk):
                 if pre is not None and pre[0] == tile:
-                    t_used, tiles_pre, offs = pre
-                    tiles_b[bi, :len(polys)] = tiles_pre
+                    tiles_i, offs = pre[1], pre[2]
                 else:  # hint missed (first keys raced / ROI outgrew it)
                     offs = tile_offsets(polys, H, W, tile)
-                    tiles_b[bi] = gather_tiles(imgs, offs, nb, tile)
+                    tiles_i = None
+                per_key.append((tiles_i, imgs, polys, offs))
                 lp, _, valid = pad_local_polys(polys, offs, nb, vb)
                 lp_b[bi], val_b[bi] = lp, valid
                 bgs_b[bi] = bgs_pre if bgs_pre is not None else _host_bg(
                     imgs, chs)
-            stats, areas = tile_step(
-                jnp.asarray(tiles_b), jnp.asarray(lp_b),
-                jnp.asarray(val_b), jnp.asarray(bgs_b),
-            )
+            # fast path: every key's tiles were already uploaded by its
+            # prefetch thread with the right (N, tile) shape — stack them on
+            # device (enqueue only, no host pixel bytes on the link now)
+            if pad_b == len(chunk) and all(
+                    t_i is not None and not isinstance(t_i, np.ndarray)
+                    and t_i.shape[0] == nb for t_i, *_ in per_key):
+                tiles_b = jnp.stack([t_i for t_i, *_ in per_key])
+            else:
+                tiles_b = np.zeros((pad_b, nb, C, tile, tile),
+                                   chunk[0][2][1].dtype)
+                for bi, (t_i, imgs, polys, offs) in enumerate(per_key):
+                    if isinstance(t_i, np.ndarray):
+                        tiles_b[bi, :t_i.shape[0]] = t_i
+                    else:  # device array of the wrong shape, or no pre
+                        tiles_b[bi] = gather_tiles(imgs, offs, nb, tile)
+            stats, areas = _timed_step(tile_step, tiles_b, lp_b, val_b, bgs_b)
             return chunk, _pack(stats, areas), None, bgs_b
         imgs_b = np.zeros((pad_b,) + chunk[0][2][1].shape,
                           chunk[0][2][1].dtype)
@@ -589,10 +641,8 @@ def run_intensity_batched(
             lp_b[bi], off_b[bi], val_b[bi] = lp, off_pad, valid
             p_b[bi] = [p1000_of(cfg.per_channel_p.get(ch, cfg.percentile))
                        for ch in chs]
-        stats, areas, bgs = step_for(tile)(
-            jnp.asarray(imgs_b), jnp.asarray(lp_b), jnp.asarray(off_b),
-            jnp.asarray(val_b), jnp.asarray(p_b),
-        )
+        stats, areas, bgs = _timed_step(step_for(tile), imgs_b, lp_b, off_b,
+                                        val_b, p_b)
         return chunk, _pack(stats, areas), bgs, None
 
     def _pack(stats, areas):
@@ -603,13 +653,25 @@ def run_intensity_batched(
         rows = [stats[f].astype(jnp.float32) for f in STAT_FIELDS]
         rows.append(jnp.broadcast_to(areas.astype(jnp.float32)[:, None, :],
                                      rows[0].shape))
-        return jnp.stack(rows, axis=1)
+        out = jnp.stack(rows, axis=1)
+        # start the device->host copy as soon as compute finishes, so the
+        # result streams back over the link while the host decodes/packs the
+        # next chunk instead of paying the round trip inside finalize()
+        try:
+            out.copy_to_host_async()
+        except AttributeError:  # non-jax array (tracing/tests)
+            pass
+        return out
 
     def finalize(rec):
         """Fetch a dispatched batch's results and emit rows."""
         nonlocal n_done
         chunk, packed, bgs_dev, bgs_host = rec
+        t0 = time.perf_counter() if tm is not None else 0.0
         packed = np.asarray(packed)            # ONE device->host round trip
+        if tm is not None:
+            tm["fetch"] += time.perf_counter() - t0
+            t0 = time.perf_counter()
         stats = {f: packed[:, k] for k, f in enumerate(STAT_FIELDS)}
         areas = packed[:, len(STAT_FIELDS), 0]  # (B, N), channel-invariant
         bgs = bgs_host if bgs_host is not None else np.asarray(bgs_dev)
@@ -637,6 +699,8 @@ def run_intensity_batched(
                         ch, "Grayscale")
                 rows_all.append(row)
         n_done += len(chunk)
+        if tm is not None:
+            tm["emit"] += time.perf_counter() - t0
         log(t("batch_progress").format(done=n_done))
 
     sig = None        # dominant (shape, channel set), set by the first key
@@ -654,8 +718,22 @@ def run_intensity_batched(
             return "serial", (key, stid, payload)
         return "batch", (key, stid, payload, bgs_pre, pre)
 
+    source = loader
+    if tm is not None:
+        def _timed_loader():
+            it = iter(loader)
+            while True:
+                t0 = time.perf_counter()
+                try:
+                    item = next(it)
+                except StopIteration:
+                    return
+                tm["load_wait"] += time.perf_counter() - t0
+                yield item
+        source = _timed_loader()
+
     stream_batches(
-        loader, batch_size, classify, dispatch, finalize,
+        source, batch_size, classify, dispatch, finalize,
         lambda e: run_serial(e[0], e[1], e[2]),
         lambda err: log(t("err_worker").format(key=err.item[0],
                                                error=err.error)),
@@ -664,7 +742,16 @@ def run_intensity_batched(
     if cfg.do_xls and rows_all:
         xls_dir = os.path.join(out_root, "xls")
         os.makedirs(xls_dir, exist_ok=True)
+        t0 = time.perf_counter() if tm is not None else 0.0
         save_intensity_excel(rows_all, keymap, xls_dir)
+        if tm is not None:
+            tm["xls"] += time.perf_counter() - t0
+    if tm is not None:
+        import sys
+
+        print("[IP_TIMING] " + "  ".join(
+            f"{k}={v * 1000.0:.0f}ms" for k, v in tm.items()),
+            file=sys.stderr)
     return rows_all
 
 

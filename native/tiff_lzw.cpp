@@ -151,13 +151,20 @@ bool parse_page(const Reader& r, int page, TiffPage* out, std::string* err) {
 bool lzw_decode(const uint8_t* src, size_t src_len, uint8_t* dst,
                 size_t dst_len, std::string* err) {
     constexpr int kClear = 256, kEoi = 257, kFirstFree = 258, kMaxCode = 4096;
-    static thread_local std::vector<uint32_t> pos;  // first emission offset
+    // The tables are NOT cleared between strips (that memset was ~32 KB per
+    // strip, a measurable share of the decode wall): stale entries are
+    // unreachable, because a code is only ever emitted when
+    // code <= next_code, and every slot in [kFirstFree, next_code) is
+    // (re)written at creation earlier in the SAME call; codes < 256 use the
+    // constant len=1 and never read pos.
+    static thread_local std::vector<uint32_t> pos(kMaxCode);
     static thread_local std::vector<uint32_t> len;
-    pos.assign(kMaxCode, 0);
-    len.assign(kMaxCode, 0);
+    if (len.empty()) {  // one-time per-thread init
+        len.assign(kMaxCode, 0);
+        for (int i = 0; i < 256; ++i) len[i] = 1;
+    }
     uint32_t* const posp = pos.data();
     uint32_t* const lenp = len.data();
-    for (int i = 0; i < 256; ++i) lenp[i] = 1;
 
     int next_code = kFirstFree, code_bits = 9;
     uint32_t code_mask = (1u << 9) - 1;
