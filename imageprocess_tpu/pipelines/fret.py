@@ -19,7 +19,7 @@ import os
 import re
 from dataclasses import dataclass
 from functools import partial
-from typing import List, Optional
+from typing import Dict, List, Optional
 
 import jax
 import jax.numpy as jnp
@@ -494,13 +494,33 @@ def run_fret_batched(
     d_p = cfg.donor_p if cfg.per_channel_p else cfg.percentile
     a_p = cfg.fret_p if cfg.per_channel_p else cfg.percentile
 
+    tile_hint: Dict[str, int] = {}
+
     def _load(kv):
         key, dpath, apath = kv
         D, A, polys = load_pair(key, dpath, apath, roi_dir, cfg)
         scalars = (_host_fret_scalars(D, A, cfg)
                    if (polys and D.dtype == np.uint16
                        and A.dtype == np.uint16) else None)
-        return kv, (D, A, polys), scalars
+        pre = None
+        if scalars is not None and polys and D.shape == A.shape:
+            # gather + upload this pair's ROI tiles from the prefetch
+            # thread: the tile bytes cross the link DURING the decode phase
+            # (same minimum-transfer pipelining as run_intensity_batched)
+            H, W = D.shape
+            t_need = choose_tile(polys, H, W)
+            if t_need is not None:
+                t_used = tile_hint.setdefault("tile", t_need)
+                if t_need <= t_used:
+                    offs = tile_offsets(polys, H, W, t_used)
+                    tiles = gather_tiles(np.stack([D, A]), offs, len(polys),
+                                         t_used)
+                    try:
+                        tiles = jax.device_put(tiles)
+                    except Exception:
+                        pass  # stays host-side; dispatch re-gathers
+                    pre = (t_used, tiles, offs)
+        return kv, (D, A, polys), scalars, pre
 
     loader = PrefetchLoader(_load, pairs, workers=max(1, prefetch_workers))
 
@@ -515,7 +535,8 @@ def run_fret_batched(
         packed = np.asarray(packed)             # ONE fetch per chunk
         stats = {f: packed[:, j] for j, f in enumerate(STAT_FIELDS)}
         areas = packed[:, len(STAT_FIELDS), 0]
-        for bi, (kv, (D, A, polys), (bgd, bga, eps_f)) in enumerate(chunk):
+        for bi, (kv, (D, A, polys), (bgd, bga, eps_f), _pre) in enumerate(
+                chunk):
             s, t_code = kv[0]
             for i in range(len(polys)):
                 rows_all.append({
@@ -544,26 +565,45 @@ def run_fret_batched(
                 })
 
     def dispatch(chunk):
-        all_p = [poly for _, (_, _, polys), _ in chunk for poly in polys]
+        all_p = [poly for _, (_, _, polys), _, _ in chunk for poly in polys]
         H, W = chunk[0][1][0].shape
         tile = choose_tile(all_p, H, W)
         if tile is None:
             return None
-        nb = _bucket(max(len(c[1][2]) for c in chunk))
+        tile = min(max(tile, tile_hint.get("tile", tile)), min(H, W))
+        nb = _bucket(max(len(c[1][2]) for c in chunk), 2)
         vb = _bucket(max(len(poly) for poly in all_p), 32)
         B = len(chunk)
-        tiles_b = np.zeros((B, nb, 2, tile, tile), chunk[0][1][0].dtype)
         lp_b = np.zeros((B, nb, vb, 2), np.float32)
         val_b = np.zeros((B, nb), bool)
         bgs_b = np.zeros((B, 2), np.float32)
         eps_b = np.zeros((B,), np.float32)
-        for bi, (kv, (D, A, polys), (bgd, bga, eps_f)) in enumerate(chunk):
-            offs = tile_offsets(polys, H, W, tile)
+        per_key = []
+        for bi, (kv, (D, A, polys), (bgd, bga, eps_f), pre) in enumerate(
+                chunk):
+            if pre is not None and pre[0] == tile:
+                tiles_i, offs = pre[1], pre[2]
+            else:
+                offs = tile_offsets(polys, H, W, tile)
+                tiles_i = None
+            per_key.append((tiles_i, D, A, polys, offs))
             lp, _, valid = pad_local_polys(polys, offs, nb, vb)
             lp_b[bi], val_b[bi] = lp, valid
-            tiles_b[bi] = gather_tiles(np.stack([D, A]), offs, nb, tile)
             bgs_b[bi] = (bgd, bga)
             eps_b[bi] = eps_f
+        # stack prefetch-thread-uploaded tiles on device (no pixel bytes on
+        # the link here); any key that missed the hint re-gathers on host
+        if all(t_i is not None and not isinstance(t_i, np.ndarray)
+               and t_i.shape[0] == nb for t_i, *_ in per_key):
+            tiles_b = jnp.stack([t_i for t_i, *_ in per_key])
+        else:
+            tiles_b = np.zeros((B, nb, 2, tile, tile), chunk[0][1][0].dtype)
+            for bi, (t_i, D, A, polys, offs) in enumerate(per_key):
+                if isinstance(t_i, np.ndarray):
+                    tiles_b[bi, :t_i.shape[0]] = t_i
+                else:
+                    tiles_b[bi] = gather_tiles(np.stack([D, A]), offs, nb,
+                                               tile)
         stats, areas = batched_fret_tile_stats(
             jnp.asarray(tiles_b), jnp.asarray(lp_b), jnp.asarray(val_b),
             jnp.asarray(bgs_b), jnp.asarray(eps_b),
@@ -572,13 +612,18 @@ def run_fret_batched(
         rows = [stats[f].astype(jnp.float32) for f in STAT_FIELDS]
         rows.append(jnp.broadcast_to(
             areas.astype(jnp.float32)[:, None, :], rows[0].shape))
-        return chunk, jnp.stack(rows, axis=1)
+        packed = jnp.stack(rows, axis=1)
+        try:  # stream the result back as soon as compute finishes
+            packed.copy_to_host_async()
+        except AttributeError:
+            pass
+        return chunk, packed
 
     sig = None
 
     def classify(item):
         nonlocal sig
-        kv, loaded, scalars = item
+        kv, loaded, scalars, pre = item
         D, A, polys = loaded
         if scalars is None or not polys or D.shape != A.shape:
             return "serial", (kv, loaded)
@@ -586,7 +631,7 @@ def run_fret_batched(
             sig = D.shape
         if D.shape != sig:
             return "serial", (kv, loaded)
-        return "batch", (kv, loaded, scalars)
+        return "batch", (kv, loaded, scalars, pre)
 
     stream_batches(
         loader, batch_size, classify, dispatch,
