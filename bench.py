@@ -128,21 +128,22 @@ def _device_only_mpix_s(reps: int = 20) -> float:
 
 
 def _decode_only_mpix_s(reps: int = 3) -> float:
-    """Host decode ceiling: native batch LZW decode of the whole dataset."""
+    """Host decode ceiling: per-file native LZW decode over the dataset —
+    the same call pattern the production PrefetchLoader threads use (the
+    batch entry point re-allocates one huge output per call, which hides
+    the decoder's real rate behind kernel page-zeroing)."""
     import glob
 
-    from imageprocess_tpu.native import decode_tiff_batch
+    from imageprocess_tpu.core import tiffio
 
     paths = sorted(glob.glob(os.path.join(DATA_DIR, "S*.TIF")))
-    out = decode_tiff_batch(paths)
-    if out is None:
-        return 0.0
-    mpix = out.size / 1e6
     best = 0.0
     for _ in range(reps):
         t0 = time.perf_counter()
-        decode_tiff_batch(paths)
-        best = max(best, mpix / (time.perf_counter() - t0))
+        tot = 0
+        for p in paths:
+            tot += tiffio.read_2d(p, dtype=None).size
+        best = max(best, tot / 1e6 / (time.perf_counter() - t0))
     return best
 
 

@@ -151,43 +151,44 @@ bool parse_page(const Reader& r, int page, TiffPage* out, std::string* err) {
 bool lzw_decode(const uint8_t* src, size_t src_len, uint8_t* dst,
                 size_t dst_len, std::string* err) {
     constexpr int kClear = 256, kEoi = 257, kFirstFree = 258, kMaxCode = 4096;
-    // The tables are NOT cleared between strips (that memset was ~32 KB per
-    // strip, a measurable share of the decode wall): stale entries are
-    // unreachable, because a code is only ever emitted when
+    // One packed (pos << 32 | len) slot per code: the emit path loads one
+    // 64-bit word instead of two 32-bit tables, and entry creation is one
+    // store.  The table is NOT cleared between strips (that memset was
+    // ~32 KB per strip, a measurable share of the decode wall): stale
+    // entries are unreachable, because a code is only ever emitted when
     // code <= next_code, and every slot in [kFirstFree, next_code) is
-    // (re)written at creation earlier in the SAME call; codes < 256 use the
-    // constant len=1 and never read pos.
-    static thread_local std::vector<uint32_t> pos(kMaxCode);
-    static thread_local std::vector<uint32_t> len;
-    if (len.empty()) {  // one-time per-thread init
-        len.assign(kMaxCode, 0);
-        for (int i = 0; i < 256; ++i) len[i] = 1;
+    // (re)written at creation earlier in the SAME call; codes < 256 use
+    // the constant len=1 and never read pos.
+    static thread_local std::vector<uint64_t> tab;
+    if (tab.empty()) {  // one-time per-thread init
+        tab.assign(kMaxCode, 0);
+        for (int i = 0; i < 256; ++i) tab[i] = 1;
     }
-    uint32_t* const posp = pos.data();
-    uint32_t* const lenp = len.data();
+    uint64_t* const tabp = tab.data();
 
     int next_code = kFirstFree, code_bits = 9;
     uint32_t code_mask = (1u << 9) - 1;
     uint64_t bitbuf = 0;
     int bitcnt = 0;
     size_t si = 0, di = 0;
-    int prev_code = -1;
+    uint32_t prev_len = 0;  // 0 = no previous code (start / after Clear)
     // Fast emit is allowed while the write cursor stays >=16 bytes clear of
     // the end; the tail runs through the careful path.
     const size_t safe_end = dst_len >= 16 ? dst_len - 16 : 0;
 
     // Careful emit for the tail region: clips at dst_len.
     auto emit_careful = [&](int code) {
-        uint32_t l = lenp[code];
+        uint32_t l = (uint32_t)tabp[code];
+        uint32_t p = (uint32_t)(tabp[code] >> 32);
         if (di + l > dst_len) l = (uint32_t)(dst_len - di);
         if (code < 256) {
             if (di < dst_len) dst[di] = (uint8_t)code;
             di += l;
             return;
         }
-        const uint8_t* s = dst + posp[code];
+        const uint8_t* s = dst + p;
         uint8_t* d = dst + di;
-        if (posp[code] + l <= di) {
+        if (p + l <= di) {
             std::memcpy(d, s, l);
         } else {  // overlapping (run-length-style) copy
             for (uint32_t i = 0; i < l; ++i) d[i] = s[i];
@@ -219,35 +220,36 @@ bool lzw_decode(const uint8_t* src, size_t src_len, uint8_t* dst,
             next_code = kFirstFree;
             code_bits = 9;
             code_mask = (1u << 9) - 1;
-            prev_code = -1;
+            prev_len = 0;
             continue;
         }
-        if (prev_code < 0) {
+        if (prev_len == 0) {  // first code after (re)start
             if (code >= 256) { *err = "bad first LZW code"; return false; }
             if (di < dst_len) dst[di] = (uint8_t)code;
             ++di;
+            prev_len = 1;
         } else {
             int new_entry = next_code;
             if (code > new_entry) { *err = "bad LZW code"; return false; }
             // new entry = prev string + first char of current emission;
-            // both live contiguously starting at prev string's last emission,
-            // i.e. at (di - len[prev]) once we emit at di.
-            size_t prev_start = di - lenp[prev_code];
-            if (new_entry < kMaxCode) {
-                posp[new_entry] = (uint32_t)prev_start;
-                lenp[new_entry] = lenp[prev_code] + 1;
-            }
+            // both live contiguously starting at prev string's last
+            // emission, i.e. at (di - prev_len) once we emit at di.
+            size_t prev_start = di - prev_len;
+            if (new_entry < kMaxCode)
+                tabp[new_entry] =
+                    ((uint64_t)prev_start << 32) | (prev_len + 1);
             // KwKwK case (code == new_entry): string = prev + prev[0]; it
             // starts at prev_start and is about to be emitted at di, so the
             // overlap-safe path reproduces it correctly.
             int ec = (code == new_entry && new_entry < kMaxCode) ? new_entry
                                                                  : code;
-            uint32_t l = lenp[ec];
+            uint64_t e = tabp[ec];
+            uint32_t l = (uint32_t)e;
             if (di + l <= safe_end) {
                 if (ec < 256) {
                     dst[di] = (uint8_t)ec;
                 } else {
-                    uint32_t p = posp[ec];
+                    uint32_t p = (uint32_t)(e >> 32);
                     const uint8_t* s = dst + p;
                     uint8_t* d = dst + di;
                     if (l <= 16 && p + 16 <= di) {
@@ -264,9 +266,7 @@ bool lzw_decode(const uint8_t* src, size_t src_len, uint8_t* dst,
             } else {
                 emit_careful(ec);
             }
-            // record/refresh this code's latest emission position so future
-            // table entries reference in-bounds history
-            if (code < kMaxCode) posp[code] = (uint32_t)(di - lenp[code]);
+            prev_len = l;
             ++next_code;
             // TIFF early change: bump width one code early
             if (next_code == (1 << code_bits) - 1 && code_bits < 12) {
@@ -274,7 +274,6 @@ bool lzw_decode(const uint8_t* src, size_t src_len, uint8_t* dst,
                 code_mask = (1u << code_bits) - 1;
             }
         }
-        prev_code = code;
         if (di >= dst_len) break;
     }
     if (di != dst_len) {
