@@ -12,9 +12,9 @@ from imageprocess_tpu.pipelines.intensity import (
 
 @pytest.fixture(scope="module")
 def timelapse_folder(tmp_path_factory):
-    # frames must be >= the tiled path's min_tile (128) in BOTH dims so the
-    # batch program actually runs (smaller frames silently fall back to the
-    # serial path and the parity asserts compare serial vs serial)
+    # frames must fit the tiled path's chosen tile in BOTH dims so the
+    # batch program actually runs (too-small frames silently fall back to
+    # the serial path and the parity asserts compare serial vs serial)
     folder = tmp_path_factory.mktemp("tl")
     rng = np.random.default_rng(0)
     H, W = 160, 192
@@ -142,3 +142,28 @@ def test_batched_histmode_full_frame_path(timelapse_folder, tmp_path):
         assert r["area_px"] == ref["area_px"]
         for f in ("ch1_mean", "ch1_bg", "ch2_median"):
             assert abs(r[f] - ref[f]) <= 1e-5 * max(abs(ref[f]), 1e-9), f
+
+
+def test_batched_uses_prefetch_uploaded_tiles(timelapse_folder, tmp_path,
+                                              monkeypatch):
+    """The minimum-transfer fast path: every key's ROI tiles are gathered
+    (and device_put) ONCE in its prefetch thread; dispatch must stack the
+    device-resident tiles, never re-gather on the main thread.  Guards the
+    pipelining that hides upload wire time behind the decode phase."""
+    from imageprocess_tpu.ops import roistats
+
+    calls = []
+    real = roistats.gather_tiles
+
+    def counting(*a, **k):
+        calls.append(a[2])  # n_bucket arg
+        return real(*a, **k)
+
+    monkeypatch.setattr(roistats, "gather_tiles", counting)
+    cfg = IntensityConfig(channels=(1, 2), timelapse=True, do_xls=False)
+    rows = run_intensity_batched(str(timelapse_folder), cfg,
+                                 out_root=str(tmp_path / "b"),
+                                 log=lambda *_: None, batch_size=3)
+    assert len(rows) == 16
+    # exactly one gather per key (8 keys), all from the prefetch threads
+    assert len(calls) == 8, calls
