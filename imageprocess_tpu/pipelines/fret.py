@@ -511,9 +511,12 @@ def run_fret_batched(
             t_need = choose_tile(polys, H, W)
             if t_need is not None:
                 t_used = tile_hint.setdefault("tile", t_need)
-                if t_need <= t_used:
+                # session-stable N padding: one compiled shape per run even
+                # when stages carry different ROI counts (see intensity)
+                nb_used = tile_hint.setdefault("nb", _bucket(len(polys), 2))
+                if t_need <= t_used and len(polys) <= nb_used:
                     offs = tile_offsets(polys, H, W, t_used)
-                    tiles = gather_tiles(np.stack([D, A]), offs, len(polys),
+                    tiles = gather_tiles(np.stack([D, A]), offs, nb_used,
                                          t_used)
                     try:
                         tiles = jax.device_put(tiles)
@@ -571,7 +574,10 @@ def run_fret_batched(
         if tile is None:
             return None
         tile = min(max(tile, tile_hint.get("tile", tile)), min(H, W))
-        nb = _bucket(max(len(c[1][2]) for c in chunk), 2)
+        max_n = max(len(c[1][2]) for c in chunk)
+        nb_hint = tile_hint.get("nb")
+        nb = (nb_hint if nb_hint is not None and max_n <= nb_hint
+              else _bucket(max_n, 8))
         vb = _bucket(max(len(poly) for poly in all_p), 32)
         B = len(chunk)
         lp_b = np.zeros((B, nb, vb, 2), np.float32)

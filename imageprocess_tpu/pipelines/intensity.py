@@ -505,9 +505,16 @@ def run_intensity_batched(
                 t_need = choose_tile(polys, H, W)
                 if t_need is not None:
                     t_used = tile_hint.setdefault("tile", t_need)
-                    if t_need <= t_used:
+                    # N is padded to a session-stable hint (exact for the
+                    # common uniform-ROI-count experiment) so every chunk
+                    # dispatches with ONE compiled shape even when stages
+                    # carry different ROI counts; keys that outgrow the
+                    # hint fall back to the coarse-bucketed host path
+                    nb_used = tile_hint.setdefault("nb",
+                                                   _bucket(len(polys), 2))
+                    if t_need <= t_used and len(polys) <= nb_used:
                         offs = tile_offsets(polys, H, W, t_used)
-                        tiles = gather_tiles(imgs, offs, len(polys), t_used)
+                        tiles = gather_tiles(imgs, offs, nb_used, t_used)
                         # upload from the prefetch thread: the tile bytes
                         # (the bulk of the link traffic) then cross the wire
                         # DURING the decode phase instead of serializing
@@ -589,9 +596,15 @@ def run_intensity_batched(
         # (the hint may come from a different-shaped first key)
         tile = min(max(tile, tile_hint.get("tile", tile)), min(H, W))
         # tile path: N padding is pure wire waste (padded tiles are real
-        # zero bytes on the link), so bucket tightly; the full-frame path
-        # keeps the coarser bucket (N only sizes small poly arrays there)
-        nb = _bucket(max(len(c[2][2]) for c in chunk), 2 if use_tiles else 8)
+        # zero bytes on the link), so use the loader's session-stable hint
+        # when every key fits it (ONE compiled shape across chunks); the
+        # full-frame path and outlier chunks keep the coarser bucket
+        max_n = max(len(c[2][2]) for c in chunk)
+        nb_hint = tile_hint.get("nb")
+        if use_tiles and nb_hint is not None and max_n <= nb_hint:
+            nb = nb_hint
+        else:
+            nb = _bucket(max_n, 8)
         vb = _bucket(max(len(poly) for poly in all_p), 32)
         B = len(chunk)
         pad_b = batch_size if mesh is not None else B

@@ -167,3 +167,48 @@ def test_batched_uses_prefetch_uploaded_tiles(timelapse_folder, tmp_path,
     assert len(rows) == 16
     # exactly one gather per key (8 keys), all from the prefetch threads
     assert len(calls) == 8, calls
+
+
+def test_batched_varying_roi_counts_one_shape(tmp_path, monkeypatch):
+    """Stages with different ROI counts must still batch (padded to the
+    session nb hint -> ONE compiled shape, no per-chunk recompiles) and
+    match the serial runner."""
+    from imageprocess_tpu.ops import roistats
+
+    folder = tmp_path / "vary"
+    rng = np.random.default_rng(1)
+    H, W = 160, 192
+    p1 = np.array([[15, 15], [60, 18], [55, 70], [12, 66]], float)
+    p2 = np.array([[70, 40], [115, 45], [110, 85], [65, 80]], float)
+    counts = [2, 1, 2, 1, 1, 2]
+    for s, n in enumerate(counts, 1):
+        tiffio.write_tiff16(str(folder / f"S{s:02d}_1.TIF"),
+                            rng.integers(10, 3000, (H, W)).astype(np.uint16))
+        roiio.save_roi_bundle(str(folder / "roi" / f"S{s:02d}.json"),
+                              f"S{s:02d}", (H, W), [p1, p2][:n])
+
+    gathered_nb = []
+    real = roistats.gather_tiles
+
+    def counting(*a, **k):
+        gathered_nb.append(a[2])
+        return real(*a, **k)
+
+    monkeypatch.setattr(roistats, "gather_tiles", counting)
+    cfg = IntensityConfig(channels=(1,), do_xls=False)
+    serial = run_intensity(str(folder), cfg, out_root=str(tmp_path / "s"),
+                           log=lambda *_: None)
+    logs = []
+    batched = run_intensity_batched(str(folder), cfg,
+                                    out_root=str(tmp_path / "b"),
+                                    log=logs.append, batch_size=3)
+    assert any(str(line).startswith(("[batch]", "[배치]")) for line in logs)
+    assert len(batched) == len(serial) == sum(counts)
+    # every prefetch gather padded to the SAME session hint (one jit shape)
+    assert len(set(gathered_nb)) == 1 and len(gathered_nb) == len(counts)
+    sd = {(r["stage"], r["roi"]): r for r in serial}
+    for r in batched:
+        ref = sd[(r["stage"], r["roi"])]
+        for k, v in ref.items():
+            if isinstance(v, float) and not np.isnan(v):
+                assert abs(r[k] - v) <= 1e-5 * max(abs(v), 1e-9), (k, r[k], v)
