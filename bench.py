@@ -147,6 +147,32 @@ def _decode_only_mpix_s(reps: int = 3) -> float:
     return best
 
 
+def _fret_e2e_mpix_s() -> float:
+    """Second workload metric: two-channel ratiometric FRET tables
+    (decode -> host BG/eps -> ROI tiles -> ratio stats -> XLSX) on the same
+    dataset, channels 2/3 as donor/acceptor."""
+    import shutil as _sh
+
+    from imageprocess_tpu.pipelines.fret import FretConfig, run_fret_batched
+
+    cfg = FretConfig(donor_ch=CHANNELS[0], acceptor_ch=CHANNELS[1])
+    out_root = os.path.join(DATA_DIR, "RES_bench_fret")
+    mpix = N_STAGES * 2 * H * W / 1e6
+    best = 0.0
+    n_rows = 0
+    for rep in range(4):
+        _sh.rmtree(out_root, ignore_errors=True)
+        t0 = time.perf_counter()
+        rows = run_fret_batched(DATA_DIR, cfg, out_root=out_root,
+                                log=lambda *_: None, batch_size=4)
+        dt = time.perf_counter() - t0
+        n_rows = len(rows)
+        if rep:  # rep 0 is compile warm-up
+            best = max(best, mpix / dt)
+    assert n_rows == N_STAGES * 18, f"unexpected fret row count {n_rows}"
+    return best
+
+
 def main():
     if not os.path.exists(os.path.join(DATA_DIR, f"S{N_STAGES:02d}_{CHANNELS[-1]}.TIF")):
         shutil.rmtree(DATA_DIR, ignore_errors=True)
@@ -192,6 +218,7 @@ def main():
 
     device_mpix = _device_only_mpix_s()
     decode_mpix = _decode_only_mpix_s()
+    fret_mpix = _fret_e2e_mpix_s()
 
     baseline = 0.8  # Mpix/s, BASELINE.md reference log
     rois_per_s = len(rows) * best / mpix  # same wall time, ROI-count units
@@ -206,6 +233,8 @@ def main():
         "device_mpix_s": round(device_mpix, 1),
         # host decode ceiling (native batch LZW decode, same dataset)
         "decode_mpix_s": round(decode_mpix, 1),
+        # second workload: ratiometric FRET tables on the same stack
+        "fret_e2e_mpix_s": round(fret_mpix, 2),
     }))
 
 

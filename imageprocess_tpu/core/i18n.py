@@ -43,6 +43,8 @@ STRINGS = {
         "saved_dir": "[저장 완료] {dir}",
         "subset_no_match": "[부분집합] 스테이지 {stage}에 해당하는 파일이 없습니다",
         "batch_progress": "[배치] {done} 프레임",
+        "compile_note": "[안내] 첫 디스패치에서 배치 프로그램을 컴파일했습니다"
+                        " ({sec:.0f}초) — 이후 실행은 캐시를 사용합니다",
         # crop (roi_channel_cropper)
         "crop_no_channel": "[스킵] 채널 ch={ch} 파일 없음",
         "crop_subset_no_match": "[부분집합] 일치 항목 없음",
@@ -96,6 +98,8 @@ STRINGS = {
         "saved_dir": "[SAVED] {dir}",
         "subset_no_match": "[subset] no files match stage={stage}",
         "batch_progress": "[batch] {done} frames",
+        "compile_note": "[note] first dispatch compiled the batch program"
+                        " ({sec:.0f}s) — cached for subsequent runs",
         # crop (roi_channel_cropper)
         "crop_no_channel": "[skip] no files for channel ch={ch}",
         "crop_subset_no_match": "[subset] no match",

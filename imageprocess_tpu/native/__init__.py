@@ -104,6 +104,11 @@ def _declare(lib) -> None:
         ctypes.c_longlong, ctypes.c_int,
     ]
     lib.ip_u16_percentile_strided.restype = ctypes.c_double
+    lib.ip_u16_hist.argtypes = [
+        ctypes.POINTER(ctypes.c_uint16), ctypes.c_longlong,
+        ctypes.c_longlong, ctypes.POINTER(ctypes.c_uint32),
+    ]
+    lib.ip_u16_hist.restype = None
 
 
 def decode_tiff_batch(paths, page: int = 0) -> Optional[np.ndarray]:
@@ -156,6 +161,40 @@ def u16_percentile_strided(arr: np.ndarray, stride: int, p1000: int) -> float:
     if vals.size == 0:
         return 0.0
     return float(np.percentile(vals.astype(np.float64), p1000 / 1000.0))
+
+
+def u16_hist(arr: np.ndarray, stride: int = 1) -> np.ndarray:
+    """65536-bin counting histogram of ``arr.ravel()[::stride]`` (uint16).
+    One native pass can serve several exact order statistics — see
+    :func:`percentile_from_hist`.  Falls back to np.bincount."""
+    a = np.ascontiguousarray(arr, dtype=np.uint16)
+    lib = _load()
+    if lib is not None:
+        hist = np.zeros(65536, np.uint32)
+        lib.ip_u16_hist(
+            a.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
+            a.size, max(1, int(stride)),
+            hist.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+        )
+        return hist
+    return np.bincount(a.ravel()[::max(1, int(stride))],
+                       minlength=65536).astype(np.uint32)
+
+
+def percentile_from_hist(hist: np.ndarray, p1000: int) -> float:
+    """Exact ``np.percentile(values, p1000/1000, method='linear')`` from a
+    counting histogram of integer values — the same integer (k, g) order-
+    statistic arithmetic as ip_u16_percentile_strided."""
+    cdf = np.cumsum(hist.astype(np.int64))
+    n = int(cdf[-1])
+    if n == 0:
+        return 0.0
+    idx = (n - 1) * int(p1000)
+    k = idx // 100000
+    g = (idx % 100000) / 100000.0
+    lo = int(np.searchsorted(cdf, k, side="right"))
+    hi = int(np.searchsorted(cdf, min(k + 1, n - 1), side="right"))
+    return float(lo) + g * float(hi - lo)
 
 
 def decode_tiff(path: str, page: int = 0) -> Optional[np.ndarray]:

@@ -389,24 +389,28 @@ def _host_fret_scalars(D: np.ndarray, A: np.ndarray, cfg: FretConfig):
     monotone transform, so the exact raw-u16 order statistics are
     transformed first and np.percentile-interpolated after — identical to
     sorting the corrected frame (fret_ratio_builder.py:338-340)."""
-    from ..native import u16_percentile_strided
+    from ..native import percentile_from_hist, u16_hist
 
     flip = cfg.ratio_mode != "FRET/Donor"
     d_p = cfg.donor_p if cfg.per_channel_p else cfg.percentile
     a_p = cfg.fret_p if cfg.per_channel_p else cfg.percentile
+    # ONE counting pass per channel serves both the background percentile
+    # and (for the denominator) the eps quantile — the scalars used to cost
+    # three full-frame scans per pair
+    hist_d = u16_hist(D)
+    hist_a = u16_hist(A)
     if cfg.bg_mode == "none":
         bgd = bga = 0.0
     else:
-        bgd = u16_percentile_strided(D, 1, p1000_of(d_p))
-        bga = u16_percentile_strided(A, 1, p1000_of(a_p))
-    denom_raw, denom_bg = (A, bga) if flip else (D, bgd)
+        bgd = percentile_from_hist(hist_d, p1000_of(d_p))
+        bga = percentile_from_hist(hist_a, p1000_of(a_p))
+    denom_hist, denom_bg, n = ((hist_a, bga, A.size) if flip
+                               else (hist_d, bgd, D.size))
 
-    hist = np.bincount(denom_raw.ravel(), minlength=65536)
-    n = denom_raw.size
     idx = (n - 1) * p1000_of(cfg.eps_percentile)
     k = idx // 100000
     g = (idx % 100000) / 100000.0
-    cdf = np.cumsum(hist)
+    cdf = np.cumsum(denom_hist.astype(np.int64))
     lo = int(np.searchsorted(cdf, k, side="right"))
     hi = int(np.searchsorted(cdf, min(k + 1, n - 1), side="right"))
 

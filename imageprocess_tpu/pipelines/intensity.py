@@ -574,13 +574,19 @@ def run_intensity_batched(
         tm["pack"] += time.perf_counter() - t0  # _timed_step moves its share
         return rec
 
+    first_step = [True]
+
     def _timed_step(fn, *host_arrays):
         """Upload host arrays and enqueue the device call, timing both out
         of the enclosing pack phase."""
-        t1 = time.perf_counter() if tm is not None else 0.0
+        t1 = time.perf_counter()
         out = fn(*(jnp.asarray(a) for a in host_arrays))
+        dt = time.perf_counter() - t1
+        if first_step[0]:
+            first_step[0] = False
+            if dt > 5.0:  # jit compile of a new shape (minutes on the
+                log(t("compile_note").format(sec=dt))  # tunneled chip)
         if tm is not None:
-            dt = time.perf_counter() - t1
             tm["upload"] += dt
             tm["pack"] -= dt
         return out

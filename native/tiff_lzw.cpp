@@ -473,6 +473,15 @@ double ip_u16_percentile_strided(const uint16_t* buf, long long n_total,
     return (double)lo + g * (double)(hi - lo);
 }
 
+void ip_u16_hist(const uint16_t* buf, long long n_total, long long stride,
+                 uint32_t* hist /* 65536, caller-zeroed */) {
+    // One counting pass serving every order statistic the caller needs
+    // (background percentile AND the FRET eps quantile come from the same
+    // histogram — one frame scan instead of one per statistic).
+    if (stride < 1) stride = 1;
+    for (long long i = 0; i < n_total; i += stride) ++hist[buf[i]];
+}
+
 int ip_tiff_decode_batch(const char** paths, int n_files, int page,
                          uint8_t* out, long long frame_bytes,
                          int height, int width, int bits, int samples) {

@@ -153,3 +153,51 @@ def test_stale_library_disables_gracefully():
             raise AttributeError(name)
 
     assert native._bind(_Stale()) is False
+
+
+def test_fuzzed_headers_fail_cleanly(tmp_path, golden_intensity_dir):
+    """Randomly corrupted TIFF headers/IFDs must return None (clean error
+    through the rc path) — never crash, hang, or hand back a frame of the
+    wrong shape.  Guards the parser's bounds checks."""
+    src = os.path.join(golden_intensity_dir, "e1_P0", "S01_2.TIF")
+    raw = bytearray(open(src, "rb").read())
+    if decode_tiff(src) is None:
+        pytest.skip("native decoder unavailable")
+    ref = np.asarray(Image.open(src))
+    rng = np.random.default_rng(7)
+    for trial in range(40):
+        buf = bytearray(raw)
+        # corrupt a burst inside the first 64 KB (header + IFD + early
+        # strips) and, on odd trials, truncate the file as well
+        off = int(rng.integers(0, min(65536, len(buf) - 16)))
+        for k in range(int(rng.integers(1, 12))):
+            buf[off + k] = int(rng.integers(0, 256))
+        if trial % 2:
+            buf = buf[: int(rng.integers(8, len(buf)))]
+        p = str(tmp_path / f"fuzz_{trial}.tif")
+        open(p, "wb").write(bytes(buf))
+        got = decode_tiff(p)
+        # either a clean failure or a full decode whose shape matches the
+        # (possibly corrupted-in-place) header it declared — never garbage
+        # of the wrong size, never an exception
+        if got is not None:
+            assert got.ndim == 2 and got.size > 0
+    # the original still decodes bit-exactly afterwards (no global state
+    # poisoned by the failed attempts)
+    assert np.array_equal(decode_tiff(src), ref)
+
+
+def test_u16_hist_percentile_parity():
+    """u16_hist + percentile_from_hist == np.percentile (linear) exactly,
+    for integer u16 data at any stride."""
+    from imageprocess_tpu.native import percentile_from_hist, u16_hist
+
+    rng = np.random.default_rng(3)
+    arr = rng.integers(0, 4000, (123, 217)).astype(np.uint16)
+    for stride in (1, 4):
+        for p1000 in (0, 1000, 2500, 50000, 99000, 100000):
+            h = u16_hist(arr, stride)
+            got = percentile_from_hist(h, p1000)
+            want = float(np.percentile(
+                arr.ravel()[::stride].astype(np.float64), p1000 / 1000.0))
+            assert got == pytest.approx(want, abs=1e-9), (stride, p1000)
