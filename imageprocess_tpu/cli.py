@@ -47,6 +47,8 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=["percentile", "hist-mode", "none"])
     p.add_argument("--bg-scope", default="full", choices=["full", "roi_union"])
     p.add_argument("--percentile", type=float, default=1.0)
+    p.add_argument("--per-channel-p", nargs="*", default=[], metavar="CH=P",
+                   help="per-channel BG percentile overrides, e.g. 2=1 3=0.5")
     p.add_argument("--bg-stride", type=int, default=4)
     p.add_argument("--no-clip-neg", action="store_true")
     p.add_argument("--colors", nargs="*", default=[],
@@ -54,7 +56,20 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--tif", action="store_true")
     p.add_argument("--png", action="store_true")
     p.add_argument("--raw-crop-tif", action="store_true")
+    p.add_argument("--tif-mask-outside", action="store_true")
+    p.add_argument("--no-xls", action="store_true")
     p.add_argument("--px-um", type=float, default=None)
+    p.add_argument("--auto-lo", type=float, default=1.0,
+                   help="display-range low percentile (GUI auto min)")
+    p.add_argument("--auto-hi", type=float, default=99.0)
+    p.add_argument("--crop-size", type=int, default=500,
+                   help="fixed crop side in px (GUI 32-8000)")
+    p.add_argument("--no-fixed-crop", action="store_true")
+    p.add_argument("--dpi", type=int, default=300)
+    p.add_argument("--cmap", default=None,
+                   help="pseudocolor PNGs with this colormap")
+    p.add_argument("--colorbar", action="store_true")
+    p.add_argument("--scalebar-um", type=float, default=None)
     p.add_argument("--subset-stage", type=int, default=None)
     p.add_argument("--subset-time", type=int, default=None)
     p.add_argument("--subset-roi", type=int, default=None)
@@ -83,11 +98,28 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--ratio-mode", default="FRET/Donor",
                    choices=["FRET/Donor", "Donor/FRET"])
     p.add_argument("--percentile", type=float, default=1.0)
+    p.add_argument("--donor-p", type=float, default=None,
+                   help="donor-channel BG percentile (enables per-channel p)")
+    p.add_argument("--fret-p", type=float, default=None)
     p.add_argument("--eps-percentile", type=float, default=1.0)
+    p.add_argument("--eps-abs", type=float, default=5.0)
     p.add_argument("--bg-scope", default="full", choices=["full", "roi_union"])
     p.add_argument("--tif", action="store_true")
     p.add_argument("--png", action="store_true")
+    p.add_argument("--no-xls", action="store_true")
+    p.add_argument("--no-mask-outside", action="store_true",
+                   help="keep pixels outside the ROI in crop PNGs")
+    p.add_argument("--no-cmap", action="store_true")
+    p.add_argument("--cmap", default="jet")
+    p.add_argument("--no-colorbar", action="store_true")
+    p.add_argument("--cmin", default="", help="fixed color min ('' = auto)")
+    p.add_argument("--cmax", default="")
+    p.add_argument("--dpi", type=int, default=300)
+    p.add_argument("--crop-w", type=int, default=500)
+    p.add_argument("--crop-h", type=int, default=500)
+    p.add_argument("--scalebar-um", type=float, default=None)
     p.add_argument("--subset-stage", type=int, default=None)
+    p.add_argument("--subset-time", type=int, default=None)
     _add_common(p)
 
     p = sub.add_parser("nesprin2", help="nuclear-rim FRET (Nesprin2_FRET_Builder)")
@@ -108,8 +140,25 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--g-factor", type=float, default=1.0)
     p.add_argument("--sat-threshold", type=float, default=None)
     p.add_argument("--clip-ratio-max", type=float, default=None)
+    p.add_argument("--ratio-mode", default="FRET/Donor",
+                   choices=["FRET/Donor", "Donor/FRET"])
+    p.add_argument("--bg-mode", default="percentile",
+                   choices=["percentile", "hist-mode", "none"])
+    p.add_argument("--bg-scope", default="full",
+                   choices=["full", "roi_union", "annulus"])
+    p.add_argument("--percentile", type=float, default=1.0)
+    p.add_argument("--donor-p", type=float, default=None,
+                   help="donor-channel BG percentile (enables per-channel p)")
+    p.add_argument("--fret-p", type=float, default=None)
+    p.add_argument("--eps-percentile", type=float, default=1.0)
+    p.add_argument("--eps-abs", type=float, default=5.0)
     p.add_argument("--tif", action="store_true")
     p.add_argument("--png", action="store_true")
+    p.add_argument("--panel", action="store_true",
+                   help="write the 2-up ratio/intensity panel PNG")
+    p.add_argument("--no-xls", action="store_true")
+    p.add_argument("--subset-stage", type=int, default=None)
+    p.add_argument("--subset-time", type=int, default=None)
     _add_common(p)
 
     p = sub.add_parser("fa", help="focal-adhesion detection (FA_Analyzer batch)")
@@ -124,6 +173,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--close-radius", type=int, default=1)
     p.add_argument("--no-subtract-bg", action="store_true")
     p.add_argument("--ok-only", action="store_true")
+    p.add_argument("--max-fa-per-cell", type=int, default=256)
+    p.add_argument("--master-name", default="FA_Results_Master.xlsx")
+    p.add_argument("--no-master", action="store_true",
+                   help="skip the merged master workbook")
     p.add_argument("--figs", action="store_true",
                    help="write per-stage overview figures (BND_FA/fig)")
     p.add_argument("--export-crops", action="store_true",
@@ -152,7 +205,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--tiff16", action="store_true")
     p.add_argument("--tiff-raw", action="store_true")
     p.add_argument("--no-png", action="store_true")
+    p.add_argument("--crop-w", type=int, default=500)
+    p.add_argument("--crop-h", type=int, default=500)
+    p.add_argument("--no-fixed-crop", action="store_true")
+    p.add_argument("--dpi", type=int, default=300)
+    p.add_argument("--scalebar-um", type=float, default=None)
     p.add_argument("--subset-stage", type=int, default=None)
+    p.add_argument("--subset-time", type=int, default=None)
     p.add_argument("--subset-roi", type=int, default=None)
     p.add_argument("--px-um", type=float, default=None)
     _add_common(p)
@@ -223,17 +282,34 @@ def _dispatch(args, log) -> int:
     if args.cmd == "intensity":
         from .pipelines.intensity import IntensityConfig, run_intensity
 
+        from .report.render import PanelPngOptions
+
         colors = {}
         for spec in args.colors:
             ch, _, color = spec.partition("=")
             colors[int(ch)] = color
+        per_p = {}
+        for spec in args.per_channel_p:
+            ch, _, pv = spec.partition("=")
+            per_p[int(ch)] = float(pv)
+        panel = PanelPngOptions(
+            cmap_on=args.cmap is not None, cmap=args.cmap or "jet",
+            colorbar=args.colorbar, scalebar_um=args.scalebar_um,
+            dpi=args.dpi,
+        )
         cfg = IntensityConfig(
             channels=tuple(args.channels), timelapse=args.timelapse,
             bg_mode=args.bg_mode, bg_scope=args.bg_scope,
-            percentile=args.percentile, bg_stride=args.bg_stride,
+            percentile=args.percentile, per_channel_p=per_p,
+            bg_stride=args.bg_stride,
             clip_neg=not args.no_clip_neg, channel_colors=colors,
+            do_xls=not args.no_xls,
             do_tif=args.tif, do_png=args.png, px_um=args.px_um,
             save_raw_crop_tif=args.raw_crop_tif,
+            tif_mask_outside=args.tif_mask_outside,
+            auto_lo=args.auto_lo, auto_hi=args.auto_hi,
+            fixed_crop=not args.no_fixed_crop, crop_size=args.crop_size,
+            png_full=panel, png_crop=panel,
             subset_stage=args.subset_stage, subset_time=args.subset_time,
             subset_roi=args.subset_roi,
         )
@@ -294,12 +370,25 @@ def _dispatch(args, log) -> int:
     if args.cmd == "fret":
         from .pipelines.fret import FretConfig, run_fret_batched
 
+        per_ch = args.donor_p is not None or args.fret_p is not None
         cfg = FretConfig(
             donor_ch=args.donor_ch, acceptor_ch=args.acceptor_ch,
             timelapse=args.timelapse, ratio_mode=args.ratio_mode,
-            percentile=args.percentile, eps_percentile=args.eps_percentile,
+            percentile=args.percentile,
+            per_channel_p=per_ch,
+            donor_p=args.donor_p if args.donor_p is not None else args.percentile,
+            fret_p=args.fret_p if args.fret_p is not None else args.percentile,
+            eps_percentile=args.eps_percentile, eps_abs=args.eps_abs,
             bg_scope=args.bg_scope, do_tif=args.tif, do_png=args.png,
-            subset_stage=args.subset_stage,
+            do_xls=not args.no_xls,
+            mask_outside=not args.no_mask_outside,
+            apply_cmap=not args.no_cmap, cmap_name=args.cmap,
+            show_colorbar=not args.no_colorbar,
+            cmin_txt=args.cmin, cmax_txt=args.cmax, png_dpi=args.dpi,
+            crop_w=args.crop_w, crop_h=args.crop_h,
+            add_scalebar=args.scalebar_um is not None,
+            scale_bar_um=args.scalebar_um,
+            subset_stage=args.subset_stage, subset_time=args.subset_time,
         )
         # tables-only runs take the minimum-transfer batched path;
         # image outputs fall back to the rendering runner automatically
@@ -312,10 +401,17 @@ def _dispatch(args, log) -> int:
         rim_um, ann_in, ann_out = args.rim_um, args.ann_in_um, args.ann_out_um
         if args.rim_preset:
             rim_um, ann_in, ann_out = RIM_PRESETS[args.rim_preset]
+        per_ch = args.donor_p is not None or args.fret_p is not None
         cfg = Nesprin2Config(
             donor_ch=args.donor_ch, fret_ch=args.fret_ch,
             intensity_ch=args.intensity_ch, aonly_ch=args.aonly_ch,
             timelapse=args.timelapse, px_um=args.px_um, rim_um=rim_um,
+            ratio_mode=args.ratio_mode, bg_mode=args.bg_mode,
+            bg_scope=args.bg_scope, percentile=args.percentile,
+            per_channel_p=per_ch,
+            donor_p=args.donor_p if args.donor_p is not None else args.percentile,
+            fret_p=args.fret_p if args.fret_p is not None else args.percentile,
+            eps_percentile=args.eps_percentile, eps_abs=args.eps_abs,
             annulus_on=args.annulus, ann_in_um=ann_in, ann_out_um=ann_out,
             use_spectral=args.spectral, alpha=args.alpha, beta=args.beta,
             g_factor=args.g_factor,
@@ -323,7 +419,9 @@ def _dispatch(args, log) -> int:
             sat_threshold=args.sat_threshold or 65535.0,
             clip_ratio_on=args.clip_ratio_max is not None,
             clip_ratio_max=args.clip_ratio_max or 10.0,
-            do_tif=args.tif, do_png=args.png,
+            do_tif=args.tif, do_png=args.png, do_xls=not args.no_xls,
+            save_panel=args.panel,
+            subset_stage=args.subset_stage, subset_time=args.subset_time,
         )
         run_nesprin2(args.folder, cfg, out_root=args.out, log=log)
         return 0
@@ -336,6 +434,9 @@ def _dispatch(args, log) -> int:
             min_area_um=args.min_area_um, max_area_um=args.max_area_um,
             close_radius=args.close_radius,
             subtract_bg=not args.no_subtract_bg, save_ok_only=args.ok_only,
+            max_fa_per_cell=args.max_fa_per_cell,
+            do_master_report=not args.no_master,
+            master_name=args.master_name,
         )
         run_fa_batch(args.img_dir, args.roi_dir, args.out, cfg, log=log)
         if args.figs:
@@ -367,7 +468,12 @@ def _dispatch(args, log) -> int:
             gamma=args.gamma, low_cut=args.low_cut, high_cut=args.high_cut,
             mask_outside=args.mask_outside, save_png=not args.no_png,
             save_tiff16=args.tiff16, save_tiff_raw=args.tiff_raw,
-            subset_stage=args.subset_stage, subset_roi=args.subset_roi,
+            fixed_crop=not args.no_fixed_crop,
+            crop_w=args.crop_w, crop_h=args.crop_h, png_dpi=args.dpi,
+            add_scalebar=args.scalebar_um is not None,
+            sb_len_um=args.scalebar_um,
+            subset_stage=args.subset_stage, subset_time=args.subset_time,
+            subset_roi=args.subset_roi,
             px_um=args.px_um,
         )
         roi_dir = args.roi_dir or os.path.join(args.folder, "roi")

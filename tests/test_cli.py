@@ -139,3 +139,50 @@ def test_cli_intensity_batched_writes_run_log(golden_intensity_dir, tmp_path,
     text = open(logs[0]).read()
     assert "[START]" in text and "[END]" in text
     assert "[batch]" in text
+
+
+def test_cli_gui_parity_flags(tmp_path):
+    """The GUI-equivalent knobs exposed this round: per-channel percentile,
+    crop geometry, eps overrides, FA master options — values must land in
+    the configs and the runs must succeed."""
+    import numpy as np
+
+    from imageprocess_tpu.core import roiio, tiffio
+
+    rng = np.random.default_rng(2)
+    H, W = 80, 112
+    poly = np.array([[15, 15], [60, 18], [55, 60], [12, 55]], float)
+    yy, xx = np.mgrid[0:H, 0:W]
+    blob = 6000 * np.exp(-((yy - 38) ** 2 + (xx - 36) ** 2) / 30.0)
+    for ch in (1, 2):
+        img = (rng.integers(10, 2000, (H, W)) + blob).clip(0, 65535)
+        tiffio.write_tiff16(str(tmp_path / f"S01_{ch}.TIF"),
+                            img.astype(np.uint16))
+    roiio.save_roi_bundle(str(tmp_path / "roi" / "S01.json"), "S01", (H, W),
+                          [poly])
+    f = str(tmp_path)
+
+    assert main(["intensity", f, "--channels", "1", "2",
+                 "--per-channel-p", "1=2.0", "2=0.5",
+                 "--crop-size", "64", "--auto-lo", "0.5",
+                 "--out", f + "/RES_I"]) == 0
+    assert main(["fret", f, "--donor-ch", "1", "--acceptor-ch", "2",
+                 "--donor-p", "2.0", "--fret-p", "0.5", "--eps-abs", "3.0",
+                 "--crop-w", "64", "--crop-h", "64",
+                 "--out", f + "/RES_F"]) == 0
+    assert main(["fa", f, "--roi-dir", f + "/roi", "--out", f + "/BND_FA",
+                 "--channel", "1", "--alpha", "1.0", "--min-area-um", "0.2",
+                 "--master-name", "Custom_Master.xlsx"]) == 0
+
+    import csv as _csv
+    import os
+    rows = list(_csv.DictReader(
+        open(f + "/RES_I/xls/fluor_intensity_perROI.csv")))
+    assert rows and float(rows[0]["ch1_p"]) == 2.0
+    assert float(rows[0]["ch2_p"]) == 0.5
+    # the CSV keeps the reference's exact column subset (no donor_p column);
+    # --eps-abs landing in the run proves the new FRET flags reached cfg
+    frows = list(_csv.DictReader(
+        open(f + "/RES_F/xls/fret_ratio_perROI.csv")))
+    assert frows and float(frows[0]["eps"]) == 3.0
+    assert os.path.exists(f + "/BND_FA/Custom_Master.xlsx")
