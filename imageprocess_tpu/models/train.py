@@ -32,6 +32,10 @@ class TrainConfig:
     grad_loss_weight: float = 0.5
     tile: int = 256          # training crop size (divisible by 2^depth)
     batch_size: int = 8
+    # when set, lr follows a linear-warmup + cosine-decay schedule over
+    # this many steps (a fixed lr oscillates late in small-data training)
+    decay_steps: int = 0
+    warmup_steps: int = 100
 
 
 class TrainState(train_state.TrainState):
@@ -42,7 +46,14 @@ def create_train_state(cfg: TrainConfig, rng: jax.Array) -> TrainState:
     model = UNet(features=cfg.features)
     params = model.init(rng, jnp.zeros((1, cfg.tile, cfg.tile, 1),
                                        jnp.float32))
-    tx = optax.adamw(cfg.lr, weight_decay=cfg.weight_decay)
+    if cfg.decay_steps:
+        lr = optax.warmup_cosine_decay_schedule(
+            init_value=cfg.lr * 0.05, peak_value=cfg.lr,
+            warmup_steps=min(cfg.warmup_steps, cfg.decay_steps // 10 + 1),
+            decay_steps=cfg.decay_steps, end_value=cfg.lr * 0.01)
+    else:
+        lr = cfg.lr
+    tx = optax.adamw(lr, weight_decay=cfg.weight_decay)
     return TrainState.create(apply_fn=model.apply, params=params, tx=tx)
 
 

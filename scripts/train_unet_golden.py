@@ -49,7 +49,8 @@ def main():
           jax.devices()[0])
     x, probs, flows = frame_training_arrays(img.astype(np.float32), polys)
 
-    cfg = TrainConfig(features=FEATURES, tile=TILE, batch_size=BATCH)
+    cfg = TrainConfig(features=FEATURES, tile=TILE, batch_size=BATCH,
+                      decay_steps=steps)
     state = create_train_state(cfg, jax.random.PRNGKey(0))
     rng = np.random.default_rng(0)
     t0 = time.time()

@@ -8,8 +8,9 @@ delegates to pretrained Cellpose (src/ROI_auto_drawer.py:203,241).
 
 Precision is not asserted: the manual annotation covers 18 of the many
 cells in frame, so extra (unannotated-cell) detections are expected.
-Full-frame numbers from the training run (tunneled v5e):
-43 predicted vs 18 golden — mean IoU 0.887, recall 1.00.
+Full-frame numbers from the committed training run (tunneled v5e, 2500
+steps with warmup-cosine lr decay):
+43 predicted vs 18 golden — mean IoU 0.923, recall 1.00.
 """
 
 import os
