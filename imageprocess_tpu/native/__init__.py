@@ -181,19 +181,30 @@ def u16_hist(arr: np.ndarray, stride: int = 1) -> np.ndarray:
                        minlength=65536).astype(np.uint32)
 
 
-def percentile_from_hist(hist: np.ndarray, p1000: int) -> float:
-    """Exact ``np.percentile(values, p1000/1000, method='linear')`` from a
-    counting histogram of integer values — the same integer (k, g) order-
-    statistic arithmetic as ip_u16_percentile_strided."""
+def hist_order_stats(hist: np.ndarray, p1000: int):
+    """(lo, hi, g): the two exact integer order statistics and the
+    interpolation weight for ``np.percentile(values, p1000/1000,
+    method='linear')`` over a counting histogram — THE canonical (k, g)
+    arithmetic (CLAUDE.md invariant; also implemented in C by
+    ip_u16_percentile_strided).  Callers that percentile a MONOTONE
+    TRANSFORM of the values (e.g. bg-corrected eps) transform lo/hi first
+    and interpolate after — bit-identical to sorting transformed values."""
     cdf = np.cumsum(hist.astype(np.int64))
     n = int(cdf[-1])
     if n == 0:
-        return 0.0
+        return 0, 0, 0.0
     idx = (n - 1) * int(p1000)
     k = idx // 100000
     g = (idx % 100000) / 100000.0
     lo = int(np.searchsorted(cdf, k, side="right"))
     hi = int(np.searchsorted(cdf, min(k + 1, n - 1), side="right"))
+    return lo, hi, g
+
+
+def percentile_from_hist(hist: np.ndarray, p1000: int) -> float:
+    """Exact ``np.percentile(values, p1000/1000, method='linear')`` from a
+    counting histogram of integer values."""
+    lo, hi, g = hist_order_stats(hist, p1000)
     return float(lo) + g * float(hi - lo)
 
 

@@ -389,30 +389,25 @@ def _host_fret_scalars(D: np.ndarray, A: np.ndarray, cfg: FretConfig):
     monotone transform, so the exact raw-u16 order statistics are
     transformed first and np.percentile-interpolated after — identical to
     sorting the corrected frame (fret_ratio_builder.py:338-340)."""
-    from ..native import percentile_from_hist, u16_hist
+    from ..native import hist_order_stats, percentile_from_hist, u16_hist
 
     flip = cfg.ratio_mode != "FRET/Donor"
     d_p = cfg.donor_p if cfg.per_channel_p else cfg.percentile
     a_p = cfg.fret_p if cfg.per_channel_p else cfg.percentile
     # ONE counting pass per channel serves both the background percentile
-    # and (for the denominator) the eps quantile — the scalars used to cost
-    # three full-frame scans per pair
-    hist_d = u16_hist(D)
-    hist_a = u16_hist(A)
-    if cfg.bg_mode == "none":
-        bgd = bga = 0.0
-    else:
+    # and (for the denominator) the eps quantile; with bg_mode="none" only
+    # the denominator's histogram is needed at all
+    need_bg = cfg.bg_mode != "none"
+    hist_d = u16_hist(D) if (need_bg or not flip) else None
+    hist_a = u16_hist(A) if (need_bg or flip) else None
+    if need_bg:
         bgd = percentile_from_hist(hist_d, p1000_of(d_p))
         bga = percentile_from_hist(hist_a, p1000_of(a_p))
-    denom_hist, denom_bg, n = ((hist_a, bga, A.size) if flip
-                               else (hist_d, bgd, D.size))
+    else:
+        bgd = bga = 0.0
+    denom_hist, denom_bg = (hist_a, bga) if flip else (hist_d, bgd)
 
-    idx = (n - 1) * p1000_of(cfg.eps_percentile)
-    k = idx // 100000
-    g = (idx % 100000) / 100000.0
-    cdf = np.cumsum(denom_hist.astype(np.int64))
-    lo = int(np.searchsorted(cdf, k, side="right"))
-    hi = int(np.searchsorted(cdf, min(k + 1, n - 1), side="right"))
+    lo, hi, g = hist_order_stats(denom_hist, p1000_of(cfg.eps_percentile))
 
     def tf(v):
         v = np.float32(v) - np.float32(denom_bg)
@@ -518,10 +513,18 @@ def run_fret_batched(
                 # session-stable N padding: one compiled shape per run even
                 # when stages carry different ROI counts (see intensity)
                 nb_used = tile_hint.setdefault("nb", _bucket(len(polys), 2))
-                if t_need <= t_used and len(polys) <= nb_used:
+                # t_used <= min(H, W): a smaller-frame pair must skip the
+                # pre-gather (classify sends it to the serial path) instead
+                # of raising in the loader and dropping its rows
+                if t_need <= t_used <= min(H, W) and len(polys) <= nb_used:
                     offs = tile_offsets(polys, H, W, t_used)
-                    tiles = gather_tiles(np.stack([D, A]), offs, nb_used,
-                                         t_used)
+                    # gather straight from D and A (no full-frame
+                    # np.stack copy in the 1-core hot path)
+                    tiles = np.zeros((nb_used, 2, t_used, t_used), D.dtype)
+                    for i, (oy, ox) in enumerate(
+                            np.asarray(offs, np.int64)):
+                        tiles[i, 0] = D[oy:oy + t_used, ox:ox + t_used]
+                        tiles[i, 1] = A[oy:oy + t_used, ox:ox + t_used]
                     try:
                         tiles = jax.device_put(tiles)
                     except Exception:

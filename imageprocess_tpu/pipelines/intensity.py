@@ -512,7 +512,13 @@ def run_intensity_batched(
                     # hint fall back to the coarse-bucketed host path
                     nb_used = tile_hint.setdefault("nb",
                                                    _bucket(len(polys), 2))
-                    if t_need <= t_used and len(polys) <= nb_used:
+                    # t_used <= min(H, W): a key whose FRAME is smaller
+                    # than the session hint tile must skip the pre-gather
+                    # (classify routes it to the serial path); gathering
+                    # at the hint size would raise in the loader and drop
+                    # the key's rows entirely
+                    if (t_need <= t_used <= min(H, W)
+                            and len(polys) <= nb_used):
                         offs = tile_offsets(polys, H, W, t_used)
                         tiles = gather_tiles(imgs, offs, nb_used, t_used)
                         # upload from the prefetch thread: the tile bytes

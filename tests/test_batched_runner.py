@@ -212,3 +212,33 @@ def test_batched_varying_roi_counts_one_shape(tmp_path, monkeypatch):
         for k, v in ref.items():
             if isinstance(v, float) and not np.isnan(v):
                 assert abs(r[k] - v) <= 1e-5 * max(abs(v), 1e-9), (k, r[k], v)
+
+
+def test_batched_smaller_frame_than_hint_tile(tmp_path):
+    """A key whose FRAME is smaller than the session tile hint must fall
+    to the serial path and still produce rows (regression: the prefetch
+    pre-gather used the hint tile unclamped and raised in the loader,
+    silently dropping the key)."""
+    folder = tmp_path / "mix"
+    rng = np.random.default_rng(3)
+    big_poly = np.array([[20, 20], [150, 25], [145, 150], [18, 140]], float)
+    small_poly = np.array([[10, 10], [40, 12], [38, 40], [8, 36]], float)
+    tiffio.write_tiff16(str(folder / "S01_1.TIF"),
+                        rng.integers(10, 3000, (200, 200)).astype(np.uint16))
+    roiio.save_roi_bundle(str(folder / "roi" / "S01.json"), "S01",
+                          (200, 200), [big_poly])
+    tiffio.write_tiff16(str(folder / "S02_1.TIF"),
+                        rng.integers(10, 3000, (64, 64)).astype(np.uint16))
+    roiio.save_roi_bundle(str(folder / "roi" / "S02.json"), "S02",
+                          (64, 64), [small_poly])
+    cfg = IntensityConfig(channels=(1,), do_xls=False)
+    errors = []
+    rows = run_intensity_batched(str(folder), cfg, out_root=str(tmp_path),
+                                 log=errors.append, batch_size=2)
+    assert [r["stage"] for r in rows] == ["S01", "S02"], (rows, errors)
+    serial = run_intensity(str(folder), cfg, out_root=str(tmp_path / "s"),
+                           log=lambda *_: None)
+    sd = {r["stage"]: r for r in serial}
+    for r in rows:
+        assert abs(r["ch1_mean"] - sd[r["stage"]]["ch1_mean"]) <= 1e-5 * max(
+            abs(sd[r["stage"]]["ch1_mean"]), 1e-9)
