@@ -203,12 +203,13 @@ def main():
     one_run()
     warm = time.perf_counter() - t0
 
-    # time as many full runs as fit a ~90 s budget (first compile can eat
-    # minutes on the CPU backend; steady-state is what we're measuring)
+    # time as many full runs as fit the budget (first compile can eat
+    # minutes on a cold cache; steady-state is what we're measuring).
+    # ALWAYS take >=3 steady reps: best-of-1 after a slow compile once
+    # recorded a 3x-low number purely from shared-box noise.
     best = 0.0
     mpix = N_STAGES * len(CHANNELS) * H * W / 1e6
-    # best-of-N against shared-box noise; each steady-state rep is ~1-2 s
-    reps = 1 if warm >= 60 else (8 if warm < 10 else (5 if warm < 30 else 3))
+    reps = 8 if warm < 10 else (5 if warm < 30 else 3)
     for _ in range(reps):
         t0 = time.perf_counter()
         rows = one_run()
