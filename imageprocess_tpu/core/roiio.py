@@ -132,7 +132,12 @@ _IJ_TYPE_POLYGON = 0
 
 
 def encode_imagej_roi(poly_xy: np.ndarray, name: str = "") -> bytes:
-    """One polygon -> ImageJ ``.roi`` bytes (integer-pixel polygon ROI)."""
+    """One polygon -> ImageJ ``.roi`` bytes (integer-pixel polygon ROI).
+
+    When *name* is given it is persisted the ImageJ way (the reference's
+    roifile writer does the same, src/roi_manual_drawer.py:1280-1292):
+    header offset 60 points at a 64-byte header2 whose fields 16/20 give
+    the name offset/length, followed by the name as UTF-16BE chars."""
     pts = np.asarray(poly_xy, dtype=float)
     xs = np.round(pts[:, 0]).astype(np.int32)
     ys = np.round(pts[:, 1]).astype(np.int32)
@@ -150,7 +155,15 @@ def encode_imagej_roi(poly_xy: np.ndarray, name: str = "") -> bytes:
         body += struct.pack(">h", int(v))
     for v in ys - top:
         body += struct.pack(">h", int(v))
-    return bytes(header) + bytes(body)
+    if not name:
+        return bytes(header) + bytes(body)
+    h2_off = 64 + len(body)
+    struct.pack_into(">i", header, 60, h2_off)
+    header2 = bytearray(64)
+    struct.pack_into(">i", header2, 16, h2_off + 64)   # name offset
+    struct.pack_into(">i", header2, 20, len(name))     # name length (chars)
+    name_bytes = name.encode("utf-16-be")
+    return bytes(header) + bytes(body) + bytes(header2) + name_bytes
 
 
 def decode_imagej_roi(blob: bytes) -> np.ndarray:
@@ -162,6 +175,20 @@ def decode_imagej_roi(blob: bytes) -> np.ndarray:
     xs = np.frombuffer(blob, dtype=">i2", count=n, offset=64).astype(float) + left
     ys = np.frombuffer(blob, dtype=">i2", count=n, offset=64 + 2 * n).astype(float) + top
     return np.stack([xs, ys], axis=1)
+
+
+def decode_imagej_roi_name(blob: bytes) -> str:
+    """The ROI name persisted by :func:`encode_imagej_roi` ('' if none)."""
+    if len(blob) < 64 or blob[0:4] != _IJ_MAGIC:
+        return ""
+    h2_off = struct.unpack_from(">i", blob, 60)[0]
+    if h2_off <= 0 or h2_off + 64 > len(blob):
+        return ""
+    name_off = struct.unpack_from(">i", blob, h2_off + 16)[0]
+    name_len = struct.unpack_from(">i", blob, h2_off + 20)[0]
+    if name_off <= 0 or name_len <= 0 or name_off + 2 * name_len > len(blob):
+        return ""
+    return blob[name_off:name_off + 2 * name_len].decode("utf-16-be")
 
 
 def save_imagej_roi_zip(zip_path: str, polygons: Sequence[np.ndarray],
@@ -178,9 +205,14 @@ def save_imagej_roi_zip(zip_path: str, polygons: Sequence[np.ndarray],
 
 
 def load_imagej_roi_zip(zip_path: str) -> List[np.ndarray]:
+    """Polygons in ROI-number order.  Entries sort by natural key —
+    lexicographic order would permute zips with >= 10 ROIs (roi_10 before
+    roi_2), silently mis-pairing polygons with per-ROI result rows."""
+    from .naming import natural_key
+
     polys = []
     with zipfile.ZipFile(zip_path) as zf:
-        for info in sorted(zf.infolist(), key=lambda i: i.filename):
+        for info in sorted(zf.infolist(), key=lambda i: natural_key(i.filename)):
             if info.filename.lower().endswith(".roi"):
                 polys.append(decode_imagej_roi(zf.read(info)))
     return polys

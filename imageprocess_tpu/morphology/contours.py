@@ -128,10 +128,11 @@ def find_contours(a: np.ndarray, level: float = 0.5) -> List[np.ndarray]:
 
 def polygon_area_contour(xy: np.ndarray) -> float:
     """|shoelace| area of an (N, 2) [x, y] polygon — the drawer's
-    ``polygon_area`` (src/roi_manual_drawer.py:320-326)."""
-    pts = np.asarray(xy, dtype=float)
-    x, y = pts[:, 0], pts[:, 1]
-    return float(0.5 * abs(np.dot(x, np.roll(y, -1)) - np.dot(y, np.roll(x, -1))))
+    ``polygon_area`` (src/roi_manual_drawer.py:320-326).  Delegates to the
+    one shoelace implementation (geom.polygon.shoelace_area)."""
+    from ..geom.polygon import shoelace_area
+
+    return shoelace_area(xy)
 
 
 def masks_to_polygons(

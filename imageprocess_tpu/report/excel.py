@@ -14,7 +14,7 @@ from __future__ import annotations
 
 import os
 import re
-from typing import Dict, List, Sequence
+from typing import Dict, List
 
 import pandas as pd
 
@@ -145,47 +145,6 @@ def save_nesprin2_excel(rows_all: List[dict], xls_dir: str, timelapse: bool) -> 
     })
 
 
-def save_ratio_excel(
-    rows_all: List[dict],
-    xls_dir: str,
-    filename: str = "fret_ratio_perROI",
-    ratio_col: str = "ratio_mean",
-    median_col: str = "ratio_median",
-) -> None:
-    """FRET per-ROI table + mean/median pivot matrices
-    (fret_ratio_builder.py:980-1011)."""
-    df = pd.DataFrame(rows_all)
-    if df.empty:
-        return
-    df["stage_idx"] = df["stage"].str.extract(r"S(\d+)", expand=False).astype(int)
-    if df["time"].notna().any():
-        df["time_idx"] = (
-            df["time"].fillna("t0").str.extract(r"t(\d+)", expand=False).astype(int)
-        )
-    else:
-        df["time_idx"] = 0
-    df["roi_lab"] = "s" + df["stage_idx"].astype(str) + "c" + df["roi"].astype(str)
-
-    xlsx = os.path.join(xls_dir, f"{filename}.xlsx")
-    csv = os.path.join(xls_dir, f"{filename}.csv")
-    sheets = {"per_ROI": _df_rows(df)}
-    for col, sheet in ((ratio_col, "ratio_mean_matrix"),
-                       (median_col, "ratio_median_matrix")):
-        if col in df.columns:
-            mat = df.pivot(
-                index="time_idx", columns="roi_lab", values=col
-            ).sort_index()
-            sheets[sheet] = _df_rows(mat, index=True)
-    write_xlsx(xlsx, sheets)
-    df.to_csv(csv, index=False)
-
-
-def save_simple_table(
-    rows_all: Sequence[dict], xls_dir: str, filename: str, sheet: str = "data"
-) -> None:
-    df = pd.DataFrame(list(rows_all))
-    if df.empty:
-        return
-    os.makedirs(xls_dir, exist_ok=True)
-    write_xlsx(os.path.join(xls_dir, f"{filename}.xlsx"), {sheet: _df_rows(df)})
-    df.to_csv(os.path.join(xls_dir, f"{filename}.csv"), index=False)
+# (A generic save_ratio_excel / save_simple_table pair used to live here;
+# both were uncalled near-duplicates of save_fret_excel and were removed —
+# the live writers above are the single source of the column/pivot layout.)

@@ -12,6 +12,7 @@ Geometry is in EMU (914400 per inch).
 from __future__ import annotations
 
 import os
+import re
 import zipfile
 from typing import List, Optional, Tuple
 
@@ -288,9 +289,16 @@ def read_pptx_summary(path: str) -> dict:
     ns = {"p": "http://schemas.openxmlformats.org/presentationml/2006/main",
           "a": "http://schemas.openxmlformats.org/drawingml/2006/main"}
     out = {"slides": [], "media": []}
+    def _slide_no(n: str) -> int:
+        m = re.search(r"slide(\d+)\.xml$", n)
+        return int(m.group(1)) if m else 0
+
     with zipfile.ZipFile(path) as zf:
-        names = sorted(n for n in zf.namelist()
-                       if n.startswith("ppt/slides/slide") and n.endswith(".xml"))
+        # numeric order: lexicographic sorting would put slide10 before
+        # slide2 and misreport decks with >= 10 slides
+        names = sorted((n for n in zf.namelist()
+                        if n.startswith("ppt/slides/slide")
+                        and n.endswith(".xml")), key=_slide_no)
         out["media"] = [n for n in zf.namelist() if n.startswith("ppt/media/")]
         for n in names:
             root = ET.fromstring(zf.read(n))

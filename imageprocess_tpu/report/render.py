@@ -40,6 +40,26 @@ _SINGLE_RGB = {
 }
 
 
+def crop_bbox(minx, maxx, miny, maxy, W: int, H: int):
+    """The reference crop window: bbox + max(10, 5% of the long side) pad,
+    clamped inclusive to the frame (Fluor_INT.py:1019-1035).  ONE
+    implementation — every crop export (fret, nesprin2, morphology,
+    intensity) slices with these bounds."""
+    pad = max(10, int(0.05 * max(W, H)))
+    x0 = max(int(minx) - pad, 0)
+    x1 = min(int(maxx) + pad, W - 1)
+    y0 = max(int(miny) - pad, 0)
+    y1 = min(int(maxy) + pad, H - 1)
+    return x0, x1, y0, y1
+
+
+def crop_bbox_poly(pts: np.ndarray, W: int, H: int):
+    """:func:`crop_bbox` of a polygon's vertices."""
+    pts = np.asarray(pts)
+    return crop_bbox(pts[:, 0].min(), pts[:, 0].max(),
+                     pts[:, 1].min(), pts[:, 1].max(), W, H)
+
+
 def get_cmap_for_color(color_name: Optional[str]):
     """Black -> single-color gradient colormap; Grayscale -> 'gray'."""
     if color_name is None or color_name.lower() == "grayscale":
@@ -311,11 +331,7 @@ def save_fret_images(stid, suffix, R_full, union, polys, cfg, dirs) -> None:
     out_px = (cfg.crop_w, cfg.crop_h) if cfg.fixed_crop else None
     for i, P in enumerate(polys, 1):
         pts = np.asarray(P)
-        pad = max(10, int(0.05 * max(W, H)))
-        x0 = max(int(pts[:, 0].min()) - pad, 0)
-        x1 = min(int(pts[:, 0].max()) + pad, W - 1)
-        y0 = max(int(pts[:, 1].min()) - pad, 0)
-        y1 = min(int(pts[:, 1].max()) + pad, H - 1)
+        x0, x1, y0, y1 = crop_bbox_poly(pts, W, H)
         crop = R_full[y0:y1 + 1, x0:x1 + 1]
         P2 = pts.copy()
         P2[:, 0] -= x0
@@ -437,11 +453,7 @@ def save_nesprin2_images(tag, suffix, R_full, rim, I, polys, cfg, dirs, eps,
     out_px = (cfg.crop_w, cfg.crop_h) if cfg.crop_fixed else None
     for i, P in enumerate(polys, 1):
         pts = np.asarray(P)
-        pad = max(10, int(0.05 * max(W, H)))
-        x0 = max(int(pts[:, 0].min()) - pad, 0)
-        x1 = min(int(pts[:, 0].max()) + pad, W - 1)
-        y0 = max(int(pts[:, 1].min()) - pad, 0)
-        y1 = min(int(pts[:, 1].max()) + pad, H - 1)
+        x0, x1, y0, y1 = crop_bbox_poly(pts, W, H)
 
         if ann_bgs is not None:
             # rebuild the annulus-corrected per-ROI ratio on the crop only
@@ -600,11 +612,7 @@ def save_morphology_images(img, polys, mets, tag, cfg,
     os.makedirs(png_crop_dir, exist_ok=True)
     for i, (poly, met) in enumerate(zip(polys, mets), 1):
         P = np.asarray(poly)
-        pad = max(10, int(0.05 * max(W, H)))
-        x0 = max(int(P[:, 0].min()) - pad, 0)
-        x1 = min(int(P[:, 0].max()) + pad, W - 1)
-        y0 = max(int(P[:, 1].min()) - pad, 0)
-        y1 = min(int(P[:, 1].max()) + pad, H - 1)
+        x0, x1, y0, y1 = crop_bbox_poly(P, W, H)
         crop = img[y0:y1 + 1, x0:x1 + 1]
         P2 = P.copy()
         P2[:, 0] -= x0
@@ -720,17 +728,13 @@ def save_intensity_images(extras: dict, cfg, out_root: str) -> None:
                 if ys.size:
                     items.append((1, None, (ys, xs)))
             for i, P, coords in items:
-                pad = max(10, int(0.05 * max(W, H)))
                 if P is not None:
                     minx, maxx = P[:, 0].min(), P[:, 0].max()
                     miny, maxy = P[:, 1].min(), P[:, 1].max()
                 else:
                     ys, xs = coords
                     minx, maxx, miny, maxy = xs.min(), xs.max(), ys.min(), ys.max()
-                x0 = max(int(minx) - pad, 0)
-                x1 = min(int(maxx) + pad, W - 1)
-                y0 = max(int(miny) - pad, 0)
-                y1 = min(int(maxy) + pad, H - 1)
+                x0, x1, y0, y1 = crop_bbox(minx, maxx, miny, maxy, W, H)
                 if P is not None:
                     P2 = P.copy()
                     P2[:, 0] -= x0

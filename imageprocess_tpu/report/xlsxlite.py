@@ -20,23 +20,36 @@ import zipfile
 from typing import Dict, Iterable, List, Sequence
 
 _XML_ESCAPES = {"&": "&amp;", "<": "&lt;", ">": "&gt;", '"': "&quot;"}
+# XML 1.0 forbids control chars other than \t \n \r — one stray \x08 in a
+# cell string would make the whole workbook unreadable
+_XML_BAD = re.compile(r'[&<>"]|[\x00-\x08\x0b\x0c\x0e-\x1f]')
 
 
 def _esc(s: str) -> str:
-    return re.sub(r'[&<>"]', lambda m: _XML_ESCAPES[m.group(0)], s)
+    return _XML_BAD.sub(lambda m: _XML_ESCAPES.get(m.group(0), ""), s)
 
 
-def _col_ref(idx: int, _cache: List[str] = []) -> str:
-    """0-based column index -> A, B, ..., AA, ... (memoized: the ref is
-    recomputed for every cell of every row)."""
-    while len(_cache) <= idx:
-        i = len(_cache) + 1
+# 0-based column index -> A, B, ..., AA, ...; precomputed far beyond any
+# sheet this library writes (mutation-free: a check-then-append memo could
+# corrupt refs under concurrent write_xlsx calls)
+def _make_col_refs(n: int) -> List[str]:
+    refs = []
+    for i in range(1, n + 1):
         ref = ""
         while i:
             i, rem = divmod(i - 1, 26)
             ref = chr(ord("A") + rem) + ref
-        _cache.append(ref)
-    return _cache[idx]
+        refs.append(ref)
+    return refs
+
+
+_COL_REFS = _make_col_refs(1024)
+
+
+def _col_ref(idx: int) -> str:
+    if idx < len(_COL_REFS):
+        return _COL_REFS[idx]
+    return _make_col_refs(idx + 1)[idx]
 
 
 def _cell_xml(ref: str, value) -> str:

@@ -101,3 +101,22 @@ def test_fret_ppt_roundtrip(tmp_path):
 def test_fret_ppt_no_pairs(tmp_path):
     ok, msg = run_fret_ppt(str(tmp_path), log=lambda *_: None)
     assert not ok
+
+
+def test_pptx_summary_slide_order(tmp_path):
+    """read_pptx_summary reports slides in numeric order for decks with
+    >= 10 slides (lexicographic sorting put slide10 before slide2)."""
+    from imageprocess_tpu.report.pptxlite import (
+        Presentation, cm, read_pptx_summary,
+    )
+
+    prs = Presentation()
+    for k in range(12):
+        s = prs.add_slide()
+        s.add_textbox(f"slide-{k}", cm(1), cm(1), cm(5), cm(1))
+    p = str(tmp_path / "order.pptx")
+    prs.save(p)
+    out = read_pptx_summary(p)
+    assert len(out["slides"]) == 12
+    for k, sl in enumerate(out["slides"]):
+        assert sl["texts"] == [f"slide-{k}"], (k, sl)

@@ -23,18 +23,14 @@ def gold():
 
 def test_golden_imagej_zip_matches_json(gold):
     """The committed roifile-written S01.zip decodes to the same polygons
-    (rounded ints, drawer convention) as S01.json."""
+    (rounded ints, drawer convention) as S01.json — loaded[i] IS ROI i+1
+    now that the loader sorts entries by natural key (lexicographic order
+    used to scramble zips with >= 10 ROIs)."""
     polys = roiio.load_roi_polygons(os.path.join(gold, "S01.json"))
     loaded = roiio.load_imagej_roi_zip(os.path.join(gold, "zip", "S01.zip"))
     assert len(loaded) == len(polys) == 18
-    # zip entries sort as roi1, roi10, ..., roi2 (lexicographic); match by
-    # the original drawer naming
-    with zipfile.ZipFile(os.path.join(gold, "zip", "S01.zip")) as zf:
-        names = sorted(i.filename for i in zf.infolist())
-    order = [int(n.split("_")[-1].split(".")[0]) for n in names]
-    for pos, roi_num in enumerate(order):
-        want = np.round(polys[roi_num - 1])
-        got = loaded[pos]
+    for want_f, got in zip(polys, loaded):
+        want = np.round(want_f)
         assert got.shape == want.shape
         assert np.abs(got - want).max() <= 1.0  # roifile rounding freedom
 
@@ -55,14 +51,11 @@ def test_golden_mask_tif_matches_polygons(gold):
 
 
 def test_golden_zip_reencode_roundtrip(gold, tmp_path):
-    """Our encoder's zip re-decodes to identical polygons."""
+    """Our encoder's zip re-decodes to identical polygons, in ROI order."""
     polys = roiio.load_roi_polygons(os.path.join(gold, "S01.json"))
     zp = str(tmp_path / "S01.zip")
     roiio.save_imagej_roi_zip(zp, polys, "S01")
     loaded = roiio.load_imagej_roi_zip(zp)
     assert len(loaded) == 18
-    with zipfile.ZipFile(zp) as zf:
-        names = sorted(i.filename for i in zf.infolist())
-    order = [int(n.split("_")[-1].split(".")[0]) for n in names]
-    for pos, roi_num in enumerate(order):
-        assert np.array_equal(loaded[pos], np.round(polys[roi_num - 1]))
+    for want, got in zip(polys, loaded):
+        assert np.array_equal(got, np.round(want))

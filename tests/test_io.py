@@ -132,3 +132,49 @@ def test_scalebar_spec_geometry():
 
     s = scalebar_spec(1000, 800, scalebar_um=0.01, px_um=0.1, anchor="bl")
     assert s.x1 - s.x0 == 2            # minimum bar length
+
+
+def test_imagej_roi_zip_order_and_names(tmp_path):
+    """>= 10 ROIs load back in ROI-number order (lexicographic sorting put
+    roi_10 before roi_2 and silently mis-paired polygons with result rows),
+    and the encoded name round-trips the ImageJ way (header2 + UTF-16BE)."""
+    import numpy as np
+
+    from imageprocess_tpu.core import roiio
+
+    polys = [np.array([[i, 0], [i + 5, 0], [i + 5, 5], [i, 5]], float) * 1.0
+             + i * 10 for i in range(12)]
+    zp = str(tmp_path / "many.zip")
+    roiio.save_imagej_roi_zip(zp, polys)
+    back = roiio.load_imagej_roi_zip(zp)
+    assert len(back) == 12
+    for i, (orig, got) in enumerate(zip(polys, back)):
+        assert np.allclose(orig, got, atol=1.0), i  # order preserved
+    import zipfile
+
+    with zipfile.ZipFile(zp) as zf:
+        blob = zf.read("roi_11.roi")
+    assert roiio.decode_imagej_roi_name(blob) == "roi_11"
+    # nameless ROIs still decode (no header2)
+    bare = roiio.encode_imagej_roi(polys[0])
+    assert roiio.decode_imagej_roi_name(bare) == ""
+    assert np.allclose(roiio.decode_imagej_roi(bare), np.round(polys[0]))
+
+
+def test_xlsxlite_control_chars_and_col_refs(tmp_path):
+    """XML-invalid control characters in cell strings are stripped (one
+    stray \\x08 used to corrupt the whole workbook) and column refs are
+    correct deep into multi-letter territory."""
+    from imageprocess_tpu.report.xlsxlite import _col_ref, read_xlsx, write_xlsx
+
+    p = str(tmp_path / "ctrl.xlsx")
+    wide = [list("ABCDEFGHIJKLMNOPQRSTUVWXYZ") * 3]
+    write_xlsx(p, {"s": [["bad\x08name\x1b", "ok\tkeep\n"], [1.5, 2]],
+                   "wide": wide})
+    sheets = read_xlsx(p)
+    assert sheets["s"][0][0] == "badname"
+    assert sheets["s"][0][1] == "ok\tkeep\n"
+    assert sheets["wide"][0][:28] == wide[0][:28]
+    assert _col_ref(0) == "A" and _col_ref(25) == "Z"
+    assert _col_ref(26) == "AA" and _col_ref(701) == "ZZ"
+    assert _col_ref(702) == "AAA" and _col_ref(2000) == "BXY"
