@@ -58,6 +58,15 @@ def sample_crops(
     on foreground pixels; flips/rot90 (flow channels transform with the
     geometry); mild intensity jitter."""
     H, W = x.shape
+    if H < tile or W < tile:
+        # small golden frames: pad up to the crop tile (np.clip with
+        # a_min > a_max would otherwise return a NEGATIVE origin and the
+        # crop slicing would crash with a broadcast error)
+        py, px = max(0, tile - H), max(0, tile - W)
+        x = np.pad(x, ((0, py), (0, px)), mode="edge")
+        probs = np.pad(probs, ((0, py), (0, px)), mode="edge")
+        flows = np.pad(flows, ((0, py), (0, px), (0, 0)), mode="edge")
+        H, W = x.shape
     fg = np.argwhere(probs > 0.5)
     imgs = np.zeros((batch, tile, tile, 1), np.float32)
     pb = np.zeros((batch, tile, tile), np.float32)

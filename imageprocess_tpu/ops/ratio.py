@@ -29,7 +29,14 @@ def pick_epsilon(
     eps_abs: float = 5.0,
     p_floor1000: int = 1000,
 ) -> jnp.ndarray:
-    """Stabilizing epsilon from the denominator's low percentile."""
+    """Stabilizing epsilon from the denominator's low percentile.
+
+    Standalone ops API (NaN-tolerant: non-finite denominators are masked
+    out).  The pipelines inline their own eps quantiles because each has
+    reference-exact scope/fill semantics — fret has no QC so no NaNs can
+    occur (fret_step), Nesprin2 intersects the union with isfinite and
+    inf-fills (nesprin2_step) — and those inline forms are what the golden
+    parity tests pin."""
     mask = jnp.ones(denom.shape, bool) if scope_mask is None else scope_mask
     mask = mask & jnp.isfinite(denom)
     q = masked_quantile(jnp.where(jnp.isfinite(denom), denom, 0.0), mask, p_floor1000)
@@ -44,7 +51,9 @@ def ratio_with_eps(numer: jnp.ndarray, denom: jnp.ndarray, eps) -> jnp.ndarray:
 
 def saturation_to_nan(img: jnp.ndarray, sat_threshold: float) -> jnp.ndarray:
     """Mark saturated raw pixels as NaN so they drop out of every later
-    statistic (QC gate applied to the *raw* frames)."""
+    statistic (QC gate applied to the *raw* frames).  Per-channel form;
+    Nesprin2's pipeline applies the reference's JOINT gate instead (a
+    pixel saturated in EITHER channel NaNs both, nesprin2_step:162-165)."""
     return jnp.where(img >= sat_threshold, jnp.nan, img)
 
 

@@ -89,8 +89,11 @@ def stretch_view(
     v = jnp.where(finite, img, jnp.inf)
     lo = masked_quantile(v, finite, p_lo1000)
     hi = masked_quantile(v, finite, p_hi1000)
-    hi = jnp.where(hi <= lo, lo + 1.0, hi)
-    x = jnp.clip((img - lo) / (hi - lo), 0.0, 1.0)
+    # degenerate range: the reference divides by 1e-6 (roi_manual_drawer.py
+    # :303-305), mapping anything brighter than lo to 1.0 — expressed as a
+    # denominator so float32 can't swallow the tiny offset
+    den = jnp.where(hi <= lo, jnp.float32(1e-6), hi - lo)
+    x = jnp.clip((img - lo) / den, 0.0, 1.0)
     x = jnp.power(x, 1.0 / jnp.maximum(gamma, 1e-6))
     return jnp.where(invert > 0, 1.0 - x, x)
 
@@ -113,7 +116,10 @@ def clahe(
     th = -(-H // ntiles_y)
     tw = -(-W // ntiles_x)
     Hp, Wp = th * ntiles_y, tw * ntiles_x
-    x = jnp.pad(img01, ((0, Hp - H), (0, Wp - W)), mode="reflect")
+    # reflect padding rejects pad widths >= the axis length (tiny crops
+    # where th*ntiles overshoots several-fold); fall back to edge there
+    pad_mode = "reflect" if (Hp - H) < H and (Wp - W) < W else "edge"
+    x = jnp.pad(img01, ((0, Hp - H), (0, Wp - W)), mode=pad_mode)
 
     bins = jnp.clip((x * (nbins - 1)).astype(jnp.int32), 0, nbins - 1)
     tiles_r = jnp.arange(Hp) // th

@@ -22,9 +22,6 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..geom.rasterize import rasterize_polygons
-from ..ops.background import bg_value
-from ..ops.stats import masked_stats
 
 
 def make_mesh(n_devices: Optional[int] = None, axis: str = "batch") -> Mesh:
@@ -37,24 +34,18 @@ def make_mesh(n_devices: Optional[int] = None, axis: str = "batch") -> Mesh:
 
 def _intensity_one(imgs, polys, roi_valid, p1000s, *, bg_mode, bg_scope,
                    clip_neg, bg_stride):
-    """Single-frame intensity compute (same math as
-    pipelines.intensity.intensity_step, reused for batching)."""
-    H, W = imgs.shape[1:]
-    masks = rasterize_polygons(polys, (H, W)) & roi_valid[:, None, None]
-    union = masks.any(axis=0)
-    scope = union if bg_scope == "roi_union" else None
-    if bg_mode == "none":
-        bgs = jnp.zeros((imgs.shape[0],), jnp.float32)
-    else:
-        bgs = jax.vmap(lambda im, p: bg_value(im, p, scope, bg_mode, bg_stride))(
-            imgs, p1000s
-        )
-    imgs_bc = imgs - bgs[:, None, None]
-    if clip_neg:
-        imgs_bc = jnp.maximum(imgs_bc, 0.0)
-    per_roi = jax.vmap(lambda m, im: masked_stats(im, m), in_axes=(0, None))
-    stats = jax.vmap(lambda im: per_roi(masks, im))(imgs_bc)
-    area = masks.sum(axis=(1, 2)).astype(jnp.int32)
+    """Single-frame intensity compute: the REAL production program
+    (pipelines.intensity.intensity_step), not a copy — the batched/sharded
+    paths must stay numerically identical to the serial one by
+    construction, and intensity_step also keeps the raw-u16 exact
+    histogram background (no megapixel sort)."""
+    from ..pipelines.intensity import intensity_step
+
+    stats, area, bgs, _ = intensity_step(
+        imgs, polys, roi_valid, p1000s,
+        bg_mode=bg_mode, bg_scope=bg_scope,
+        clip_neg=clip_neg, bg_stride=bg_stride,
+    )
     return stats, area, bgs
 
 

@@ -48,6 +48,21 @@ def _halo_exchange_rows(x: jnp.ndarray, halo: int, axis_name: str, fill):
     return jnp.concatenate([top_pad, x, bot_pad], axis=0)
 
 
+def _psum_hist_quantile(hist, axis: str, p1000):
+    """Exact global percentile from per-shard u16 histograms: one psum,
+    then the (k, g) order-statistic interpolation — the ONE implementation
+    of the np.percentile linear rule over psum histograms (the value of
+    the j-th order statistic is the first bin whose cdf exceeds j)."""
+    hist = jax.lax.psum(hist, axis)
+    n = hist.sum()
+    k, g = exact_quantile_pos(n, jnp.int32(p1000))
+    cdf = jnp.cumsum(hist)
+    lo_v = jnp.searchsorted(cdf, k, side="right").astype(jnp.float32)
+    hi_v = jnp.searchsorted(cdf, jnp.minimum(k + 1, n - 1),
+                            side="right").astype(jnp.float32)
+    return lo_v + g * (hi_v - lo_v)
+
+
 def sharded_quantile_u16(mesh: Mesh, p1000: int):
     """Exact global percentile (np.percentile linear rule) of a row-sharded
     u16-valued frame via histogram psum."""
@@ -56,15 +71,7 @@ def sharded_quantile_u16(mesh: Mesh, p1000: int):
     def local(x):
         xi = jnp.clip(x.astype(jnp.int32), 0, U16_BINS - 1)
         hist = jnp.zeros((U16_BINS,), jnp.int32).at[xi.ravel()].add(1)
-        hist = jax.lax.psum(hist, axis)
-        n = hist.sum()
-        k, g = exact_quantile_pos(n, jnp.int32(p1000))
-        cdf = jnp.cumsum(hist)
-        # value of the j-th order statistic = first bin with cdf > j
-        lo_v = jnp.searchsorted(cdf, k, side="right").astype(jnp.float32)
-        hi_v = jnp.searchsorted(cdf, jnp.minimum(k + 1, n - 1),
-                                side="right").astype(jnp.float32)
-        return (lo_v + g * (hi_v - lo_v))[None]
+        return _psum_hist_quantile(hist, axis, p1000)[None]
 
     fn = jax.jit(jax.shard_map(
         local, mesh=mesh, in_specs=P(axis, None), out_specs=P(axis),
@@ -85,14 +92,7 @@ def sharded_bg_correct_u16(mesh: Mesh, p1000: int, clip_neg: bool = True):
     def local(x):
         xi = jnp.clip(x.astype(jnp.int32), 0, U16_BINS - 1)
         hist = jnp.zeros((U16_BINS,), jnp.int32).at[xi.ravel()].add(1)
-        hist = jax.lax.psum(hist, axis)
-        n = hist.sum()
-        k, g = exact_quantile_pos(n, jnp.int32(p1000))
-        cdf = jnp.cumsum(hist)
-        lo_v = jnp.searchsorted(cdf, k, side="right").astype(jnp.float32)
-        hi_v = jnp.searchsorted(cdf, jnp.minimum(k + 1, n - 1),
-                                side="right").astype(jnp.float32)
-        b = lo_v + g * (hi_v - lo_v)
+        b = _psum_hist_quantile(hist, axis, p1000)
         out = x.astype(jnp.float32) - b
         if clip_neg:
             out = jnp.maximum(out, 0.0)
@@ -101,6 +101,25 @@ def sharded_bg_correct_u16(mesh: Mesh, p1000: int, clip_neg: bool = True):
     return jax.jit(jax.shard_map(
         local, mesh=mesh, in_specs=P(axis, None), out_specs=P(axis, None),
     ))
+
+
+def _guard_halo(fn, mesh: Mesh, halo: int, what: str):
+    """Refuse windows whose halo exceeds the rows a shard holds: the
+    exchange can only ship one neighbor's rows, so a too-large window
+    would silently produce a wrong (row-shifted / truncated) result —
+    surface it as an actionable error instead."""
+    n = mesh.shape[mesh.axis_names[0]]
+
+    def run(x, *a, **k):
+        rows = x.shape[0] // n
+        if halo > rows:
+            raise ValueError(
+                f"{what}: window needs a {halo}-row halo but each of the "
+                f"{n} shards holds only {rows} rows of the {x.shape[0]}-row "
+                f"frame — use fewer devices or a single-device op")
+        return fn(x, *a, **k)
+
+    return run
 
 
 def sharded_square_dilation(mesh: Mesh, k: int):
@@ -120,9 +139,9 @@ def sharded_square_dilation(mesh: Mesh, k: int):
         )
         return y > 0.5
 
-    return jax.jit(jax.shard_map(
+    return _guard_halo(jax.jit(jax.shard_map(
         local, mesh=mesh, in_specs=P(axis, None), out_specs=P(axis, None),
-    ))
+    )), mesh, k, "sharded_square_dilation")
 
 
 def sharded_square_erosion(mesh: Mesh, k: int):
@@ -144,9 +163,9 @@ def sharded_square_erosion(mesh: Mesh, k: int):
         )
         return y > 0.5
 
-    return jax.jit(jax.shard_map(
+    return _guard_halo(jax.jit(jax.shard_map(
         local, mesh=mesh, in_specs=P(axis, None), out_specs=P(axis, None),
-    ))
+    )), mesh, k, "sharded_square_erosion")
 
 
 def sharded_rim_mask(mesh: Mesh, rim_px: int):
@@ -171,9 +190,9 @@ def sharded_rim_mask(mesh: Mesh, rim_px: int):
         sq = clamped_sq_edt(uh, rim_px)[rim_px:-rim_px]
         return u & (sq <= jnp.float32(rim_px * rim_px))
 
-    return jax.jit(jax.shard_map(
+    return _guard_halo(jax.jit(jax.shard_map(
         local, mesh=mesh, in_specs=P(axis, None), out_specs=P(axis, None),
-    ))
+    )), mesh, rim_px, "sharded_rim_mask")
 
 
 def sharded_annulus_mask(mesh: Mesh, inner_px: int, outer_px: int):
@@ -205,9 +224,9 @@ def sharded_annulus_mask(mesh: Mesh, inner_px: int, outer_px: int):
 
         return dilate(outer_px) & ~dilate(inner_px)
 
-    return jax.jit(jax.shard_map(
+    return _guard_halo(jax.jit(jax.shard_map(
         local, mesh=mesh, in_specs=P(axis, None), out_specs=P(axis, None),
-    ))
+    )), mesh, outer_px, "sharded_annulus_mask")
 
 
 def _sharded_roots(fg, axis: str, n_shards: int, connectivity: int):
@@ -385,9 +404,9 @@ def sharded_closing_disk(mesh: Mesh, radius: int):
         e = _erode(d, key, True)
         return e[r2:r2 + h]
 
-    return jax.jit(jax.shard_map(
+    return _guard_halo(jax.jit(jax.shard_map(
         local, mesh=mesh, in_specs=P(axis, None), out_specs=P(axis, None),
-    ))
+    )), mesh, r2, "sharded_closing_disk")
 
 
 def sharded_fa_stats(mesh: Mesh):
@@ -416,14 +435,7 @@ def sharded_fa_stats(mesh: Mesh):
         xi = jnp.clip(x.astype(jnp.int32), 0, U16_BINS - 1)
         hist = jnp.zeros((U16_BINS,), jnp.int32).at[xi.ravel()].add(
             sample.ravel().astype(jnp.int32))
-        hist = jax.lax.psum(hist, axis)
-        ns = hist.sum()
-        k, g = exact_quantile_pos(ns, jnp.int32(1000))
-        cdf = jnp.cumsum(hist)
-        lo = jnp.searchsorted(cdf, k, side="right").astype(jnp.float32)
-        hi = jnp.searchsorted(cdf, jnp.minimum(k + 1, ns - 1),
-                              side="right").astype(jnp.float32)
-        bg = lo + g * (hi - lo)
+        bg = _psum_hist_quantile(hist, axis, 1000)
         return jnp.stack([m, jnp.sqrt(var), bg])[None]
 
     fn = jax.jit(jax.shard_map(

@@ -31,6 +31,7 @@ from ..core.naming import ChannelGrammar
 from ..geom.rasterize import rasterize_polygons
 from ..ops.background import bg_value
 from ..ops.percentile import p1000_of, masked_quantile
+from ..ops.ratio import ratio_with_eps
 from ..ops.stats import masked_stats
 from .intensity import _bucket
 
@@ -93,17 +94,18 @@ def fret_step(
     """Returns (stats dict of (3, N) arrays for [ratio, donor, yfret],
     area_px (N,), (Db, Ab, eps) scalars, R_full, Dbc, Abc, union)."""
     H, W = D.shape
-    D = D.astype(jnp.float32)  # compact u16 upload, f32 on-chip
-    A = A.astype(jnp.float32)
     masks = rasterize_polygons(polys, (H, W)) & roi_valid[:, None, None]
     union = masks.any(axis=0)
     scope = union if bg_scope == "roi_union" else None
 
     def correct(img, p1000):
+        # bg BEFORE the f32 cast: raw u16 input keeps bg_value on the
+        # exact histogram path instead of a full-frame stride-1 sort
+        # (same ordering as intensity_step, identical results)
         if bg_mode == "none":
-            return img, jnp.float32(0.0)
+            return img.astype(jnp.float32), jnp.float32(0.0)
         b = bg_value(img, p1000, scope, bg_mode, stride=1)
-        out = img - b
+        out = img.astype(jnp.float32) - b
         if clip_neg:
             out = jnp.maximum(out, 0.0)
         return out, b
@@ -115,7 +117,7 @@ def fret_step(
     scope_eps = jnp.ones((H, W), bool) if scope is None else scope
     eps_q = masked_quantile(denom, scope_eps, eps_p1000)
     eps = jnp.maximum(eps_abs, jnp.where(jnp.isnan(eps_q), eps_abs, eps_q))
-    R_full = (numer + eps) / (denom + eps)
+    R_full = ratio_with_eps(numer, denom, eps)
 
     stacked = jnp.stack([R_full, Dbc, Abc])
     per_roi = jax.vmap(lambda m, im: masked_stats(im, m), in_axes=(0, None))
@@ -143,16 +145,16 @@ def fret_step_tiled(
     from ..ops.roistats import roi_stats_tiled
 
     H, W = D.shape
-    D = D.astype(jnp.float32)  # compact u16 upload, f32 on-chip
-    A = A.astype(jnp.float32)
     union = rasterize_polygons(full_polys, (H, W)).any(axis=0)
     scope = union if bg_scope == "roi_union" else None
 
     def correct(img, p1000):
+        # bg BEFORE the f32 cast: raw u16 keeps bg_value on the exact
+        # histogram path (no full-frame stride-1 sort), as in intensity_step
         if bg_mode == "none":
-            return img, jnp.float32(0.0)
+            return img.astype(jnp.float32), jnp.float32(0.0)
         b = bg_value(img, p1000, scope, bg_mode, stride=1)
-        out = img - b
+        out = img.astype(jnp.float32) - b
         if clip_neg:
             out = jnp.maximum(out, 0.0)
         return out, b
@@ -163,7 +165,7 @@ def fret_step_tiled(
     scope_eps = jnp.ones((H, W), bool) if scope is None else scope
     eps_q = masked_quantile(denom, scope_eps, eps_p1000)
     eps = jnp.maximum(eps_abs, jnp.where(jnp.isnan(eps_q), eps_abs, eps_q))
-    R_full = (numer + eps) / (denom + eps)
+    R_full = ratio_with_eps(numer, denom, eps)
 
     stacked = jnp.stack([R_full, Dbc, Abc])
     stats, area = roi_stats_tiled(stacked, local_polys, offsets, roi_valid, tile)

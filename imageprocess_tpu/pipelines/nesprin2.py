@@ -38,6 +38,7 @@ from ..morphology.binary import square_dilation
 from ..morphology.edt import rim_mask as make_rim_mask
 from ..ops.percentile import p1000_of, masked_quantile
 from ..ops.background import histogram_mode_value
+from ..ops.ratio import clip_ratio_to_nan, ratio_with_eps, spectral_correct
 from ..ops.stats import masked_stats
 from .intensity import _bucket
 
@@ -180,11 +181,8 @@ def nesprin2_step(
     Dbc = correct(D, d_p1000)
     Abc = correct(A, a_p1000)
     if use_spectral:
-        if has_aonly:
-            Aonly_bc = correct(Aonly, g_p1000)
-            Acorr = (Abc - alpha * Dbc - beta * Aonly_bc) * g_factor
-        else:
-            Acorr = (Abc - alpha * Dbc) * g_factor
+        Aonly_bc = correct(Aonly, g_p1000) if has_aonly else None
+        Acorr = spectral_correct(Abc, Dbc, Aonly_bc, alpha, beta, g_factor)
         Dcorr = Dbc
     else:
         Dcorr, Acorr = Dbc, Abc
@@ -198,9 +196,9 @@ def nesprin2_step(
     eps = jnp.maximum(eps_abs, jnp.where(jnp.isnan(eps_q), eps_abs, eps_q))
 
     def ratio(n, d):
-        r = (n + eps) / (d + eps)
+        r = ratio_with_eps(n, d, eps)
         if clip_on:
-            r = jnp.where(r > clip_max, jnp.nan, r)
+            r = clip_ratio_to_nan(r, clip_max)
         return r
 
     R_full = ratio(numer, denom)

@@ -30,18 +30,18 @@ from ..morphology.contours import find_contours, polygon_area_contour
 from ..ops.percentile import masked_quantile
 
 
-@partial(jax.jit, static_argnames=("tile", "mode"))
+@partial(jax.jit, static_argnames=("shape", "mode"))
 def _segment_tile(
-    sub: jnp.ndarray,           # (T, T) float32, bbox tile
+    sub: jnp.ndarray,           # (Th, Tw) float32, bbox tile
     local_poly: jnp.ndarray,    # (1, V, 2)
-    in_crop: jnp.ndarray,       # (T, T) bool validity (crop extent)
+    in_crop: jnp.ndarray,       # (Th, Tw) bool validity (crop extent)
     thr_param1000: jnp.ndarray,  # () int32 (percentile in thousandths)
     thr_k: jnp.ndarray,          # () float32 (BND multiplier)
     *,
-    tile: int,
+    shape: Tuple[int, int],
     mode: str,
 ):
-    inside = rasterize_polygons(local_poly, (tile, tile))[0] & in_crop
+    inside = rasterize_polygons(local_poly, shape)[0] & in_crop
     finite = inside & jnp.isfinite(sub)
     n = finite.sum()
 
@@ -83,16 +83,25 @@ def segment_inside_polygon(
         return None, None, None
     sh, sw = max_y - min_y, max_x - min_x
 
-    tile = 64
-    while tile < max(sh, sw):
-        tile *= 2
-    tile = min(tile, min(H, W))
-    oy = min(min_y, H - tile)
-    ox = min(min_x, W - tile)
-    sub = np.zeros((tile, tile), np.float32)
-    sub[:, :] = img[oy:oy + tile, ox:ox + tile]
+    # per-axis pow-2 tiles clamped to THAT axis: a square tile clamped to
+    # min(H, W) silently truncated elongated bboxes on non-square frames
+    # (the reference slices the true rectangular bbox,
+    # roi_manual_drawer.py:358-366); sh <= H and sw <= W by construction,
+    # so per-axis clamping always covers the full bbox
+    ty = 64
+    while ty < sh:
+        ty *= 2
+    ty = min(ty, H)
+    tx = 64
+    while tx < sw:
+        tx *= 2
+    tx = min(tx, W)
+    oy = min(min_y, H - ty)
+    ox = min(min_x, W - tx)
+    sub = np.zeros((ty, tx), np.float32)
+    sub[:, :] = img[oy:oy + ty, ox:ox + tx]
     sy, sx = min_y - oy, min_x - ox
-    in_crop = np.zeros((tile, tile), bool)
+    in_crop = np.zeros((ty, tx), bool)
     in_crop[sy:sy + sh, sx:sx + sw] = True
 
     from ..geom.polygon import pad_polygons
@@ -108,7 +117,7 @@ def segment_inside_polygon(
         jnp.asarray(sub), jnp.asarray(lpv), jnp.asarray(in_crop),
         jnp.int32(int(round(float(thr_param) * 1000))),
         jnp.float32(thr_param),
-        tile=tile, mode="bnd" if mode_l == "bnd" else "percentile",
+        shape=(ty, tx), mode="bnd" if mode_l == "bnd" else "percentile",
     )
     if int(n) == 0:
         return None, None, None

@@ -141,3 +141,30 @@ def test_refine_and_save_roundtrip(tmp_path):
     assert (roi_dir / "mask" / "S01_mask.tif").exists()
     assert (roi_dir / "overlay" / "S01_overlay.png").exists()
     assert (roi_dir / "zip" / "S01.zip").exists()
+
+
+def test_segment_elongated_roi_on_wide_frame():
+    """An ROI whose bbox is wider than the frame's SHORT side must still be
+    segmented over its full extent (regression: the square tile was clamped
+    to min(H, W), silently truncating the crop; the reference slices the
+    true rectangular bbox)."""
+    import numpy as np
+
+    from imageprocess_tpu.segment.autoseg import segment_inside_polygon
+
+    H, W = 128, 700
+    rng = np.random.default_rng(5)
+    img = rng.normal(100, 5, (H, W)).astype(np.float32)
+    # bright bar spanning x in [40, 600] — wider than H=128
+    img[50:80, 40:600] += 3000.0
+    rough = np.array([[20, 30], [640, 30], [640, 100], [20, 100]], float)
+    # p50: the bar fills ~39% of the rough polygon, so the median threshold
+    # separates bar from background (p90 would land inside the bar's own
+    # noise and fragment it)
+    thr, _, best = segment_inside_polygon(img, rough, thr_param=50.0,
+                                          min_area=100.0)
+    assert best is not None
+    xs = best[:, 0]
+    # the recovered polygon must span (nearly) the full bar, not stop at a
+    # 128-wide truncated window
+    assert xs.min() < 60 and xs.max() > 580, (xs.min(), xs.max())

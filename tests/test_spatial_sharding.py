@@ -223,3 +223,26 @@ def test_sharded_label_overflow_raises(mesh):
     run_big = sharded_label(mesh, connectivity=1, max_labels=4096)
     lab = np.asarray(run_big(shard_frame(mesh, fg)))
     assert lab.max() == 3072
+
+
+def test_sharded_window_refuses_oversized_halo():
+    """A window whose halo exceeds the rows per shard must raise an
+    actionable error instead of silently producing shifted output."""
+    import numpy as np
+    import pytest
+
+    from imageprocess_tpu.parallel.runner import make_mesh
+    from imageprocess_tpu.parallel.spatial import (
+        sharded_annulus_mask, sharded_square_dilation,
+    )
+
+    mesh = make_mesh(8)
+    x = np.zeros((64, 128), bool)  # 8 rows per shard
+    x[30:34, 60:70] = True
+    with pytest.raises(ValueError, match="halo"):
+        sharded_square_dilation(mesh, 9)(x)
+    with pytest.raises(ValueError, match="halo"):
+        sharded_annulus_mask(mesh, 3, 12)(x)
+    # a fitting window still works
+    out = sharded_square_dilation(mesh, 2)(x)
+    assert np.asarray(out)[29, 60]
