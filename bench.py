@@ -115,7 +115,10 @@ def _device_only_mpix_s(reps: int = 20) -> float:
 
     def step():
         stats, areas, bgs = batched_intensity_step_tiled(*args, tile=tile)
-        jax.block_until_ready(stats["mean"])
+        # force a small FETCH: on the tunneled chip block_until_ready does
+        # NOT wait for remote completion (CLAUDE.md), so timing without a
+        # fetch would measure dispatch only
+        np.asarray(stats["mean"][0, 0, 0])
 
     step()  # compile
     mpix = B * C * H * W / 1e6

@@ -44,6 +44,27 @@ class ROIAnnotator:
         self.view = dict(view_params or DEFAULT_VIEW_PARAMS)
         self.rois: List[np.ndarray] = []
         self.log = log
+        # resume an existing bundle (the reference loads init_rois and the
+        # saved view state, roi_manual_drawer.py:1423-1433, 1499-1516) —
+        # without this, opening and closing a task would overwrite prior
+        # manual annotations with an empty bundle
+        self._had_bundle = False
+        bundle_json = os.path.join(roi_dir, f"{base_S_t}.json")
+        if os.path.exists(bundle_json):
+            from ..core import roiio
+
+            data = roiio.load_roi_bundle(bundle_json)
+            self.rois = [np.asarray(p, float) for p in data.get("rois", [])
+                         if len(p) >= 3]
+            self._had_bundle = True
+            if view_params is None and isinstance(
+                    data.get("view_params"), dict):
+                self.view.update(data["view_params"])
+                last = self.view.get("last_channel")
+                if last in self.channels:
+                    self.ch_idx = self.channels.index(last)
+            if self.rois:
+                log(f"  resumed {len(self.rois)} ROIs from {bundle_json}")
         self._images: Dict[int, np.ndarray] = {}
         self._fig = None
         self._ax = None
@@ -168,12 +189,15 @@ class ROIAnnotator:
                 jnp.asarray(im), float(v.get("unsharp_radius", 2.0)),
                 jnp.float32(v.get("unsharp_amount", 0.7))))
         rgb = apply_view_and_color(im, v)
-        if v.get("use_clahe"):
+        # CLAHE applies in the grayscale pipeline only (the reference
+        # equalizes before colorizing); skip the device dispatch entirely
+        # in color modes instead of computing a result and discarding it
+        if v.get("use_clahe") and v.get("color_mode",
+                                        "grayscale") == "grayscale":
             x01 = rgb[..., 0]
             x01 = np.asarray(clahe(jnp.asarray(x01),
                                    jnp.float32(v.get("clahe_clip", 0.01))))
-            rgb = np.dstack([x01, x01, x01]) if v.get(
-                "color_mode", "grayscale") == "grayscale" else rgb
+            rgb = np.dstack([x01, x01, x01])
         if v.get("edge_overlay"):
             ed = np.asarray(sobel_magnitude(jnp.asarray(rgb[..., 1])))
             rgb = rgb.copy()
@@ -181,6 +205,8 @@ class ROIAnnotator:
         return rgb
 
     def save(self) -> None:
+        if not self.rois and not self._had_bundle:
+            return  # nothing drawn, nothing existed: don't litter roi/
         vp = dict(self.view)
         vp["last_channel"] = self.channel
         save_drawer_bundle(self.roi_dir, self.base, self.rois, self.image,
@@ -213,7 +239,7 @@ class ROIAnnotator:
     def _title(self):
         return (f"{self.base} ch{self.channel} — p: draw, d: delete last, "
                 f"x: delete @cursor, r: redraw @cursor, c: clear, "
-                f"Tab: channel, i/g/G: view, q: save & close")
+                f"Tab: channel, i/g/G/e/b: view, q: save & close")
 
     def _on_key(self, event):  # pragma: no cover - needs a display
         if event.key == "p":
@@ -253,6 +279,13 @@ class ROIAnnotator:
         elif event.key == "G":
             self.view["gamma"] = min(5.0, self.view.get("gamma", 1.0) + 0.1)
             self._redraw()
+        elif event.key == "e":
+            self.view["use_clahe"] = not self.view.get("use_clahe", False)
+            self._redraw()
+        elif event.key == "b":
+            self.view["use_bandpass"] = not self.view.get("use_bandpass",
+                                                          False)
+            self._redraw()
         elif event.key == "q":
             import matplotlib.pyplot as plt
 
@@ -262,6 +295,8 @@ class ROIAnnotator:
         self._im.set_data(self.rendered())
         for ln in list(self._ax.lines):
             ln.remove()
+        for txt in list(self._ax.texts):  # stale ROI-number labels
+            txt.remove()
         for i, poly in enumerate(self.rois, 1):
             P = np.asarray(poly)
             self._ax.plot(np.r_[P[:, 0], P[0, 0]], np.r_[P[:, 1], P[0, 1]],

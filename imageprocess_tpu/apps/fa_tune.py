@@ -167,7 +167,11 @@ class FATuner:
             ax.set_axis_off()
             fig.canvas.draw_idle()
 
+        syncing = [False]  # guard: programmatic set_val fires on_changed
+
         def on_slider(_):
+            if syncing[0]:
+                return
             vals = {n: (int(s.val) if n == "close_radius" else float(s.val))
                     for n, s in sliders.items()}
             self.set_params(**vals)
@@ -179,9 +183,18 @@ class FATuner:
         def on_click(event):
             if event.inaxes is ax and event.xdata is not None:
                 self.select_cell_at(event.xdata, event.ydata)
+                # reflect the selected cell's effective params in the
+                # sliders WITHOUT running set_params: the set_val cascade
+                # used to create a spurious per-cell override (freezing the
+                # cell against later global slider moves) and reanalyzed
+                # four times per click
                 p = self.params_for_selected()
-                for n, s in sliders.items():
-                    s.set_val(p[n])
+                syncing[0] = True
+                try:
+                    for n, s in sliders.items():
+                        s.set_val(p[n])
+                finally:
+                    syncing[0] = False
                 redraw()
 
         def on_key(event):

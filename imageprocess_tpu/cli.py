@@ -290,8 +290,12 @@ def _dispatch(args, log) -> int:
             colors[int(ch)] = color
         per_p = {}
         for spec in args.per_channel_p:
-            ch, _, pv = spec.partition("=")
-            per_p[int(ch)] = float(pv)
+            ch, eq, pv = spec.partition("=")
+            try:
+                per_p[int(ch)] = float(pv)
+            except ValueError:
+                raise SystemExit(
+                    f"--per-channel-p expects CH=P pairs (got {spec!r})")
         panel = PanelPngOptions(
             cmap_on=args.cmap is not None, cmap=args.cmap or "jet",
             colorbar=args.colorbar, scalebar_um=args.scalebar_um,
@@ -332,7 +336,13 @@ def _dispatch(args, log) -> int:
         for folder in folders:
             if len(folders) > 1:
                 log(f"=== experiment: {folder}")
-            out_root = args.out if len(folders) == 1 else None
+            # multi-experiment runs with an explicit --out write each
+            # experiment under <out>/<experiment_name> (an --out shared by
+            # all experiments would overwrite; silently ignoring it loses
+            # the user's requested location)
+            out_root = args.out
+            if out_root is not None and len(folders) > 1:
+                out_root = os.path.join(out_root, os.path.basename(folder))
             if args.batched:
                 from .core.runlog import RunLogger
                 from .pipelines.intensity import run_intensity_batched

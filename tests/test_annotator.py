@@ -103,3 +103,36 @@ def test_annotator_accept_retry_loop(tmp_path):
     assert thr2 != thr1  # retry actually re-thresholded
     idx = ann.accept(cand2)
     assert idx == 0 and len(ann.rois) == 1
+
+
+def test_annotator_resumes_existing_bundle(tmp_path):
+    """Opening a task whose roi/<base>.json already exists loads the saved
+    ROIs and view state (regression: the annotator started empty and
+    save-on-close overwrote prior manual annotations with an empty
+    bundle — permanent data loss)."""
+    ann = _setup(tmp_path)
+    poly = np.array([[60, 40], [105, 42], [100, 85], [58, 80]], float)
+    roiio.save_roi_bundle(
+        str(tmp_path / "roi" / "S01.json"), "S01", ann.image.shape, [poly],
+        view_params={"gamma": 0.7, "last_channel": 2})
+
+    ann2 = ROIAnnotator(ann.channel_map, "S01", str(tmp_path / "roi"),
+                        log=lambda *_: None)
+    assert len(ann2.rois) == 1
+    np.testing.assert_allclose(ann2.rois[0], poly)
+    assert ann2.view["gamma"] == 0.7
+    assert ann2.channel == 2          # resumes the saved channel
+    ann2.save()                        # close without touching anything
+    back = roiio.load_roi_polygons(str(tmp_path / "roi" / "S01.json"))
+    assert len(back) == 1              # nothing lost
+    np.testing.assert_allclose(back[0], poly)
+
+
+def test_annotator_no_empty_bundle_litter(tmp_path):
+    """Opening a fresh task and closing without drawing must NOT create an
+    empty roi bundle."""
+    import os
+
+    ann = _setup(tmp_path)
+    ann.save()
+    assert not os.path.exists(str(tmp_path / "roi" / "S01.json"))

@@ -186,3 +186,29 @@ def test_cli_gui_parity_flags(tmp_path):
         open(f + "/RES_F/xls/fret_ratio_perROI.csv")))
     assert frows and float(frows[0]["eps"]) == 3.0
     assert os.path.exists(f + "/BND_FA/Custom_Master.xlsx")
+
+
+def test_cli_all_experiments_with_out(tmp_path, capsys):
+    """--all-experiments + explicit --out writes each experiment under
+    <out>/<experiment> (regression: --out was silently discarded)."""
+    import numpy as np
+    import os
+
+    from imageprocess_tpu.core import roiio, tiffio
+
+    rng = np.random.default_rng(4)
+    H, W = 64, 96
+    poly = np.array([[10, 10], [50, 12], [48, 50], [8, 46]], float)
+    for exp in ("e1", "e2"):
+        d = tmp_path / "ANA" / exp
+        tiffio.write_tiff16(str(d / "S01_2.TIF"),
+                            rng.integers(10, 2000, (H, W)).astype(np.uint16))
+        roiio.save_roi_bundle(str(d / "roi" / "S01.json"), "S01", (H, W),
+                              [poly])
+    out = str(tmp_path / "results")
+    rc = main(["intensity", str(tmp_path / "ANA"), "--channels", "2",
+               "--all-experiments", "--out", out, "--lang", "en"])
+    assert rc == 0
+    for exp in ("e1", "e2"):
+        assert os.path.exists(os.path.join(
+            out, exp, "xls", "fluor_intensity_perROI.csv")), exp
