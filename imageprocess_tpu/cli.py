@@ -6,6 +6,7 @@
     imageprocess fret       <folder> --donor-ch 1 --acceptor-ch 2 [...]
     imageprocess nesprin2   <folder> --donor-ch 1 --fret-ch 2 [...]
     imageprocess fa         <img_dir> --roi-dir R --out O [...]
+    imageprocess fa-tune    <img_dir> --roi-dir R --out O [...]
     imageprocess crop       <folder> --channel 1 [...]
     imageprocess roi-auto   <folder> [--backend threshold|cellpose] [...]
     imageprocess refine     <folder> [--thr 90] [...]
