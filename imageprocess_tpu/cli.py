@@ -76,6 +76,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--subset-roi", type=int, default=None)
     p.add_argument("--batched", action="store_true",
                    help="batch frames per device dispatch (tables only)")
+    p.add_argument("--devices", type=int, default=1, metavar="N",
+                   help="shard the batch axis over the first N devices "
+                        "(data parallelism over the (stage, time) axis; "
+                        "requires --batched)")
     p.add_argument("--all-experiments", action="store_true",
                    help="treat FOLDER as a parent (e.g. ANA/) and run every "
                         "experiment subfolder containing TIFFs")
@@ -348,6 +352,18 @@ def _dispatch(args, log) -> int:
                 from .core.runlog import RunLogger
                 from .pipelines.intensity import run_intensity_batched
 
+                mesh = None
+                if args.devices > 1:
+                    import jax
+
+                    from .parallel.runner import make_mesh
+
+                    n_avail = len(jax.devices())
+                    if args.devices > n_avail:
+                        log(f"[error] --devices {args.devices} > "
+                            f"{n_avail} available")
+                        return 1
+                    mesh = make_mesh(args.devices)
                 # L8 parity on the production path: RES/logs/run_*.txt
                 # with [START]/[END] stamps, like the serial runner
                 res_root = out_root or os.path.join(folder, "RES")
@@ -355,7 +371,7 @@ def _dispatch(args, log) -> int:
                 try:
                     rows += run_intensity_batched(folder, cfg,
                                                   out_root=out_root,
-                                                  log=logger)
+                                                  log=logger, mesh=mesh)
                 finally:
                     logger.close()
             else:

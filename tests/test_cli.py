@@ -212,3 +212,19 @@ def test_cli_all_experiments_with_out(tmp_path, capsys):
     for exp in ("e1", "e2"):
         assert os.path.exists(os.path.join(
             out, exp, "xls", "fluor_intensity_perROI.csv")), exp
+
+
+def test_cli_batched_devices_mesh(golden_intensity_dir, tmp_path):
+    """--batched --devices N shards the batch axis over the (virtual CPU)
+    mesh from the CLI; rows match the single-device golden run."""
+    folder = os.path.join(golden_intensity_dir, "e1_P0")
+    rc = main(["intensity", folder, "--channels", "2", "3", "--batched",
+               "--devices", "4", "--out", str(tmp_path), "--lang", "en"])
+    assert rc == 0
+    df = pd.read_csv(tmp_path / "xls" / "fluor_intensity_perROI.csv")
+    assert len(df) == 18
+    gold = pd.read_csv(os.path.join(folder, "RES", "xls",
+                                    "fluor_intensity_perROI.csv"))
+    a = df.sort_values("roi")["ch2_mean"].to_numpy()
+    b = gold.sort_values("roi")["ch2_mean"].to_numpy()
+    assert (abs(a - b) <= 1e-4 * abs(b)).all()
