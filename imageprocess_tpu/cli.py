@@ -125,6 +125,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--scalebar-um", type=float, default=None)
     p.add_argument("--subset-stage", type=int, default=None)
     p.add_argument("--subset-time", type=int, default=None)
+    p.add_argument("--devices", type=int, default=1, metavar="N",
+                   help="shard the batched tables path over the first N "
+                        "devices")
     _add_common(p)
 
     p = sub.add_parser("nesprin2", help="nuclear-rim FRET (Nesprin2_FRET_Builder)")
@@ -417,9 +420,21 @@ def _dispatch(args, log) -> int:
             scale_bar_um=args.scalebar_um,
             subset_stage=args.subset_stage, subset_time=args.subset_time,
         )
+        mesh = None
+        if args.devices > 1:
+            import jax
+
+            from .parallel.runner import make_mesh
+
+            if args.devices > len(jax.devices()):
+                log(f"[error] --devices {args.devices} > "
+                    f"{len(jax.devices())} available")
+                return 1
+            mesh = make_mesh(args.devices)
         # tables-only runs take the minimum-transfer batched path;
         # image outputs fall back to the rendering runner automatically
-        run_fret_batched(args.folder, cfg, out_root=args.out, log=log)
+        run_fret_batched(args.folder, cfg, out_root=args.out, log=log,
+                         mesh=mesh)
         return 0
 
     if args.cmd == "nesprin2":

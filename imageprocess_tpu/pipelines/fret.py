@@ -457,12 +457,30 @@ def batched_fret_tile_stats(
     return jax.vmap(one)(tiles, local_polys, roi_valid, bgs, eps)
 
 
+def sharded_batched_fret_tile_stats(mesh, *, clip_neg=True, flip=False):
+    """batched_fret_tile_stats with its batch axis sharded over *mesh* —
+    data parallelism over (stage, time) pairs across chips (the FRET
+    analogue of runner.sharded_batched_tile_stats)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    axis = mesh.axis_names[0]
+    shard = NamedSharding(mesh, P(axis))
+
+    def f(tiles, lp, valid, bgs, eps):
+        return batched_fret_tile_stats(tiles, lp, valid, bgs, eps,
+                                       clip_neg=clip_neg, flip=flip)
+
+    return jax.jit(f, in_shardings=(shard,) * 5,
+                   out_shardings=(shard, shard))
+
+
 def run_fret_batched(
     folder: str,
     cfg: FretConfig,
     out_root: Optional[str] = None,
     log=print,
     batch_size: int = 4,
+    mesh=None,
     prefetch_workers: int = 8,
 ) -> List[dict]:
     """Tables-only batched FRET runner: host backgrounds + eps (exact
@@ -536,6 +554,16 @@ def run_fret_batched(
 
     loader = PrefetchLoader(_load, pairs, workers=max(1, prefetch_workers))
 
+    if mesh is not None:
+        n_dev = len(mesh.devices.ravel())
+        batch_size = max(batch_size, n_dev)
+        batch_size -= batch_size % n_dev
+        tile_step = sharded_batched_fret_tile_stats(
+            mesh, clip_neg=cfg.clip_neg, flip=flip)
+    else:
+        tile_step = partial(batched_fret_tile_stats,
+                            clip_neg=cfg.clip_neg, flip=flip)
+
     rows_all: List[dict] = []
 
     def run_serial(kv, loaded):
@@ -589,10 +617,13 @@ def run_fret_batched(
               else _bucket(max_n, 8))
         vb = _bucket(max(len(poly) for poly in all_p), 32)
         B = len(chunk)
-        lp_b = np.zeros((B, nb, vb, 2), np.float32)
-        val_b = np.zeros((B, nb), bool)
-        bgs_b = np.zeros((B, 2), np.float32)
-        eps_b = np.zeros((B,), np.float32)
+        pad_b = batch_size if mesh is not None else B
+        lp_b = np.zeros((pad_b, nb, vb, 2), np.float32)
+        val_b = np.zeros((pad_b, nb), bool)
+        bgs_b = np.zeros((pad_b, 2), np.float32)
+        # padded batch rows: eps=1 avoids 0/0 in lanes that are fully
+        # masked out anyway (valid=False)
+        eps_b = np.ones((pad_b,), np.float32)
         per_key = []
         for bi, (kv, (D, A, polys), (bgd, bga, eps_f), pre) in enumerate(
                 chunk):
@@ -608,21 +639,22 @@ def run_fret_batched(
             eps_b[bi] = eps_f
         # stack prefetch-thread-uploaded tiles on device (no pixel bytes on
         # the link here); any key that missed the hint re-gathers on host
-        if all(t_i is not None and not isinstance(t_i, np.ndarray)
-               and t_i.shape[0] == nb for t_i, *_ in per_key):
+        if pad_b == B and all(
+                t_i is not None and not isinstance(t_i, np.ndarray)
+                and t_i.shape[0] == nb for t_i, *_ in per_key):
             tiles_b = jnp.stack([t_i for t_i, *_ in per_key])
         else:
-            tiles_b = np.zeros((B, nb, 2, tile, tile), chunk[0][1][0].dtype)
+            tiles_b = np.zeros((pad_b, nb, 2, tile, tile),
+                               chunk[0][1][0].dtype)
             for bi, (t_i, D, A, polys, offs) in enumerate(per_key):
                 if isinstance(t_i, np.ndarray):
                     tiles_b[bi, :t_i.shape[0]] = t_i
                 else:
                     tiles_b[bi] = gather_tiles(np.stack([D, A]), offs, nb,
                                                tile)
-        stats, areas = batched_fret_tile_stats(
+        stats, areas = tile_step(
             jnp.asarray(tiles_b), jnp.asarray(lp_b), jnp.asarray(val_b),
             jnp.asarray(bgs_b), jnp.asarray(eps_b),
-            clip_neg=cfg.clip_neg, flip=flip,
         )
         rows = [stats[f].astype(jnp.float32) for f in STAT_FIELDS]
         rows.append(jnp.broadcast_to(

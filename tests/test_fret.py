@@ -185,3 +185,39 @@ def test_fret_batched_flip_and_fallback(golden_intensity_dir, tmp_path):
                             log=lambda *_: None)
     assert len(rows) == 18
     assert (tmp_path / "p" / "PNG_RAT" / "full").exists()
+
+
+def test_fret_batched_sharded_over_mesh(tmp_path):
+    """run_fret_batched with a mesh shards the batch axis over the
+    8-virtual-device CPU mesh and matches the single-device rows."""
+    import numpy as np
+
+    from imageprocess_tpu.core import roiio, tiffio
+    from imageprocess_tpu.parallel.runner import make_mesh
+    from imageprocess_tpu.pipelines.fret import FretConfig, run_fret_batched
+
+    folder = tmp_path / "exp"
+    rng = np.random.default_rng(0)
+    H, W = 160, 192
+    polys = [np.array([[15, 15], [60, 18], [55, 70], [12, 66]], float),
+             np.array([[70, 40], [115, 45], [110, 85], [65, 80]], float)]
+    for s in range(1, 9):
+        for ch in (1, 2):
+            tiffio.write_tiff16(
+                str(folder / f"S{s:02d}_{ch}.TIF"),
+                rng.integers(10, 3000, (H, W)).astype(np.uint16))
+        roiio.save_roi_bundle(str(folder / "roi" / f"S{s:02d}.json"),
+                              f"S{s:02d}", (H, W), polys)
+    cfg = FretConfig(donor_ch=1, acceptor_ch=2, do_xls=False)
+    single = run_fret_batched(str(folder), cfg, out_root=str(tmp_path / "a"),
+                              log=lambda *_: None, batch_size=4)
+    mesh = make_mesh(8)
+    sharded = run_fret_batched(str(folder), cfg, out_root=str(tmp_path / "b"),
+                               log=lambda *_: None, batch_size=8, mesh=mesh)
+    assert len(single) == len(sharded) == 16
+    sd = {(r["stage"], r["roi"]): r for r in single}
+    for r in sharded:
+        ref = sd[(r["stage"], r["roi"])]
+        assert r["area_px"] == ref["area_px"]
+        for k in ("ratio_mean", "ratio_median", "donor_mean", "eps"):
+            assert abs(r[k] - ref[k]) <= 1e-5 * max(abs(ref[k]), 1e-9), k
