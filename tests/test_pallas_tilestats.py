@@ -89,3 +89,36 @@ def test_pallas_order_stats_values(data):
             k = int(k)
             assert os6[n, 0, j] == vals[min(k, len(vals) - 1)]
             assert os6[n, 0, j + 3] == vals[min(k + 1, len(vals) - 1)]
+
+
+@pytest.mark.parametrize("clip", [True, False])
+def test_bisect_tie_heavy_and_clip_boundary(clip):
+    """Order statistics over LOW-CARDINALITY data (massive ties) and values
+    straddling the background (clip boundary): the bisection must still
+    agree exactly with sorting the transformed values — including the
+    np.percentile interpolation between a clipped-to-0 order statistic and
+    a positive one."""
+    rng = np.random.default_rng(11)
+    N, C, t = 6, 2, 48
+    # values drawn from a tiny set around the background levels
+    vals = np.array([0, 36, 37, 38, 120, 121, 4095], np.uint16)
+    tiles = rng.choice(vals, size=(N, C, t, t)).astype(np.uint16)
+    masks = rng.random((N, t, t)) > 0.3
+    bgs = np.array([37.0, 120.5], np.float32)  # ties AT the background
+    got = {k: np.asarray(v) for k, v in tile_stats_u16(
+        jnp.asarray(tiles), jnp.asarray(masks), jnp.asarray(bgs),
+        clip_neg=clip).items()}
+    for n in range(N):
+        for c in range(C):
+            xf = tiles[n, c].astype(np.float32) - bgs[c]
+            if clip:
+                xf = np.maximum(xf, 0)
+            want = {k: np.asarray(v) for k, v in masked_stats(
+                jnp.asarray(xf), jnp.asarray(masks[n])).items()}
+            for f in STAT_FIELDS:
+                a, b = got[f][c, n], want[f]
+                if f == "npx":
+                    assert a == b, (f, n, c)
+                else:
+                    assert a == b or abs(a - b) <= 1e-6 * max(1, abs(b)), (
+                        f, n, c, a, b)
