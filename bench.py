@@ -172,7 +172,11 @@ def _fret_e2e_mpix_s() -> float:
         n_rows = len(rows)
         if rep:  # rep 0 is compile warm-up
             best = max(best, mpix / dt)
-    assert n_rows == N_STAGES * 18, f"unexpected fret row count {n_rows}"
+    if n_rows != N_STAGES * 18:
+        # never crash the bench on dataset drift — the driver contract is
+        # that bench.py ALWAYS prints its one JSON line
+        print(f"[bench] unexpected fret row count {n_rows}", file=sys.stderr)
+        return 0.0
     return best
 
 
@@ -218,7 +222,10 @@ def main():
         rows = one_run()
         dt = time.perf_counter() - t0
         best = max(best, mpix / dt)
-    assert len(rows) == N_STAGES * 18, f"unexpected row count {len(rows)}"
+    if len(rows) != N_STAGES * 18:
+        print(f"[bench] unexpected intensity row count {len(rows)}",
+              file=sys.stderr)
+        best = 0.0
 
     device_mpix = _device_only_mpix_s()
     decode_mpix = _decode_only_mpix_s()

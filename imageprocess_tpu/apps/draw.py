@@ -64,7 +64,8 @@ class ROIAnnotator:
                 if last in self.channels:
                     self.ch_idx = self.channels.index(last)
             if self.rois:
-                log(f"  resumed {len(self.rois)} ROIs from {bundle_json}")
+                log(t("draw_resumed").format(
+                    count=len(self.rois), path=bundle_json))
         self._images: Dict[int, np.ndarray] = {}
         self._fig = None
         self._ax = None
@@ -97,9 +98,9 @@ class ROIAnnotator:
         )
         chosen = best if best is not None else poly
         self.rois.append(chosen)
-        self.log(f"  ROI {len(self.rois)}: thr={thr}, "
-                 f"{'auto' if best is not None else 'rough'} "
-                 f"({len(chosen)} vertices)")
+        kind = t("draw_kind_auto" if best is not None else "draw_kind_rough")
+        self.log(t("draw_roi_added").format(
+            n=len(self.rois), thr=thr, kind=kind, nv=len(chosen)))
         return chosen
 
     def propose_polygon(self, verts, thr_param: Optional[float] = None):
@@ -156,7 +157,7 @@ class ROIAnnotator:
         if chosen is None:
             return None
         self.rois[i] = chosen
-        self.log(f"  ROI {i + 1} redrawn ({len(chosen)} vertices)")
+        self.log(t("draw_roi_redrawn").format(i=i + 1, nv=len(chosen)))
         return chosen
 
     def delete_last(self) -> None:

@@ -343,7 +343,7 @@ def _dispatch(args, log) -> int:
         rows = []
         for folder in folders:
             if len(folders) > 1:
-                log(f"=== experiment: {folder}")
+                log(i18n.t("cli_experiment").format(folder=folder))
             # multi-experiment runs with an explicit --out write each
             # experiment under <out>/<experiment_name> (an --out shared by
             # all experiments would overwrite; silently ignoring it loses
@@ -363,8 +363,8 @@ def _dispatch(args, log) -> int:
 
                     n_avail = len(jax.devices())
                     if args.devices > n_avail:
-                        log(f"[error] --devices {args.devices} > "
-                            f"{n_avail} available")
+                        log(i18n.t("cli_devices_error").format(
+                            n=args.devices, avail=n_avail))
                         return 1
                     mesh = make_mesh(args.devices)
                 # L8 parity on the production path: RES/logs/run_*.txt
@@ -427,8 +427,8 @@ def _dispatch(args, log) -> int:
             from .parallel.runner import make_mesh
 
             if args.devices > len(jax.devices()):
-                log(f"[error] --devices {args.devices} > "
-                    f"{len(jax.devices())} available")
+                log(i18n.t("cli_devices_error").format(
+                    n=args.devices, avail=len(jax.devices())))
                 return 1
             mesh = make_mesh(args.devices)
         # tables-only runs take the minimum-transfer batched path;

@@ -71,6 +71,18 @@ STRINGS = {
         "draw_task": "[작업] {base}: 채널 {channels}",
         "tune_saved": "[저장 완료] {path}",
         "tune_tag": "[튜닝] {tag}",
+        # drawer save bundle + annotator events
+        "drawer_json_saved": "  JSON 저장: {path}",
+        "drawer_mask_saved": "  마스크 저장: {path}",
+        "drawer_overlay_saved": "  오버레이 저장: {path}",
+        "drawer_zip_saved": "  zip 저장: {path}",
+        "draw_resumed": "  {count}개 ROI 재개: {path}",
+        "draw_roi_added": "  ROI {n}: thr={thr}, {kind} ({nv} 정점)",
+        "draw_kind_auto": "자동",
+        "draw_kind_rough": "러프",
+        "draw_roi_redrawn": "  ROI {i} 다시 그림 ({nv} 정점)",
+        "cli_experiment": "=== 실험: {folder}",
+        "cli_devices_error": "[오류] --devices {n} > 사용 가능 장치 {avail}개",
     },
     "en": {
         "app_title": "ImageProcess TPU — fluorescence image quantification",
@@ -126,6 +138,18 @@ STRINGS = {
         "draw_task": "[task] {base}: channels {channels}",
         "tune_saved": "[saved] {path}",
         "tune_tag": "[tune] {tag}",
+        # drawer save bundle + annotator events
+        "drawer_json_saved": "  JSON saved: {path}",
+        "drawer_mask_saved": "  mask saved: {path}",
+        "drawer_overlay_saved": "  overlay saved: {path}",
+        "drawer_zip_saved": "  zip saved: {path}",
+        "draw_resumed": "  resumed {count} ROIs from {path}",
+        "draw_roi_added": "  ROI {n}: thr={thr}, {kind} ({nv} vertices)",
+        "draw_kind_auto": "auto",
+        "draw_kind_rough": "rough",
+        "draw_roi_redrawn": "  ROI {i} redrawn ({nv} vertices)",
+        "cli_experiment": "=== experiment: {folder}",
+        "cli_devices_error": "[error] --devices {n} > {avail} available",
     },
 }
 

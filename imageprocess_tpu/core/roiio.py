@@ -161,8 +161,10 @@ def encode_imagej_roi(poly_xy: np.ndarray, name: str = "") -> bytes:
     struct.pack_into(">i", header, 60, h2_off)
     header2 = bytearray(64)
     struct.pack_into(">i", header2, 16, h2_off + 64)   # name offset
-    struct.pack_into(">i", header2, 20, len(name))     # name length (chars)
     name_bytes = name.encode("utf-16-be")
+    # name length in UTF-16 code units (== ImageJ's Java char count), not
+    # Python code points: non-BMP chars are surrogate PAIRS in UTF-16
+    struct.pack_into(">i", header2, 20, len(name_bytes) // 2)
     return bytes(header) + bytes(body) + bytes(header2) + name_bytes
 
 

@@ -64,8 +64,11 @@ def sample_crops(
         # crop slicing would crash with a broadcast error)
         py, px = max(0, tile - H), max(0, tile - W)
         x = np.pad(x, ((0, py), (0, px)), mode="edge")
-        probs = np.pad(probs, ((0, py), (0, px)), mode="edge")
-        flows = np.pad(flows, ((0, py), (0, px), (0, 0)), mode="edge")
+        # targets pad with 0 (background), NOT edge: edge-replicated
+        # foreground would create duplicate crop centers with cloned flow
+        # vectors in the padded strip, biasing tiny-frame sampling
+        probs = np.pad(probs, ((0, py), (0, px)))
+        flows = np.pad(flows, ((0, py), (0, px), (0, 0)))
         H, W = x.shape
     fg = np.argwhere(probs > 0.5)
     imgs = np.zeros((batch, tile, tile, 1), np.float32)

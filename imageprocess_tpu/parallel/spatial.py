@@ -270,7 +270,7 @@ def _sharded_roots(fg, axis: str, n_shards: int, connectivity: int):
 
         # initial flag must be marked varying over the manual axis to
         # match the loop-carried (shard-local) change flag
-        start = jax.lax.pvary(jnp.bool_(True), (axis,))
+        start = jax.lax.pcast(jnp.bool_(True), (axis,), to="varying")
         L, _ = jax.lax.while_loop(lambda s: s[1], body, (L, start))
         return L
 

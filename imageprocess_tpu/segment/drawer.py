@@ -23,6 +23,7 @@ import numpy as np
 from PIL import Image, ImageDraw, ImageFont
 
 from ..core import naming, roiio, tiffio
+from ..core.i18n import t
 from ..geom.rasterize import EdgeRule, rasterize_polygon_np
 from .autoseg import segment_inside_polygon
 
@@ -87,7 +88,7 @@ def save_drawer_bundle(
     json_path = os.path.join(roi_dir, f"{base_S_t}.json")
     roiio.save_roi_bundle(json_path, base_S_t, (H, W), rois,
                           view_params=view_params)
-    log(f"  JSON saved: {json_path}")
+    log(t("drawer_json_saved").format(path=json_path))
 
     # the committed golden mask (roi/mask/S01_mask.tif) is pixel-exact
     # under the matplotlib edge rule — skimage.draw.polygon agrees with it
@@ -100,7 +101,7 @@ def save_drawer_bundle(
             mask[m] = 255
     mask_path = os.path.join(mask_dir, f"{base_S_t}_mask.tif")
     tiffio.write_tiff8(mask_path, mask)
-    log(f"  mask saved: {mask_path}")
+    log(t("drawer_mask_saved").format(path=mask_path))
 
     bg_rgb = apply_view_and_color(img, view_params)
     Hs, Ws = bg_rgb.shape[:2]
@@ -123,11 +124,11 @@ def save_drawer_bundle(
     tmp = png_path + ".tmp"
     pil_img.save(tmp, format="PNG", optimize=True)
     os.replace(tmp, png_path)
-    log(f"  overlay saved: {png_path}")
+    log(t("drawer_overlay_saved").format(path=png_path))
 
     zip_path = os.path.join(zip_dir, f"{base_S_t}.zip")
     roiio.save_imagej_roi_zip(zip_path, list(rois), base_S_t)
-    log(f"  zip saved: {zip_path}")
+    log(t("drawer_zip_saved").format(path=zip_path))
     return json_path, mask_path, png_path, zip_path
 
 

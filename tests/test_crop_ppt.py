@@ -103,6 +103,38 @@ def test_fret_ppt_no_pairs(tmp_path):
     assert not ok
 
 
+def test_ppt_layout_spec():
+    """Pure slide-geometry spec (Make_FRET_timelapsePPT.py:100-188
+    semantics): desired width kept when the row fits, proportional shrink
+    when it doesn't, None on gap overflow; FRET row above BF row."""
+    from imageprocess_tpu.pipelines.fretppt import (
+        DeckGeometry, cm, fit_row_width, slide_layout,
+    )
+
+    geo = DeckGeometry()
+    # 3 x 2cm thumbnails fit easily inside 33.867cm - 2x1cm margins
+    assert fit_row_width(3, cm(2.0), geo) == cm(2.0)
+    # 20 x 2cm + 19 gaps = 41.9cm > 31.867cm available -> shrunk
+    w20 = fit_row_width(20, cm(2.0), geo)
+    assert w20 is not None and w20 < cm(2.0)
+    row = 20 * w20 + 19 * geo.col_gap
+    assert row <= geo.slide_w - 2 * geo.margin_x
+    # shrink is proportional: just under the available width
+    assert row > 0.99 * (geo.slide_w - 2 * geo.margin_x)
+    assert fit_row_width(0, cm(2.0), geo) is None
+    # pathological: so many columns the gaps alone exceed the slide
+    assert fit_row_width(400, cm(2.0), geo) is None
+
+    spec = slide_layout("S03", "2", (0, 1, 2), cm(2.0), geo)
+    assert spec.img_w == cm(2.0)
+    assert spec.lefts == tuple(geo.margin_x + i * (cm(2.0) + geo.col_gap)
+                               for i in range(3))
+    assert spec.fret_top == geo.margin_top
+    assert spec.bf_top == geo.margin_top + spec.img_w + geo.row_gap
+    assert "S03" in spec.caption and "ROI2" in spec.caption
+    assert "t02" in spec.caption
+
+
 def test_pptx_summary_slide_order(tmp_path):
     """read_pptx_summary reports slides in numeric order for decks with
     >= 10 slides (lexicographic sorting put slide10 before slide2)."""

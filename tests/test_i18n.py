@@ -99,6 +99,36 @@ def test_crop_korean_logs(folder, tmp_path, ko_lang):
         CropConfig(channel=1), log=log))
 
 
+def test_drawer_save_korean_logs(tmp_path, ko_lang):
+    """The drawer save-bundle path (round-2 i18n residue) logs in Korean."""
+    from imageprocess_tpu.segment.drawer import save_drawer_bundle
+
+    rng = np.random.default_rng(5)
+    img = rng.integers(10, 3000, (96, 128)).astype(np.uint16)
+    rois = [np.array([[10, 10], [50, 12], [45, 60], [8, 55]], float)]
+    logs = []
+    save_drawer_bundle(str(tmp_path / "roi"), "S01", rois, img,
+                       log=logs.append)
+    assert len(logs) == 4  # json / mask / overlay / zip
+    assert all(_has_hangul(line) for line in logs), logs
+
+
+def test_annotator_korean_logs(tmp_path, ko_lang):
+    """Annotator ROI-add events come from the catalog under lang=ko."""
+    from imageprocess_tpu.apps.draw import ROIAnnotator
+
+    rng = np.random.default_rng(7)
+    img = rng.normal(100, 10, (96, 128)).clip(0, 65535)
+    img[20:60, 20:80] += 4000.0
+    tif = str(tmp_path / "S01_1.TIF")
+    tiffio.write_tiff16(tif, img.astype(np.uint16))
+    logs = []
+    ann = ROIAnnotator({1: tif}, "S01", str(tmp_path / "roi"),
+                       log=logs.append)
+    ann.add_rough_polygon([(15, 15), (90, 15), (90, 70), (15, 70)])
+    assert any(_has_hangul(line) for line in logs), logs
+
+
 def test_en_mode_still_english(folder, tmp_path):
     """-mode EN keeps the reference's English strings."""
     from imageprocess_tpu.pipelines.intensity import IntensityConfig, run_intensity
