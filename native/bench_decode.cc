@@ -49,7 +49,7 @@ int main(int argc, char** argv) {
             if (row0 >= pg.height) continue;
             uint32_t rows = pg.rows_per_strip;
             if (row0 + rows > pg.height) rows = pg.height - row0;
-            lzw_decode(r.data.data() + pg.strip_offsets[s],
+            lzw_decode(r.ptr + pg.strip_offsets[s],
                        pg.strip_counts[s], out.data() + row_bytes * row0,
                        row_bytes * rows, &err);
         }

@@ -22,6 +22,11 @@
 //       -> 0 ok / negative error; every file must match the given shape
 //   const char* ip_tiff_error()                    -> last error string
 
+#include <fcntl.h>
+#include <sys/mman.h>
+#include <sys/stat.h>
+#include <unistd.h>
+
 #include <atomic>
 #include <cstdint>
 #include <cstdio>
@@ -35,22 +40,40 @@ namespace {
 
 thread_local std::string g_error;
 
+// Read-only view of a TIFF file.  mmap-backed when possible (zero-copy:
+// the LZW source bytes stream straight out of the page cache, no fread
+// copy and no vector zero-fill) with a heap fallback for filesystems that
+// refuse mmap.  Non-copyable: the destructor owns the mapping.
 struct Reader {
-    std::vector<uint8_t> data;
+    const uint8_t* ptr = nullptr;
+    size_t size = 0;
     bool big_endian = false;
 
+    Reader() = default;
+    Reader(const Reader&) = delete;
+    Reader& operator=(const Reader&) = delete;
+    ~Reader() {
+        if (map_base_) ::munmap(map_base_, map_len_);
+    }
+
+    void* map_base_ = nullptr;
+    size_t map_len_ = 0;
+    std::vector<uint8_t> heap_;  // fallback storage
+
+    const uint8_t& operator[](size_t i) const { return ptr[i]; }
+
     uint16_t u16(size_t off) const {
-        if (off + 2 > data.size()) return 0;
-        return big_endian ? (uint16_t)((data[off] << 8) | data[off + 1])
-                          : (uint16_t)(data[off] | (data[off + 1] << 8));
+        if (off + 2 > size) return 0;
+        return big_endian ? (uint16_t)((ptr[off] << 8) | ptr[off + 1])
+                          : (uint16_t)(ptr[off] | (ptr[off + 1] << 8));
     }
     uint32_t u32(size_t off) const {
-        if (off + 4 > data.size()) return 0;
+        if (off + 4 > size) return 0;
         return big_endian
-                   ? ((uint32_t)data[off] << 24) | ((uint32_t)data[off + 1] << 16) |
-                         ((uint32_t)data[off + 2] << 8) | data[off + 3]
-                   : (uint32_t)data[off] | ((uint32_t)data[off + 1] << 8) |
-                         ((uint32_t)data[off + 2] << 16) | ((uint32_t)data[off + 3] << 24);
+                   ? ((uint32_t)ptr[off] << 24) | ((uint32_t)ptr[off + 1] << 16) |
+                         ((uint32_t)ptr[off + 2] << 8) | ptr[off + 3]
+                   : (uint32_t)ptr[off] | ((uint32_t)ptr[off + 1] << 8) |
+                         ((uint32_t)ptr[off + 2] << 16) | ((uint32_t)ptr[off + 3] << 24);
     }
 };
 
@@ -89,12 +112,12 @@ uint32_t entry_value(const Reader& r, const IFDEntry& e, size_t entry_off,
     size_t off = base + idx * sz;
     if (sz == 2) return r.u16(off);
     if (sz == 4) return r.u32(off);
-    if (sz == 1) return off < r.data.size() ? r.data[off] : 0;
+    if (sz == 1) return off < r.size ? r.ptr[off] : 0;
     return 0;
 }
 
 bool parse_page(const Reader& r, int page, TiffPage* out, std::string* err) {
-    if (r.data.size() < 8) { *err = "file too small"; return false; }
+    if (r.size < 8) { *err = "file too small"; return false; }
     uint32_t ifd_off = r.u32(4);
     for (int p = 0; p < page; ++p) {
         uint16_t n = r.u16(ifd_off);
@@ -145,47 +168,65 @@ bool parse_page(const Reader& r, int page, TiffPage* out, std::string* err) {
 // short strings; overlap-safe byte loop only when regions overlap)
 // instead of a per-byte backward chain walk.
 //
+// Two hot-loop design points (measured on the 2048x1536 u16 LZW corpus,
+// ~3M codes/frame at ~17 cycles/code before, ~12 after):
+//  - the bit reader is ABSOLUTE-POSITION: each code comes from one
+//    unaligned 64-bit load + bswap + shift at bit offset `bitpos`,
+//    replacing the data-dependent refill branch of a shift-register
+//    reader (taken every 2-3 codes, poorly predicted);
+//  - literal codes lazily record their first emission position, after
+//    which literal and string emission share ONE history-copy path —
+//    the literal-vs-string branch was ~50/50 data-dependent, and its
+//    mispredictions dominated the per-code cost.  The 256 literal slots
+//    are re-armed per call (2 KB of stores, negligible vs the smallest
+//    12 KB strips in the corpus).
+//
 // A stream is valid only if it fills dst exactly: a short stream means a
 // truncated/corrupt strip and must fail (so callers surface it as a
 // LoadError instead of reading uninitialized memory).
 bool lzw_decode(const uint8_t* src, size_t src_len, uint8_t* dst,
                 size_t dst_len, std::string* err) {
     constexpr int kClear = 256, kEoi = 257, kFirstFree = 258, kMaxCode = 4096;
+    constexpr uint32_t kUnset = 0xFFFFFFFFu;
     // One packed (pos << 32 | len) slot per code: the emit path loads one
     // 64-bit word instead of two 32-bit tables, and entry creation is one
-    // store.  The table is NOT cleared between strips (that memset was
-    // ~32 KB per strip, a measurable share of the decode wall): stale
-    // entries are unreachable, because a code is only ever emitted when
-    // code <= next_code, and every slot in [kFirstFree, next_code) is
-    // (re)written at creation earlier in the SAME call; codes < 256 use
-    // the constant len=1 and never read pos.
+    // store.  Dynamic entries [kFirstFree, next_code) are NOT cleared
+    // between strips: stale slots are unreachable because a code is only
+    // emitted when code <= next_code and every live slot is (re)written at
+    // creation earlier in the SAME call.  Literal slots ARE re-armed to
+    // kUnset so their history positions never leak across dst buffers.
     static thread_local std::vector<uint64_t> tab;
-    if (tab.empty()) {  // one-time per-thread init
-        tab.assign(kMaxCode, 0);
-        for (int i = 0; i < 256; ++i) tab[i] = 1;
-    }
+    if (tab.size() != (size_t)kMaxCode) tab.assign(kMaxCode, 0);
     uint64_t* const tabp = tab.data();
+    for (int i = 0; i < 256; ++i)
+        tabp[i] = ((uint64_t)kUnset << 32) | 1;
 
     int next_code = kFirstFree, code_bits = 9;
     uint32_t code_mask = (1u << 9) - 1;
-    uint64_t bitbuf = 0;
-    int bitcnt = 0;
-    size_t si = 0, di = 0;
+    size_t bitpos = 0;
+    const size_t total_bits = src_len * 8;
+    size_t di = 0;
     uint32_t prev_len = 0;  // 0 = no previous code (start / after Clear)
     // Fast emit is allowed while the write cursor stays >=16 bytes clear of
     // the end; the tail runs through the careful path.
     const size_t safe_end = dst_len >= 16 ? dst_len - 16 : 0;
 
-    // Careful emit for the tail region: clips at dst_len.
+    // Careful emit for the tail region: clips at dst_len.  Also arms an
+    // unset literal (a literal can meet its first emission here on tiny
+    // strips).
     auto emit_careful = [&](int code) {
-        uint32_t l = (uint32_t)tabp[code];
-        uint32_t p = (uint32_t)(tabp[code] >> 32);
-        if (di + l > dst_len) l = (uint32_t)(dst_len - di);
-        if (code < 256) {
-            if (di < dst_len) dst[di] = (uint8_t)code;
-            di += l;
+        uint64_t e = tabp[code];
+        uint32_t l = (uint32_t)e;
+        uint32_t p = (uint32_t)(e >> 32);
+        if (p == kUnset) {  // literal not yet seen this call
+            if (di < dst_len) {
+                dst[di] = (uint8_t)code;
+                tabp[code] = ((uint64_t)di << 32) | 1;
+            }
+            ++di;
             return;
         }
+        if (di + l > dst_len) l = (uint32_t)(dst_len - di);
         const uint8_t* s = dst + p;
         uint8_t* d = dst + di;
         if (p + l <= di) {
@@ -196,41 +237,41 @@ bool lzw_decode(const uint8_t* src, size_t src_len, uint8_t* dst,
         di += l;
     };
 
-    while (si < src_len || bitcnt >= code_bits) {
-        if (bitcnt < code_bits) {
-            if (si + 4 <= src_len) {  // bulk 32-bit big-endian refill
-                uint32_t w;
-                std::memcpy(&w, src + si, 4);
-                bitbuf = (bitbuf << 32) | __builtin_bswap32(w);
-                si += 4;
-                bitcnt += 32;
-            } else {
-                while (bitcnt < code_bits && si < src_len) {
-                    bitbuf = (bitbuf << 8) | src[si++];
-                    bitcnt += 8;
-                }
-                if (bitcnt < code_bits) break;
-            }
+    while (true) {
+        if (__builtin_expect(bitpos + code_bits > total_bits, 0)) break;
+        size_t byte = bitpos >> 3;
+        uint64_t w;
+        if (__builtin_expect(byte + 8 <= src_len, 1)) {
+            std::memcpy(&w, src + byte, 8);
+            w = __builtin_bswap64(w);
+        } else {  // last <8 bytes of the stream
+            w = 0;
+            for (size_t i = 0; i < 8; ++i)
+                w = (w << 8) | (byte + i < src_len ? src[byte + i] : 0);
         }
-        int code = (int)((bitbuf >> (bitcnt - code_bits)) & code_mask);
-        bitcnt -= code_bits;
+        int code = (int)((w >> (64 - (bitpos & 7) - code_bits)) & code_mask);
+        bitpos += code_bits;
 
-        if (code == kEoi) break;
-        if (code == kClear) {
-            next_code = kFirstFree;
+        if (__builtin_expect(code >= kClear && code <= kEoi, 0)) {
+            if (code == kEoi) break;
+            next_code = kFirstFree;  // kClear
             code_bits = 9;
             code_mask = (1u << 9) - 1;
             prev_len = 0;
             continue;
         }
-        if (prev_len == 0) {  // first code after (re)start
+        if (__builtin_expect(prev_len == 0, 0)) {  // first code after restart
             if (code >= 256) { *err = "bad first LZW code"; return false; }
             if (di < dst_len) dst[di] = (uint8_t)code;
+            tabp[code] = ((uint64_t)di << 32) | 1;
             ++di;
             prev_len = 1;
         } else {
             int new_entry = next_code;
-            if (code > new_entry) { *err = "bad LZW code"; return false; }
+            if (__builtin_expect(code > new_entry, 0)) {
+                *err = "bad LZW code";
+                return false;
+            }
             // new entry = prev string + first char of current emission;
             // both live contiguously starting at prev string's last
             // emission, i.e. at (di - prev_len) once we emit at di.
@@ -245,22 +286,27 @@ bool lzw_decode(const uint8_t* src, size_t src_len, uint8_t* dst,
                                                                  : code;
             uint64_t e = tabp[ec];
             uint32_t l = (uint32_t)e;
-            if (di + l <= safe_end) {
-                if (ec < 256) {
+            uint32_t p = (uint32_t)(e >> 32);
+            if (__builtin_expect(di + l <= safe_end && p + 16 <= di &&
+                                     l <= 16 && p != kUnset, 1)) {
+                // unified literal/string fast path: one fixed-size block
+                // copy from history (literals have l=1 and a valid pos
+                // after their first emission)
+                std::memcpy(dst + di, dst + p, 16);
+                di += l;
+            } else if (p == kUnset) {  // literal's first emission this call
+                if (di < dst_len) {
                     dst[di] = (uint8_t)ec;
+                    tabp[ec] = ((uint64_t)di << 32) | 1;
+                }
+                ++di;
+            } else if (di + l <= safe_end) {  // long string
+                const uint8_t* s = dst + p;
+                uint8_t* d = dst + di;
+                if (p + l <= di) {
+                    std::memcpy(d, s, l);
                 } else {
-                    uint32_t p = (uint32_t)(e >> 32);
-                    const uint8_t* s = dst + p;
-                    uint8_t* d = dst + di;
-                    if (l <= 16 && p + 16 <= di) {
-                        // fixed-size block copy: covers the common short
-                        // strings without memcpy length dispatch
-                        std::memcpy(d, s, 16);
-                    } else if (p + l <= di) {
-                        std::memcpy(d, s, l);
-                    } else {
-                        for (uint32_t i = 0; i < l; ++i) d[i] = s[i];
-                    }
+                    for (uint32_t i = 0; i < l; ++i) d[i] = s[i];
                 }
                 di += l;
             } else {
@@ -274,7 +320,7 @@ bool lzw_decode(const uint8_t* src, size_t src_len, uint8_t* dst,
                 code_mask = (1u << code_bits) - 1;
             }
         }
-        if (di >= dst_len) break;
+        if (__builtin_expect(di >= dst_len, 0)) break;
     }
     if (di != dst_len) {
         *err = "short LZW stream (truncated or corrupt strip)";
@@ -296,18 +342,42 @@ void undo_predictor(uint8_t* row, uint32_t width, uint16_t bits,
 }
 
 bool load_file(const char* path, Reader* r, std::string* err) {
-    FILE* f = std::fopen(path, "rb");
-    if (!f) { *err = "cannot open file"; return false; }
-    std::fseek(f, 0, SEEK_END);
-    long sz = std::ftell(f);
-    std::fseek(f, 0, SEEK_SET);
-    r->data.resize((size_t)sz);
-    size_t got = std::fread(r->data.data(), 1, (size_t)sz, f);
-    std::fclose(f);
-    if (got != (size_t)sz) { *err = "short read"; return false; }
+    int fd = ::open(path, O_RDONLY);
+    if (fd < 0) { *err = "cannot open file"; return false; }
+    struct stat st;
+    if (::fstat(fd, &st) != 0 || st.st_size < 0) {
+        ::close(fd);
+        *err = "cannot stat file";
+        return false;
+    }
+    size_t sz = (size_t)st.st_size;
+    if (sz >= 8) {
+        void* m = ::mmap(nullptr, sz, PROT_READ, MAP_PRIVATE, fd, 0);
+        if (m != MAP_FAILED) {
+            ::madvise(m, sz, MADV_WILLNEED);
+            r->map_base_ = m;
+            r->map_len_ = sz;
+            r->ptr = (const uint8_t*)m;
+            r->size = sz;
+        }
+    }
+    if (r->ptr == nullptr) {  // mmap refused (or tiny file): buffered read
+        r->heap_.resize(sz);
+        FILE* f = ::fdopen(::dup(fd), "rb");
+        size_t got = f ? std::fread(r->heap_.data(), 1, sz, f) : 0;
+        if (f) std::fclose(f);
+        if (got != sz) {
+            ::close(fd);
+            *err = "short read";
+            return false;
+        }
+        r->ptr = r->heap_.data();
+        r->size = sz;
+    }
+    ::close(fd);
     if (sz < 8) { *err = "not a TIFF"; return false; }
-    if (r->data[0] == 'I' && r->data[1] == 'I') r->big_endian = false;
-    else if (r->data[0] == 'M' && r->data[1] == 'M') r->big_endian = true;
+    if (r->ptr[0] == 'I' && r->ptr[1] == 'I') r->big_endian = false;
+    else if (r->ptr[0] == 'M' && r->ptr[1] == 'M') r->big_endian = true;
     else { *err = "not a TIFF"; return false; }
     if (r->u16(2) != 42) { *err = "not classic TIFF"; return false; }
     return true;
@@ -356,7 +426,7 @@ int decode_page(const Reader& r, const TiffPage& pg, uint8_t* out,
             uint32_t off = pg.strip_offsets[s];
             uint32_t cnt = s < pg.strip_counts.size() ? pg.strip_counts[s]
                                                       : (uint32_t)strip_bytes;
-            if ((size_t)off + cnt > r.data.size()) {
+            if ((size_t)off + cnt > r.size) {
                 rc = -6;
                 std::lock_guard<std::mutex> g(err_mu);
                 *err = "strip outside file";
@@ -369,9 +439,9 @@ int decode_page(const Reader& r, const TiffPage& pg, uint8_t* out,
                     *err = "short uncompressed strip";
                     return;
                 }
-                std::memcpy(dst, r.data.data() + off, strip_bytes);
+                std::memcpy(dst, r.ptr + off, strip_bytes);
             } else {
-                if (!lzw_decode(r.data.data() + off, cnt, dst, strip_bytes,
+                if (!lzw_decode(r.ptr + off, cnt, dst, strip_bytes,
                                 &werr)) {
                     rc = -7;
                     std::lock_guard<std::mutex> g(err_mu);
