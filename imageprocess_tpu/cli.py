@@ -189,6 +189,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="write per-stage overview figures (BND_FA/fig)")
     p.add_argument("--export-crops", action="store_true",
                    help="write per-cell FA crop PNGs (crops_export/)")
+    p.add_argument("--batched", action="store_true",
+                   help="streaming batched runner: prefetch decode + one "
+                        "fused device dispatch per chunk of stages")
+    p.add_argument("--devices", type=int, default=1, metavar="N",
+                   help="shard the batched stage axis over the first N "
+                        "devices (requires --batched)")
     p.add_argument("--lang", default=None, choices=["en", "ko"])
 
     p = sub.add_parser("fa-tune",
@@ -469,7 +475,7 @@ def _dispatch(args, log) -> int:
         return 0
 
     if args.cmd == "fa":
-        from .pipelines.fa import FaConfig, run_fa_batch
+        from .pipelines.fa import FaConfig, run_fa_batch, run_fa_batched
 
         cfg = FaConfig(
             channel=args.channel, px_size=args.px_size, alpha=args.alpha,
@@ -480,7 +486,22 @@ def _dispatch(args, log) -> int:
             do_master_report=not args.no_master,
             master_name=args.master_name,
         )
-        run_fa_batch(args.img_dir, args.roi_dir, args.out, cfg, log=log)
+        if args.batched or args.devices > 1:
+            mesh = None
+            if args.devices > 1:
+                import jax
+
+                from .parallel.runner import make_mesh
+
+                if args.devices > len(jax.devices()):
+                    log(i18n.t("cli_devices_error").format(
+                        n=args.devices, avail=len(jax.devices())))
+                    return 1
+                mesh = make_mesh(args.devices)
+            run_fa_batched(args.img_dir, args.roi_dir, args.out, cfg,
+                           log=log, mesh=mesh)
+        else:
+            run_fa_batch(args.img_dir, args.roi_dir, args.out, cfg, log=log)
         if args.figs:
             from .pipelines.fa import save_fa_figs
 

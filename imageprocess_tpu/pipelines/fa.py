@@ -70,10 +70,10 @@ class FaConfig:
         return self.max_area_um / self.px_size ** 2
 
 
-@jax.jit
-def fa_global_stats(img: jnp.ndarray):
+def _global_stats_body(img: jnp.ndarray):
     """(nanmean, nanstd ddof=0, bg = p1 of img[::10, ::10])
-    — FA_Analyzer.py:624-626."""
+    — FA_Analyzer.py:624-626.  Trace-level body shared by the per-image
+    jit and the batched multi-frame program."""
     img = img.astype(jnp.float32)  # compact u16 upload, f32 on-chip
     finite = jnp.isfinite(img)
     n = jnp.maximum(finite.sum().astype(jnp.float32), 1.0)
@@ -89,22 +89,15 @@ def fa_global_stats(img: jnp.ndarray):
     return m, jnp.sqrt(var), bg
 
 
-@partial(jax.jit, static_argnames=("tile", "close_radius", "max_labels",
-                                   "do_remove_small"))
-def fa_analyze_tiled(
-    img: jnp.ndarray,            # (H, W) float32
-    local_polys: jnp.ndarray,    # (N, V, 2) tile-local
-    offsets: jnp.ndarray,        # (N, 2)
-    roi_valid: jnp.ndarray,      # (N,)
-    threshold: jnp.ndarray,      # () float32 = mu + alpha*sigma
-    min_px: jnp.ndarray,         # () float32
-    *,
-    tile: int,
-    close_radius: int,
-    max_labels: int,
-    do_remove_small: bool,
+fa_global_stats = jax.jit(_global_stats_body)
+
+
+def _fa_cells_body(
+    img, local_polys, offsets, roi_valid, threshold, min_px,
+    *, tile: int, close_radius: int, max_labels: int, do_remove_small: bool,
 ):
-    """Per-cell FA segmentation + region reductions on bbox tiles.
+    """Per-cell FA segmentation + region reductions on bbox tiles
+    (trace-level body shared by the per-image jit and the batched step).
 
     ROI masks use the matplotlib edge rule — the committed golden drawer
     mask shows skimage.draw.polygon (FA_Analyzer.py:1016-1018) agrees with
@@ -133,6 +126,90 @@ def fa_analyze_tiled(
         return lab, props
 
     return jax.vmap(per_cell)(masks, offsets)
+
+
+fa_analyze_tiled = partial(jax.jit, static_argnames=(
+    "tile", "close_radius", "max_labels", "do_remove_small"))(_fa_cells_body)
+
+
+# per-FA property fields packed for the batched single-fetch result
+_FA_PACK_FIELDS = ("area", "mean", "centroid_r", "centroid_c")
+
+
+@partial(jax.jit, static_argnames=("tile", "close_radius", "max_labels",
+                                   "do_remove_small"))
+def fa_batched_step(
+    imgs: jnp.ndarray,           # (B, H, W) raw dtype (u16 uploads compact)
+    local_polys: jnp.ndarray,    # (B, N, V, 2) tile-local
+    offsets: jnp.ndarray,        # (B, N, 2)
+    roi_valid: jnp.ndarray,      # (B, N)
+    alpha: jnp.ndarray,          # () float32
+    min_px: jnp.ndarray,         # () float32
+    *,
+    tile: int,
+    close_radius: int,
+    max_labels: int,
+    do_remove_small: bool,
+):
+    """A chunk of FA frames in ONE dispatch: per-image global stats
+    (mu/sigma/bg, FA_Analyzer.py:624-626), threshold mu+alpha*sigma, and
+    the per-cell segmentation chain — fused so the streaming runner pays a
+    single device round trip per chunk.  Cell label images stay on device
+    (the tables path never needs them); the result is one flat (B, K)
+    array: the 4 packed per-FA property fields + n_labels, then the 4
+    per-image scalars (mu, sigma, bg, threshold)."""
+    B = imgs.shape[0]
+
+    def one(img, lp, off, val):
+        m, s, bg = _global_stats_body(img)
+        thr = m + alpha * s
+        _, props = _fa_cells_body(
+            img, lp, off, val, thr, min_px, tile=tile,
+            close_radius=close_radius, max_labels=max_labels,
+            do_remove_small=do_remove_small)
+        pack = jnp.stack([props[f].astype(jnp.float32)
+                          for f in _FA_PACK_FIELDS]
+                         + [jnp.broadcast_to(
+                             props["n_labels"].astype(jnp.float32)[:, None],
+                             props["area"].shape)], axis=0)
+        return pack, jnp.stack([m, s, bg, thr])
+
+    pack, scal = jax.vmap(one)(imgs, local_polys, offsets, roi_valid)
+    return jnp.concatenate([pack.reshape(B, -1), scal], axis=1)
+
+
+def unpack_fa_flat(flat: np.ndarray, nb: int, max_labels: int):
+    """Split :func:`fa_batched_step`'s flat result back into
+    ({field: (B, N, L)}, n_labels (B, N) int, scalars (B, 4))."""
+    B = flat.shape[0]
+    nf = len(_FA_PACK_FIELDS) + 1
+    pack = flat[:, :nf * nb * max_labels].reshape(B, nf, nb, max_labels)
+    scal = flat[:, -4:]
+    props = {f: pack[:, k] for k, f in enumerate(_FA_PACK_FIELDS)}
+    n_labels = pack[:, nf - 1, :, 0].astype(np.int32)
+    return props, n_labels, scal
+
+
+def sharded_fa_batched_step(mesh, *, tile, close_radius, max_labels,
+                            do_remove_small):
+    """fa_batched_step with its frame axis sharded over *mesh* — DP over
+    stages across chips, the FA analogue of the intensity/FRET sharded
+    tables programs (replacing the reference's serial batch loop,
+    FA_Analyzer.py:939-1052)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    axis = mesh.axis_names[0]
+    shard = NamedSharding(mesh, P(axis))
+    repl = NamedSharding(mesh, P())
+
+    def f(imgs, lp, off, val, alpha, min_px):
+        return fa_batched_step(
+            imgs, lp, off, val, alpha, min_px, tile=tile,
+            close_radius=close_radius, max_labels=max_labels,
+            do_remove_small=do_remove_small)
+
+    return jax.jit(f, in_shardings=(shard, shard, shard, shard, repl, repl),
+                   out_shardings=shard)
 
 
 def analyze_image(
@@ -253,33 +330,186 @@ def run_fa_batch(
         img = tiffio.read_2d(img_path, squeeze="smallest_axis")
         rois = _load_rois(json_path)
         fa_rows, th_val, bg, _ = analyze_image(img, rois, cfg)
-        file_rows = []
-        for fa in fa_rows:
-            if cfg.save_ok_only and fa["category"] != "OK":
-                continue
-            file_rows.append({
-                "File": s_tag,
-                "Cell_ID": fa["cell"],
-                "Category": fa["category"],
-                "Area_px": fa["area"],
-                "Area_um2": fa["area"] * cfg.px_size ** 2,
-                "Mean_Intensity_Raw": fa["mean_int_raw"],
-                "Mean_Intensity_Corr": fa["mean_int_corr"],
-                "Int_Density_Raw": fa["int_den_raw"],
-                "Int_Density_Corr": fa["int_den_corr"],
-                "Background_Level": fa["bg_level"],
-                "Used_Alpha": cfg.alpha,
-                "Global_Threshold": th_val,
-                "Min_Area_Setting": cfg.min_area_um,
-                "Max_Area_Setting": cfg.max_area_um,
-                "Close_Radius_Setting": cfg.close_radius,
-                "Subtract_BG_Setting": cfg.subtract_bg,
-            })
+        file_rows = _fa_file_rows(
+            s_tag, ((fa["cell"], fa["area"], fa["mean_int_raw"])
+                    for fa in fa_rows), th_val, bg, cfg)
         if file_rows:
             df = pd.DataFrame(file_rows)[FA_CSV_COLS]
             df.to_csv(os.path.join(indiv_dir, f"{s_tag}_results.csv"),
                       index=False)
             results[s_tag] = df
+    if cfg.do_master_report and results:
+        merge_fa_report(out_root, cfg.master_name, log=log)
+    return results
+
+
+def _fa_file_rows(s_tag: str, fa_iter, th_val: float, bg: float,
+                  cfg: FaConfig) -> List[dict]:
+    """CSV-schema rows for one stage from per-FA (cell, category, area,
+    mean_raw) tuples — shared by the serial and batched runners."""
+    rows = []
+    for cell, area, mean_raw in fa_iter:
+        category = "OK"
+        if area < cfg.min_px:
+            category = "Small"
+        elif area > cfg.max_px:
+            category = "Large"
+        if cfg.save_ok_only and category != "OK":
+            continue
+        mean_corr = max(0.0, mean_raw - bg) if cfg.subtract_bg else mean_raw
+        rows.append({
+            "File": s_tag,
+            "Cell_ID": cell,
+            "Category": category,
+            "Area_px": area,
+            "Area_um2": area * cfg.px_size ** 2,
+            "Mean_Intensity_Raw": mean_raw,
+            "Mean_Intensity_Corr": mean_corr,
+            "Int_Density_Raw": mean_raw * area,
+            "Int_Density_Corr": mean_corr * area,
+            "Background_Level": bg,
+            "Used_Alpha": cfg.alpha,
+            "Global_Threshold": th_val,
+            "Min_Area_Setting": cfg.min_area_um,
+            "Max_Area_Setting": cfg.max_area_um,
+            "Close_Radius_Setting": cfg.close_radius,
+            "Subtract_BG_Setting": cfg.subtract_bg,
+        })
+    return rows
+
+
+def run_fa_batched(
+    img_dir: str,
+    roi_dir: str,
+    out_root: str,
+    cfg: FaConfig,
+    log=print,
+    batch_size: int = 4,
+    mesh=None,
+    prefetch_workers: int = 8,
+) -> Dict[str, pd.DataFrame]:
+    """Streaming batched FA tables (same outputs as :func:`run_fa_batch`):
+    prefetch-thread decode overlaps device compute, frames chunk into ONE
+    fused dispatch (global stats + threshold + per-cell chain,
+    :func:`fa_batched_step`), optionally sharded over a ``Mesh`` — the
+    TPU-first replacement for the reference's serial batch loop
+    (FA_Analyzer.py:939-1052).  Stages whose frame shape or ROI geometry
+    falls outside the session hints drop to the per-image path inline."""
+    from ..ops.roistats import choose_tile, pad_local_polys, tile_offsets
+    from ..parallel.runner import PrefetchLoader, stream_batches
+
+    indiv_dir = os.path.join(out_root, "individual_results")
+    os.makedirs(indiv_dir, exist_ok=True)
+    pairs = list_fa_pairs(img_dir, roi_dir, cfg.channel)
+    results: Dict[str, pd.DataFrame] = {}
+    margin = cfg.close_radius + 1
+
+    def _load(pair):
+        img_path, json_path, s_tag = pair
+        img = tiffio.read_2d(img_path, dtype=None, squeeze="smallest_axis")
+        return s_tag, img, _load_rois(json_path)
+
+    loader = PrefetchLoader(_load, pairs, workers=max(1, prefetch_workers))
+
+    if mesh is not None:
+        n_dev = len(mesh.devices.ravel())
+        batch_size = max(batch_size, n_dev)
+        batch_size -= batch_size % n_dev
+
+    hint: Dict[str, int] = {}
+    step_cache: Dict[tuple, object] = {}
+
+    def step_for(tile, nb, vb):
+        key = (tile, nb, vb)
+        if key not in step_cache:
+            kw = dict(tile=tile, close_radius=int(cfg.close_radius),
+                      max_labels=cfg.max_fa_per_cell,
+                      do_remove_small=cfg.min_px > 0)
+            step_cache[key] = (sharded_fa_batched_step(mesh, **kw)
+                               if mesh is not None
+                               else partial(fa_batched_step, **kw))
+        return step_cache[key]
+
+    def _write_stage(s_tag, file_rows):
+        if not file_rows:
+            return
+        df = pd.DataFrame(file_rows)[FA_CSV_COLS]
+        df.to_csv(os.path.join(indiv_dir, f"{s_tag}_results.csv"),
+                  index=False)
+        results[s_tag] = df
+
+    def run_serial(entry):
+        s_tag, img, rois = entry
+        fa_rows, th_val, bg, _ = analyze_image(img, rois, cfg)
+        _write_stage(s_tag, _fa_file_rows(
+            s_tag, ((fa["cell"], fa["area"], fa["mean_int_raw"])
+                    for fa in fa_rows), th_val, bg, cfg))
+
+    sig = None
+
+    def classify(item):
+        nonlocal sig
+        s_tag, img, rois = item
+        log(t("fa_processing").format(tag=s_tag))
+        if not rois:
+            return "skip", None
+        H, W = img.shape
+        tile = choose_tile(rois, H, W, margin=margin)
+        if sig is None and tile is not None:
+            sig = img.shape
+            hint.setdefault("tile", tile)
+            hint.setdefault("nb", _bucket(len(rois)))
+            hint.setdefault("vb", _bucket(max(len(p) for p in rois), 32))
+        if (img.shape != sig or tile is None or tile > hint["tile"]
+                or len(rois) > hint["nb"]
+                or max(len(p) for p in rois) > hint["vb"]):
+            return "serial", item
+        return "batch", item
+
+    def dispatch(chunk):
+        tile, nb, vb = hint["tile"], hint["nb"], hint["vb"]
+        B = len(chunk)
+        pad_b = batch_size if mesh is not None else B
+        H, W = chunk[0][1].shape
+        imgs_b = np.zeros((pad_b, H, W), chunk[0][1].dtype)
+        lp_b = np.zeros((pad_b, nb, vb, 2), np.float32)
+        off_b = np.zeros((pad_b, nb, 2), np.int32)
+        val_b = np.zeros((pad_b, nb), bool)
+        for bi, (s_tag, img, rois) in enumerate(chunk):
+            imgs_b[bi] = img
+            offs = tile_offsets(rois, H, W, tile, margin=margin)
+            lp, off_pad, valid = pad_local_polys(rois, offs, nb, vb)
+            lp_b[bi], off_b[bi], val_b[bi] = lp, off_pad, valid
+        flat = step_for(tile, nb, vb)(
+            jnp.asarray(imgs_b), jnp.asarray(lp_b), jnp.asarray(off_b),
+            jnp.asarray(val_b), jnp.float32(cfg.alpha),
+            jnp.float32(cfg.min_px))
+        try:
+            # start the device->host result copy while the next chunk decodes
+            flat.copy_to_host_async()
+        except AttributeError:
+            pass
+        return chunk, flat
+
+    def finalize(rec):
+        chunk, flat = rec
+        props, n_labels, scal = unpack_fa_flat(
+            np.asarray(flat), hint["nb"], cfg.max_fa_per_cell)
+        for bi, (s_tag, _, rois) in enumerate(chunk):
+            _m, _s, bg, th_val = (float(v) for v in scal[bi])
+            fa_iter = ((i + 1, float(props["area"][bi, i, r]),
+                        float(props["mean"][bi, i, r]))
+                       for i in range(len(rois))
+                       for r in range(int(n_labels[bi, i])))
+            _write_stage(s_tag, _fa_file_rows(s_tag, fa_iter, th_val, bg,
+                                              cfg))
+
+    stream_batches(
+        loader, batch_size, classify, dispatch, finalize, run_serial,
+        lambda err: log(t("err_worker").format(key=err.item[2],
+                                               error=err.error)),
+    )
+
     if cfg.do_master_report and results:
         merge_fa_report(out_root, cfg.master_name, log=log)
     return results

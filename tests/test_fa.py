@@ -139,6 +139,63 @@ def test_fa_batch_csv_schema_and_master(tmp_path):
     assert fs[0][:4] == ["File", "OK", "Large", "Small"]
 
 
+def _fa_experiment(tmp_path, n_stages=5):
+    img_dir = tmp_path / "imgs"
+    roi_dir = tmp_path / "roi"
+    img_dir.mkdir()
+    roi_dir.mkdir()
+    for s in range(1, n_stages + 1):
+        img, rois = _synthetic_cell_image(s)
+        tiffio.write_tiff16(str(img_dir / f"S{s:02d}_0.tif"),
+                            img.astype(np.uint16))
+        roiio.save_roi_bundle(str(roi_dir / f"S{s:02d}.json"), f"S{s:02d}",
+                              img.shape, rois)
+    return img_dir, roi_dir
+
+
+def test_fa_batched_matches_serial(tmp_path):
+    """The streaming batched FA runner (fused global-stats + per-cell
+    chain, one dispatch per chunk) reproduces run_fa_batch's CSVs
+    EXACTLY, including with a chunk size that doesn't divide the stage
+    count."""
+    from imageprocess_tpu.pipelines.fa import run_fa_batched
+
+    img_dir, roi_dir = _fa_experiment(tmp_path)
+    cfg = FaConfig(channel=0, alpha=2.0, min_area_um=0.5, max_area_um=5.0)
+    r1 = run_fa_batch(str(img_dir), str(roi_dir), str(tmp_path / "o1"), cfg,
+                      log=lambda *_: None)
+    r2 = run_fa_batched(str(img_dir), str(roi_dir), str(tmp_path / "o2"),
+                        cfg, log=lambda *_: None, batch_size=2)
+    assert sorted(r1) == sorted(r2) and len(r1) == 5
+    for k in r1:
+        pd.testing.assert_frame_equal(r1[k].reset_index(drop=True),
+                                      r2[k].reset_index(drop=True))
+    assert (tmp_path / "o2" / "FA_Results_Master.xlsx").exists()
+
+
+def test_fa_batched_sharded_matches_serial(tmp_path):
+    """FA tables sharded over the 8-device test mesh == serial rows (DP
+    over stages, the FA analogue of the intensity/FRET sharded paths)."""
+    import jax
+
+    from imageprocess_tpu.parallel.runner import make_mesh
+    from imageprocess_tpu.pipelines.fa import run_fa_batched
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs the multi-device CPU mesh")
+    img_dir, roi_dir = _fa_experiment(tmp_path, n_stages=6)
+    cfg = FaConfig(channel=0, alpha=2.0, min_area_um=0.5, max_area_um=5.0)
+    r1 = run_fa_batch(str(img_dir), str(roi_dir), str(tmp_path / "o1"), cfg,
+                      log=lambda *_: None)
+    r2 = run_fa_batched(str(img_dir), str(roi_dir), str(tmp_path / "o2"),
+                        cfg, log=lambda *_: None, batch_size=4,
+                        mesh=make_mesh(4))
+    assert sorted(r1) == sorted(r2)
+    for k in r1:
+        pd.testing.assert_frame_equal(r1[k].reset_index(drop=True),
+                                      r2[k].reset_index(drop=True))
+
+
 def test_fa_save_ok_only(tmp_path):
     img, rois = _synthetic_cell_image(0)
     cfg = FaConfig(alpha=2.0, min_area_um=0.5, max_area_um=1.0,  # most Large
