@@ -18,6 +18,7 @@ equivalent of the reference's ProcessPoolExecutor, SURVEY §2.3).
 from __future__ import annotations
 
 import os
+import threading
 import time
 from dataclasses import dataclass, field
 from functools import partial
@@ -480,9 +481,18 @@ def run_intensity_batched(
     # pack = host numpy batching, upload = jnp.asarray + dispatch enqueue,
     # fetch = the device->host result round trip).
     tm: Optional[Dict[str, float]] = (
-        dict.fromkeys(("load_wait", "pack", "upload", "fetch", "emit", "xls"),
+        dict.fromkeys(("load_wait", "pack", "upload", "fetch", "emit", "xls",
+                       "ld_decode", "ld_bg", "ld_gather", "ld_upload"),
                       0.0)
         if os.environ.get("IP_TIMING") else None)
+    tm_lock = threading.Lock() if tm is not None else None
+
+    def _tm_add(phase: str, dt: float) -> None:
+        # ld_* phases accumulate CPU seconds ACROSS prefetch threads (their
+        # sum can exceed wall time on a multi-core host; on this 1-core box
+        # it decomposes load_wait)
+        with tm_lock:
+            tm[phase] += dt
 
     tile_hint: Dict[str, int] = {}
 
@@ -494,12 +504,18 @@ def run_intensity_batched(
         # ROIs outgrow it is re-gathered by dispatch (rare — ROI sizes are
         # homogeneous within an experiment).
         key = kv[0]
+        t0 = time.perf_counter() if tm is not None else 0.0
         stid, payload = load_key(key, kv[1], roi_dir, cfg)
+        if tm is not None:
+            _tm_add("ld_decode", time.perf_counter() - t0)
         bgs = None
         pre = None
         if use_tiles and not isinstance(payload, str):
             chs, imgs, polys, _ = payload
+            t0 = time.perf_counter() if tm is not None else 0.0
             bgs = _host_bg(imgs, chs)
+            if tm is not None:
+                _tm_add("ld_bg", time.perf_counter() - t0)
             if polys is not None:
                 H, W = imgs.shape[1:]
                 t_need = choose_tile(polys, H, W)
@@ -519,8 +535,12 @@ def run_intensity_batched(
                     # the key's rows entirely
                     if (t_need <= t_used <= min(H, W)
                             and len(polys) <= nb_used):
+                        t0 = time.perf_counter() if tm is not None else 0.0
                         offs = tile_offsets(polys, H, W, t_used)
                         tiles = gather_tiles(imgs, offs, nb_used, t_used)
+                        if tm is not None:
+                            _tm_add("ld_gather", time.perf_counter() - t0)
+                            t0 = time.perf_counter()
                         # upload from the prefetch thread: the tile bytes
                         # (the bulk of the link traffic) then cross the wire
                         # DURING the decode phase instead of serializing
@@ -530,6 +550,8 @@ def run_intensity_batched(
                             tiles = jax.device_put(tiles)
                         except Exception:
                             pass  # stays host-side; dispatch re-gathers/pads
+                        if tm is not None:
+                            _tm_add("ld_upload", time.perf_counter() - t0)
                         pre = (t_used, tiles, offs)
         return key, (stid, payload), bgs, pre
 
