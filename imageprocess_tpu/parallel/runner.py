@@ -201,6 +201,8 @@ def stream_batches(loader, batch_size: int, classify, dispatch, emit,
     entries flush, then the in-flight batch drains, before a serial key's
     rows are emitted — the reference reports are key-ordered).
 
+    - batch_size: target chunk length — an int, or a zero-arg callable
+      re-read before each chunk boundary (chunk-size auto-scaling)
     - classify(item) -> ("batch", entry) | ("serial", entry) | ("skip", _)
     - dispatch(entries) -> opaque record, or None when the chunk can't take
       the batch program (its entries are then serialized in order)
@@ -208,6 +210,7 @@ def stream_batches(loader, batch_size: int, classify, dispatch, emit,
     - serial(entry): per-key fallback
     - on_error(LoadError): log-and-skip
     """
+    size = batch_size if callable(batch_size) else (lambda: batch_size)
     buf = []
     pending = None
 
@@ -244,7 +247,7 @@ def stream_batches(loader, batch_size: int, classify, dispatch, emit,
             serial(entry)
             continue
         buf.append(entry)
-        if len(buf) == batch_size:
+        if len(buf) >= size():
             flush()
     flush()
     drain()
@@ -262,6 +265,11 @@ class PrefetchLoader:
         self._items = list(items)
         self._workers = workers
         self._ahead = ahead
+        #: decoded-and-waiting item count as of the last yield — consumers
+        #: use this as the backpressure signal for chunk-size auto-scaling
+        #: (decode running ahead of the device means bigger dispatches
+        #: amortize the per-dispatch floor at no extra latency)
+        self.ready = 0
 
     def __iter__(self) -> Iterator:
         with cf.ThreadPoolExecutor(self._workers) as pool:
@@ -279,6 +287,7 @@ class PrefetchLoader:
                     futures.append(pool.submit(self._load, next(it)))
                 except StopIteration:
                     pass
+                self.ready = sum(f.done() for f in futures)
                 try:
                     yield fut.result()
                 except Exception as e:  # noqa: BLE001 - surfaced to caller

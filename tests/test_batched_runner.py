@@ -59,6 +59,75 @@ def test_batched_matches_serial(timelapse_folder, tmp_path):
                 assert r[k] == v, k
 
 
+def test_chunk_autoscale_grows_and_stays_correct(tmp_path):
+    """When decode runs ahead of the device (always true for tiny frames on
+    CPU), the runner doubles the frames-per-dispatch; rows still match the
+    serial runner exactly."""
+    from imageprocess_tpu.parallel import runner as runner_mod
+
+    folder = tmp_path / "exp"
+    rng = np.random.default_rng(1)
+    H, W = 160, 192
+    polys = [np.array([[15, 15], [60, 18], [55, 70], [12, 66]], float)]
+    for t in range(24):
+        for ch in (1,):
+            tiffio.write_tiff16(str(folder / f"S01_t{t:02d}_{ch}.TIF"),
+                                rng.integers(10, 3000, (H, W)).astype(np.uint16))
+        roiio.save_roi_bundle(str(folder / "roi" / f"S01_t{t:02d}.json"),
+                              f"S01_t{t:02d}", (H, W), polys)
+    cfg = IntensityConfig(channels=(1,), timelapse=True, do_xls=False)
+    serial = run_intensity(str(folder), cfg, out_root=str(tmp_path / "s"),
+                           log=lambda *_: None)
+
+    chunk_lens = []
+    orig = runner_mod.stream_batches
+
+    def spy(loader, batch_size, classify, dispatch, emit, serial_fb, on_err):
+        def dispatch_spy(chunk):
+            chunk_lens.append(len(chunk))
+            return dispatch(chunk)
+        return orig(loader, batch_size, classify, dispatch_spy, emit,
+                    serial_fb, on_err)
+
+    # the pipeline imports stream_batches at call time, so patching the
+    # runner module name is enough
+    import unittest.mock as mock
+    with mock.patch.object(runner_mod, "stream_batches", spy):
+        batched = run_intensity_batched(
+            str(folder), cfg, out_root=str(tmp_path / "b"),
+            log=lambda *_: None, batch_size=2)
+    assert len(batched) == len(serial) == 24
+    # the chunk size grew beyond the requested 2 at least once
+    assert max(chunk_lens) > 2, chunk_lens
+    sd = {_key(r): r for r in serial}
+    for r in batched:
+        ref = sd[_key(r)]
+        for k, v in ref.items():
+            if isinstance(v, float) and not np.isnan(v):
+                assert abs(r[k] - v) <= 1e-5 * max(abs(v), 1e-9), (k, r[k], v)
+
+
+def test_stream_batches_callable_size():
+    """stream_batches re-reads a callable batch size at chunk boundaries."""
+    from imageprocess_tpu.parallel.runner import stream_batches
+
+    sizes = {"bs": 2}
+    chunks, emitted = [], []
+    stream_batches(
+        list(range(10)), lambda: sizes["bs"],
+        classify=lambda x: ("batch", x),
+        dispatch=lambda c: (chunks.append(list(c)), c)[1],
+        emit=lambda rec: (emitted.extend(rec),
+                          sizes.__setitem__("bs", sizes["bs"] * 2)),
+        serial=lambda e: emitted.append(e),
+        on_error=lambda e: None,
+    )
+    assert emitted == list(range(10))
+    assert chunks[0] == [0, 1]          # initial size 2
+    assert len(chunks[1]) >= 2          # grew after the first emit
+    assert max(len(c) for c in chunks) > 2
+
+
 def test_batched_single_full_chunk(timelapse_folder, tmp_path):
     """batch_size == number of keys: exactly one in-flight batch whose
     finalize happens after the loader is drained (regression: the in-flight
