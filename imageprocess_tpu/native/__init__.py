@@ -99,6 +99,13 @@ def _declare(lib) -> None:
         ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
     ]
     lib.ip_tiff_decode_batch.restype = ctypes.c_int
+    lib.ip_tiff_decode_batch_hist.argtypes = [
+        ctypes.POINTER(ctypes.c_char_p), ctypes.c_int, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_longlong,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_longlong, ctypes.POINTER(ctypes.c_uint32),
+    ]
+    lib.ip_tiff_decode_batch_hist.restype = ctypes.c_int
     lib.ip_u16_percentile_strided.argtypes = [
         ctypes.POINTER(ctypes.c_uint16), ctypes.c_longlong,
         ctypes.c_longlong, ctypes.c_int,
@@ -119,6 +126,17 @@ def decode_tiff_batch(paths, page: int = 0) -> Optional[np.ndarray]:
     mismatch rather than decoding into a misaligned slot.  Returns None
     when the native library is unavailable or any file is unsupported —
     callers fall back to per-file decode."""
+    out = decode_tiff_batch_hist(paths, 0, page=page)
+    return None if out is None else out[0]
+
+
+def decode_tiff_batch_hist(paths, hist_stride: int, page: int = 0):
+    """:func:`decode_tiff_batch` plus, when *hist_stride* >= 1 and the
+    files are 16-bit single-sample, a per-file strided counting histogram
+    of ``frame.ravel()[::hist_stride]`` accumulated DURING the decode pass
+    (the background percentile rides the decoder's cache-hot rows — no
+    second frame scan).  Returns (frames, hists (N, 65536) u32 or None),
+    or None entirely when the native path is unavailable."""
     lib = _load()
     if lib is None or not paths:
         return None
@@ -134,16 +152,22 @@ def decode_tiff_batch(paths, page: int = 0) -> Optional[np.ndarray]:
     frame_shape = ((h.value, w.value) if samples.value == 1
                    else (h.value, w.value, samples.value))
     out = np.empty((len(paths),) + frame_shape, dtype=dtype)
+    want_hist = (hist_stride >= 1 and bits.value == 16
+                 and samples.value == 1)
+    hists = np.zeros((len(paths), 65536), np.uint32) if want_hist else None
     arr = (ctypes.c_char_p * len(paths))(*[p.encode() for p in paths])
-    rc = lib.ip_tiff_decode_batch(
+    rc = lib.ip_tiff_decode_batch_hist(
         arr, len(paths), page,
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
         out.nbytes // len(paths),
         h.value, w.value, bits.value, samples.value,
+        int(hist_stride) if want_hist else 0,
+        hists.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32))
+        if want_hist else None,
     )
     if rc != 0:
         return None
-    return out
+    return out, hists
 
 
 def u16_percentile_strided(arr: np.ndarray, stride: int, p1000: int) -> float:

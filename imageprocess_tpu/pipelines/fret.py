@@ -205,13 +205,19 @@ def build_fret_pairs(folder: str, cfg: FretConfig):
     return pairs
 
 
-def load_pair(key, dpath, apath, roi_dir, cfg: FretConfig):
+def load_pair(key, dpath, apath, roi_dir, cfg: FretConfig,
+              with_hists: bool = False):
     """Host side: decode both channels (native batch call when available)
-    + load ROI polygons."""
+    + load ROI polygons.  With *with_hists*, additionally returns the
+    decoder's fused full-frame u16 histograms (or None) as a 4th element —
+    the FRET bg/eps scalars cost no second frame scan."""
+    hists = None
     try:
-        from ..native import decode_tiff_batch
+        from ..native import decode_tiff_batch_hist
 
-        both = decode_tiff_batch([dpath, apath])
+        res = decode_tiff_batch_hist([dpath, apath],
+                                     1 if with_hists else 0)
+        both, hists = res if res is not None else (None, None)
     except Exception:
         both = None
     if both is not None and both.ndim == 3:
@@ -219,6 +225,15 @@ def load_pair(key, dpath, apath, roi_dir, cfg: FretConfig):
     else:
         D = tiffio.read_2d(dpath, dtype=None)
         A = tiffio.read_2d(apath, dtype=None)
+        hists = None
+    if with_hists:
+        base = naming.find_roi_basepath(
+            roi_dir, os.path.basename(dpath), cfg.timelapse, cfg.grammar,
+            exts=(".json",),
+        )
+        polys = (roiio.load_roi_polygons(base + ".json")
+                 if os.path.exists(base + ".json") else None)
+        return D, A, polys or None, hists
     base = naming.find_roi_basepath(
         roi_dir, os.path.basename(dpath), cfg.timelapse, cfg.grammar,
         exts=(".json",),
@@ -382,7 +397,8 @@ def run_fret(
 # minimum-transfer batched runner (tables-only)
 # --------------------------------------------------------------------------
 
-def _host_fret_scalars(D: np.ndarray, A: np.ndarray, cfg: FretConfig):
+def _host_fret_scalars(D: np.ndarray, A: np.ndarray, cfg: FretConfig,
+                       hists=None):
     """(bg_donor, bg_acceptor, eps) computed host-side for u16 frames.
 
     Backgrounds use the native exact counting percentile (stride=1, the
@@ -390,7 +406,10 @@ def _host_fret_scalars(D: np.ndarray, A: np.ndarray, cfg: FretConfig):
     bg-corrected DENOMINATOR over the full frame): the correction is a
     monotone transform, so the exact raw-u16 order statistics are
     transformed first and np.percentile-interpolated after — identical to
-    sorting the corrected frame (fret_ratio_builder.py:338-340)."""
+    sorting the corrected frame (fret_ratio_builder.py:338-340).
+
+    *hists*: optional (2, 65536) decoder-fused histograms [D, A] — when
+    present no frame scan happens here at all."""
     from ..native import hist_order_stats, percentile_from_hist, u16_hist
 
     flip = cfg.ratio_mode != "FRET/Donor"
@@ -400,8 +419,11 @@ def _host_fret_scalars(D: np.ndarray, A: np.ndarray, cfg: FretConfig):
     # and (for the denominator) the eps quantile; with bg_mode="none" only
     # the denominator's histogram is needed at all
     need_bg = cfg.bg_mode != "none"
-    hist_d = u16_hist(D) if (need_bg or not flip) else None
-    hist_a = u16_hist(A) if (need_bg or flip) else None
+    if hists is not None:
+        hist_d, hist_a = hists[0], hists[1]
+    else:
+        hist_d = u16_hist(D) if (need_bg or not flip) else None
+        hist_a = u16_hist(A) if (need_bg or flip) else None
     if need_bg:
         bgd = percentile_from_hist(hist_d, p1000_of(d_p))
         bga = percentile_from_hist(hist_a, p1000_of(a_p))
@@ -517,8 +539,9 @@ def run_fret_batched(
 
     def _load(kv):
         key, dpath, apath = kv
-        D, A, polys = load_pair(key, dpath, apath, roi_dir, cfg)
-        scalars = (_host_fret_scalars(D, A, cfg)
+        D, A, polys, hists = load_pair(key, dpath, apath, roi_dir, cfg,
+                                       with_hists=True)
+        scalars = (_host_fret_scalars(D, A, cfg, hists=hists)
                    if (polys and D.dtype == np.uint16
                        and A.dtype == np.uint16) else None)
         pre = None

@@ -234,9 +234,15 @@ def load_key(
     chmap: Dict[int, str],
     roi_dir: str,
     cfg: IntensityConfig,
+    hist_stride: Optional[int] = None,
 ):
     """Host side of one (stage, time) key: TIFF decode + ROI load.
-    Returns (stid, chs, imgs, polys, union_mask) or (stid, skip_log)."""
+    Returns (stid, chs, imgs, polys, union_mask) or (stid, skip_log).
+
+    With *hist_stride* set, returns a third element: per-channel strided
+    u16 counting histograms accumulated by the decoder itself (None when
+    the native fused path didn't run) — the batched runner's background
+    percentiles come from these at zero extra frame scans."""
     s, t_code = key
     stid = s if t_code is None else f"{s}_{t_code}"
     chs, paths = [], []
@@ -246,27 +252,34 @@ def load_key(
             chs.append(ch)
             paths.append(p)
     if not chs:
-        return stid, t("log_no_ch").format(stid=stid)
+        out = (stid, t("log_no_ch").format(stid=stid))
+        return out if hist_stride is None else out + (None,)
     # preserve the on-disk dtype (u16): halves host->device transfer; the
     # device step casts to f32 on-chip.  One native batch call decodes all
     # channels with an in-C++ thread pool when available.
     imgs = None
+    hists = None
     try:
-        from ..native import decode_tiff_batch
+        from ..native import decode_tiff_batch_hist
 
-        imgs = decode_tiff_batch(paths)
+        res = decode_tiff_batch_hist(paths, hist_stride or 0)
+        if res is not None:
+            imgs, hists = res
     except Exception:
         imgs = None
     if imgs is None or imgs.ndim != 3:
         imgs = np.stack([tiffio.read_2d(p, dtype=None) for p in paths])
+        hists = None
     H, W = imgs.shape[1:]
     base = naming.find_roi_basepath(
         roi_dir, os.path.basename(paths[0]), cfg.timelapse, cfg.grammar
     )
     polys, union_mask = roiio.load_polys_or_mask(base, (H, W))
     if polys is None and union_mask is None and cfg.skip_no_roi:
-        return stid, t("log_no_roi").format(stid=stid)
-    return stid, (chs, imgs, polys, union_mask)
+        out = (stid, t("log_no_roi").format(stid=stid))
+        return out if hist_stride is None else out + (None,)
+    out = (stid, (chs, imgs, polys, union_mask))
+    return out if hist_stride is None else out + (hists,)
 
 
 def submit_key(
@@ -456,11 +469,13 @@ def run_intensity_batched(
                      else partial(batched_tile_stats_step,
                                   clip_neg=cfg.clip_neg))
 
-    def _host_bg(imgs: np.ndarray, chs) -> np.ndarray:
+    def _host_bg(imgs: np.ndarray, chs, hists=None) -> np.ndarray:
         """Per-channel background, host-side (exact np.percentile of the
         strided subsample — the reference's own semantics,
-        Fluor_INT.py:461-492)."""
-        from ..native import u16_percentile_strided
+        Fluor_INT.py:461-492).  When the decoder already accumulated the
+        strided histograms (*hists*), the percentile is a 65536-bin lookup
+        — no frame scan at all."""
+        from ..native import percentile_from_hist, u16_percentile_strided
 
         C = imgs.shape[0]
         bgs = np.zeros(C, np.float32)
@@ -468,7 +483,9 @@ def run_intensity_batched(
             return bgs
         for ci, ch in enumerate(chs):
             p1000 = p1000_of(cfg.per_channel_p.get(ch, cfg.percentile))
-            if imgs.dtype == np.uint16:
+            if hists is not None:
+                bgs[ci] = percentile_from_hist(hists[ci], p1000)
+            elif imgs.dtype == np.uint16:
                 bgs[ci] = u16_percentile_strided(imgs[ci], cfg.bg_stride, p1000)
             else:
                 vals = imgs[ci].ravel()[::max(1, cfg.bg_stride)]
@@ -505,7 +522,16 @@ def run_intensity_batched(
         # homogeneous within an experiment).
         key = kv[0]
         t0 = time.perf_counter() if tm is not None else 0.0
-        stid, payload = load_key(key, kv[1], roi_dir, cfg)
+        # percentile backgrounds ride the decoder's own histogram pass
+        # (fused: no second frame scan); other modes take the plain path
+        fuse_hist = use_tiles and cfg.bg_mode == "percentile"
+        if fuse_hist:
+            stid, payload, hists = load_key(
+                key, kv[1], roi_dir, cfg,
+                hist_stride=max(1, cfg.bg_stride))
+        else:
+            stid, payload = load_key(key, kv[1], roi_dir, cfg)
+            hists = None
         if tm is not None:
             _tm_add("ld_decode", time.perf_counter() - t0)
         bgs = None
@@ -513,7 +539,7 @@ def run_intensity_batched(
         if use_tiles and not isinstance(payload, str):
             chs, imgs, polys, _ = payload
             t0 = time.perf_counter() if tm is not None else 0.0
-            bgs = _host_bg(imgs, chs)
+            bgs = _host_bg(imgs, chs, hists)
             if tm is not None:
                 _tm_add("ld_bg", time.perf_counter() - t0)
             if polys is not None:

@@ -398,8 +398,24 @@ int validate_page(const TiffPage& pg, std::string* err) {
 // Decode one parsed page into out.  max_threads==1 runs inline (used by the
 // batch call, whose parallelism is per-file); otherwise strips fan out over
 // up to hardware_concurrency threads.
+//
+// When hist != nullptr (65536 caller-zeroed bins) and the page is 16-bit,
+// a strided histogram of the flat pixel sequence out[::hist_stride] is
+// accumulated DURING the per-strip pass — the rows are still cache-hot
+// from the LZW/predictor write, so the host background percentile costs
+// no second 6 MB scan (the separate u16 counting pass it replaces).
+void accumulate_row_hist(const uint8_t* row_bytes, uint32_t width,
+                         size_t flat_start, long long stride,
+                         uint32_t* hist) {
+    const uint16_t* px = reinterpret_cast<const uint16_t*>(row_bytes);
+    size_t first = (size_t)((stride - (long long)(flat_start % stride)) %
+                            stride);
+    for (size_t c = first; c < width; c += (size_t)stride) ++hist[px[c]];
+}
+
 int decode_page(const Reader& r, const TiffPage& pg, uint8_t* out,
-                long long out_bytes, unsigned max_threads, std::string* err) {
+                long long out_bytes, unsigned max_threads, std::string* err,
+                uint32_t* hist = nullptr, long long hist_stride = 0) {
     size_t bytes_per_px = (pg.bits / 8) * pg.samples;
     size_t row_bytes = (size_t)pg.width * bytes_per_px;
     size_t need = row_bytes * pg.height;
@@ -416,6 +432,14 @@ int decode_page(const Reader& r, const TiffPage& pg, uint8_t* out,
 
     auto work = [&](size_t tid) {
         std::string werr;
+        // multi-threaded histogram accumulation goes to per-thread bins,
+        // merged once under the mutex at the end of the thread's strips
+        std::vector<uint32_t> local_hist;
+        uint32_t* h = hist;
+        if (hist && n_threads > 1) {
+            local_hist.assign(65536, 0);
+            h = local_hist.data();
+        }
         for (size_t s = tid; s < n_strips; s += n_threads) {
             uint32_t row0 = (uint32_t)(s * pg.rows_per_strip);
             if (row0 >= pg.height) continue;
@@ -462,6 +486,17 @@ int decode_page(const Reader& r, const TiffPage& pg, uint8_t* out,
                     undo_predictor(dst + row_bytes * rr, pg.width, pg.bits,
                                    pg.samples);
             }
+            if (hist && pg.bits == 16 && pg.samples == 1 &&
+                hist_stride >= 1) {
+                for (uint32_t rr = 0; rr < rows; ++rr)
+                    accumulate_row_hist(
+                        dst + row_bytes * rr, pg.width,
+                        (size_t)(row0 + rr) * pg.width, hist_stride, h);
+            }
+        }
+        if (!local_hist.empty()) {
+            std::lock_guard<std::mutex> g(err_mu);
+            for (int v = 0; v < 65536; ++v) hist[v] += local_hist[v];
         }
     };
 
@@ -552,15 +587,21 @@ void ip_u16_hist(const uint16_t* buf, long long n_total, long long stride,
     for (long long i = 0; i < n_total; i += stride) ++hist[buf[i]];
 }
 
-int ip_tiff_decode_batch(const char** paths, int n_files, int page,
-                         uint8_t* out, long long frame_bytes,
-                         int height, int width, int bits, int samples) {
+int ip_tiff_decode_batch_hist(const char** paths, int n_files, int page,
+                              uint8_t* out, long long frame_bytes,
+                              int height, int width, int bits, int samples,
+                              long long hist_stride, uint32_t* hists) {
     // Decode n same-shaped files into one contiguous buffer, one worker
     // thread per file; the per-file strip decode runs single-threaded so
     // the pool never oversubscribes (file-level parallelism is the right
     // granularity for whole-experiment loads).  Each file's shape must
     // match (height, width, bits, samples) — a smaller frame decoding into
     // a larger slot would silently misalign rows.
+    //
+    // When hists != nullptr (n_files x 65536 caller-zeroed bins) and
+    // hist_stride >= 1, each 16-bit file also accumulates the strided
+    // histogram of its flat pixels during the decode pass — the host
+    // background/eps percentiles then cost no second frame scan.
     std::atomic<int> rc{0};
     std::atomic<int> next{0};
     std::mutex err_mu;
@@ -587,7 +628,9 @@ int ip_tiff_decode_batch(const char** paths, int n_files, int page,
             }
             if (frc == 0)
                 frc = decode_page(r, pg, out + (long long)i * frame_bytes,
-                                  frame_bytes, 1, &err);
+                                  frame_bytes, 1, &err,
+                                  hists ? hists + (size_t)i * 65536 : nullptr,
+                                  hist_stride);
             if (frc != 0) {
                 rc = frc;
                 std::lock_guard<std::mutex> g(err_mu);
@@ -606,6 +649,14 @@ int ip_tiff_decode_batch(const char** paths, int n_files, int page,
     // propagate worker error text to the calling thread's error slot
     if (rc.load() != 0) g_error = first_err;
     return rc.load();
+}
+
+int ip_tiff_decode_batch(const char** paths, int n_files, int page,
+                         uint8_t* out, long long frame_bytes,
+                         int height, int width, int bits, int samples) {
+    return ip_tiff_decode_batch_hist(paths, n_files, page, out, frame_bytes,
+                                     height, width, bits, samples, 0,
+                                     nullptr);
 }
 
 }  // extern "C"

@@ -201,3 +201,32 @@ def test_u16_hist_percentile_parity():
             want = float(np.percentile(
                 arr.ravel()[::stride].astype(np.float64), p1000 / 1000.0))
             assert got == pytest.approx(want, abs=1e-9), (stride, p1000)
+
+
+def test_decode_batch_hist_fused(tmp_path, rng):
+    """The decoder's fused strided histogram (accumulated during the
+    per-strip pass) equals np.bincount of frame.ravel()[::stride], for
+    strides that do and don't divide the row width."""
+    from PIL import Image
+
+    from imageprocess_tpu.native import decode_tiff_batch, decode_tiff_batch_hist
+
+    paths = []
+    for k, (H, W) in enumerate([(96, 128), (61, 77)]):
+        img = rng.integers(0, 65536, (H, W)).astype(np.uint16)
+        p = str(tmp_path / f"f{k}.tif")
+        Image.fromarray(img).save(p, format="TIFF", compression="tiff_lzw")
+        paths.append(p)
+    for stride in (1, 3, 4):
+        for p in paths:  # per-file (shapes differ -> separate batch calls)
+            out = decode_tiff_batch_hist([p], stride)
+            if out is None:
+                pytest.skip("native library unavailable")
+            frames, hists = out
+            want = np.bincount(frames[0].ravel()[::stride],
+                               minlength=65536).astype(np.uint32)
+            assert np.array_equal(hists[0], want), (p, stride)
+    # stride 0 = no histogram requested; frames identical to plain batch
+    f0, h0 = decode_tiff_batch_hist([paths[0]], 0)
+    assert h0 is None
+    assert np.array_equal(f0, decode_tiff_batch([paths[0]]))
