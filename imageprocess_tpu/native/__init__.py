@@ -118,6 +118,43 @@ def _declare(lib) -> None:
     lib.ip_u16_hist.restype = None
 
 
+class FrameBufferPool:
+    """Small thread-safe free-list of decode output buffers keyed by
+    (shape, dtype).  Frames this size go through malloc's mmap path, so a
+    plain allocate-per-key loop pays an munmap + fresh-page-fault cycle
+    per frame (~200 MB/run at bench shapes); recycling keeps the pages
+    warm.  Callers ``put()`` a buffer back ONLY once nothing references
+    it — the next ``get()`` hands the same memory to a decoder that
+    overwrites every byte."""
+
+    def __init__(self, max_items: int = 64):
+        self._lock = threading.Lock()
+        self._free: dict = {}
+        self._max = max_items
+        self._count = 0
+
+    def get(self, shape, dtype) -> np.ndarray:
+        key = (tuple(shape), np.dtype(dtype).str)
+        with self._lock:
+            lst = self._free.get(key)
+            if lst:
+                self._count -= 1
+                return lst.pop()
+        return np.empty(shape, dtype)
+
+    def put(self, arr: Optional[np.ndarray]) -> None:
+        if arr is None or not isinstance(arr, np.ndarray):
+            return
+        if not arr.flags.c_contiguous or arr.base is not None:
+            return  # only whole owned buffers are recyclable
+        key = (arr.shape, arr.dtype.str)
+        with self._lock:
+            if self._count >= self._max:
+                return
+            self._free.setdefault(key, []).append(arr)
+            self._count += 1
+
+
 def decode_tiff_batch(paths, page: int = 0) -> Optional[np.ndarray]:
     """Decode N same-shaped TIFFs into one (N, H, W[, S]) array with a
     single native call (per-file thread pool in C++; per-file decode runs
@@ -130,7 +167,8 @@ def decode_tiff_batch(paths, page: int = 0) -> Optional[np.ndarray]:
     return None if out is None else out[0]
 
 
-def decode_tiff_batch_hist(paths, hist_stride: int, page: int = 0):
+def decode_tiff_batch_hist(paths, hist_stride: int, page: int = 0,
+                           pool: Optional[FrameBufferPool] = None):
     """:func:`decode_tiff_batch` plus, when *hist_stride* >= 1 and the
     files are 16-bit single-sample, a per-file strided counting histogram
     of ``frame.ravel()[::hist_stride]`` accumulated DURING the decode pass
@@ -151,7 +189,9 @@ def decode_tiff_batch_hist(paths, hist_stride: int, page: int = 0):
     dtype = np.uint16 if bits.value == 16 else np.uint8
     frame_shape = ((h.value, w.value) if samples.value == 1
                    else (h.value, w.value, samples.value))
-    out = np.empty((len(paths),) + frame_shape, dtype=dtype)
+    full_shape = (len(paths),) + frame_shape
+    out = (pool.get(full_shape, dtype) if pool is not None
+           else np.empty(full_shape, dtype=dtype))
     want_hist = (hist_stride >= 1 and bits.value == 16
                  and samples.value == 1)
     hists = np.zeros((len(paths), 65536), np.uint32) if want_hist else None

@@ -206,7 +206,7 @@ def build_fret_pairs(folder: str, cfg: FretConfig):
 
 
 def load_pair(key, dpath, apath, roi_dir, cfg: FretConfig,
-              with_hists: bool = False):
+              with_hists: bool = False, pool=None):
     """Host side: decode both channels (native batch call when available)
     + load ROI polygons.  With *with_hists*, additionally returns the
     decoder's fused full-frame u16 histograms (or None) as a 4th element —
@@ -216,7 +216,7 @@ def load_pair(key, dpath, apath, roi_dir, cfg: FretConfig,
         from ..native import decode_tiff_batch_hist
 
         res = decode_tiff_batch_hist([dpath, apath],
-                                     1 if with_hists else 0)
+                                     1 if with_hists else 0, pool=pool)
         both, hists = res if res is not None else (None, None)
     except Exception:
         both = None
@@ -226,20 +226,14 @@ def load_pair(key, dpath, apath, roi_dir, cfg: FretConfig,
         D = tiffio.read_2d(dpath, dtype=None)
         A = tiffio.read_2d(apath, dtype=None)
         hists = None
-    if with_hists:
-        base = naming.find_roi_basepath(
-            roi_dir, os.path.basename(dpath), cfg.timelapse, cfg.grammar,
-            exts=(".json",),
-        )
-        polys = (roiio.load_roi_polygons(base + ".json")
-                 if os.path.exists(base + ".json") else None)
-        return D, A, polys or None, hists
     base = naming.find_roi_basepath(
         roi_dir, os.path.basename(dpath), cfg.timelapse, cfg.grammar,
         exts=(".json",),
     )
     polys = (roiio.load_roi_polygons(base + ".json")
              if os.path.exists(base + ".json") else None)
+    if with_hists:
+        return D, A, polys or None, hists
     return D, A, polys or None
 
 
@@ -536,11 +530,16 @@ def run_fret_batched(
     a_p = cfg.fret_p if cfg.per_channel_p else cfg.percentile
 
     tile_hint: Dict[str, int] = {}
+    # recycled decode buffers (see native.FrameBufferPool): emit_rows /
+    # run_serial return each pair's (2, H, W) backing array once dead
+    from ..native import FrameBufferPool
+
+    frame_pool = FrameBufferPool()
 
     def _load(kv):
         key, dpath, apath = kv
         D, A, polys, hists = load_pair(key, dpath, apath, roi_dir, cfg,
-                                       with_hists=True)
+                                       with_hists=True, pool=frame_pool)
         scalars = (_host_fret_scalars(D, A, cfg, hists=hists)
                    if (polys and D.dtype == np.uint16
                        and A.dtype == np.uint16) else None)
@@ -593,6 +592,8 @@ def run_fret_batched(
         key, dpath, apath = kv
         rows_all.extend(process_pair(key, dpath, apath, roi_dir, cfg, {},
                                      log=log, loaded=loaded))
+        if loaded is not None:
+            frame_pool.put(loaded[0].base)  # the (2, H, W) decode buffer
 
     def emit_rows(chunk, packed):
         packed = np.asarray(packed)             # ONE fetch per chunk
@@ -626,6 +627,11 @@ def run_fret_batched(
                     "clip_neg": cfg.clip_neg,
                     "eps_p": cfg.eps_percentile,
                 })
+        for kv, (D, _A, _polys), _sc, _pre in chunk:
+            # D/A are views into one (2, H, W) decode buffer: dead past
+            # this point, recycle its pages (put() ignores a None base
+            # from the per-file PIL fallback)
+            frame_pool.put(D.base)
 
     def dispatch(chunk):
         all_p = [poly for _, (_, _, polys), _, _ in chunk for poly in polys]

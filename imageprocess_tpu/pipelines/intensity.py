@@ -235,6 +235,7 @@ def load_key(
     roi_dir: str,
     cfg: IntensityConfig,
     hist_stride: Optional[int] = None,
+    pool=None,
 ):
     """Host side of one (stage, time) key: TIFF decode + ROI load.
     Returns (stid, chs, imgs, polys, union_mask) or (stid, skip_log).
@@ -262,7 +263,7 @@ def load_key(
     try:
         from ..native import decode_tiff_batch_hist
 
-        res = decode_tiff_batch_hist(paths, hist_stride or 0)
+        res = decode_tiff_batch_hist(paths, hist_stride or 0, pool=pool)
         if res is not None:
             imgs, hists = res
     except Exception:
@@ -512,6 +513,12 @@ def run_intensity_batched(
             tm[phase] += dt
 
     tile_hint: Dict[str, int] = {}
+    # recycled decode buffers: finalize()/run_serial() return each key's
+    # frames once nothing references them, so steady state allocates zero
+    # fresh frame pages (see native.FrameBufferPool)
+    from ..native import FrameBufferPool
+
+    frame_pool = FrameBufferPool()
 
     def _load(kv):
         # decode + ROI parse, plus tile-path host work moved into the
@@ -528,7 +535,7 @@ def run_intensity_batched(
         if fuse_hist:
             stid, payload, hists = load_key(
                 key, kv[1], roi_dir, cfg,
-                hist_stride=max(1, cfg.bg_stride))
+                hist_stride=max(1, cfg.bg_stride), pool=frame_pool)
         else:
             stid, payload = load_key(key, kv[1], roi_dir, cfg)
             hists = None
@@ -633,6 +640,8 @@ def run_intensity_batched(
         for line in logs:
             log(line)
         n_done += 1
+        if not isinstance(payload, str):
+            frame_pool.put(payload[1])
 
     def dispatch(chunk):
         """Build padded arrays and launch the batch WITHOUT synchronizing."""
@@ -787,6 +796,10 @@ def run_intensity_batched(
                         ch, "Grayscale")
                 rows_all.append(row)
         n_done += len(chunk)
+        # the chunk's frames are dead past this point (tiles/results are
+        # separate arrays): recycle their pages for the next keys' decodes
+        for entry in chunk:
+            frame_pool.put(entry[2][1])
         if tm is not None:
             tm["emit"] += time.perf_counter() - t0
         _maybe_grow_chunk()
