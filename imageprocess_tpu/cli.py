@@ -194,7 +194,7 @@ def build_parser() -> argparse.ArgumentParser:
                         "fused device dispatch per chunk of stages")
     p.add_argument("--devices", type=int, default=1, metavar="N",
                    help="shard the batched stage axis over the first N "
-                        "devices (requires --batched)")
+                        "devices (implies --batched)")
     p.add_argument("--lang", default=None, choices=["en", "ko"])
 
     p = sub.add_parser("fa-tune",

@@ -345,8 +345,9 @@ def run_fa_batch(
 
 def _fa_file_rows(s_tag: str, fa_iter, th_val: float, bg: float,
                   cfg: FaConfig) -> List[dict]:
-    """CSV-schema rows for one stage from per-FA (cell, category, area,
-    mean_raw) tuples — shared by the serial and batched runners."""
+    """CSV-schema rows for one stage from per-FA (cell, area, mean_raw)
+    tuples (category is recomputed from the config's area thresholds) —
+    shared by the serial and batched runners."""
     rows = []
     for cell, area, mean_raw in fa_iter:
         category = "OK"

@@ -537,7 +537,8 @@ def run_intensity_batched(
                 key, kv[1], roi_dir, cfg,
                 hist_stride=max(1, cfg.bg_stride), pool=frame_pool)
         else:
-            stid, payload = load_key(key, kv[1], roi_dir, cfg)
+            stid, payload = load_key(key, kv[1], roi_dir, cfg,
+                                     pool=frame_pool)
             hists = None
         if tm is not None:
             _tm_add("ld_decode", time.perf_counter() - t0)
@@ -652,18 +653,18 @@ def run_intensity_batched(
         tm["pack"] += time.perf_counter() - t0  # _timed_step moves its share
         return rec
 
-    first_step = [True]
-
     def _timed_step(fn, *host_arrays):
         """Upload host arrays and enqueue the device call, timing both out
         of the enclosing pack phase."""
         t1 = time.perf_counter()
         out = fn(*(jnp.asarray(a) for a in host_arrays))
         dt = time.perf_counter() - t1
-        if first_step[0]:
-            first_step[0] = False
-            if dt > 5.0:  # jit compile of a new shape (minutes on the
-                log(t("compile_note").format(sec=dt))  # tunneled chip)
+        if dt > 5.0:
+            # jit compile of a new shape (minutes on the tunneled chip) —
+            # not gated to the first dispatch: chunk auto-growth can
+            # introduce new shapes mid-run and a silent multi-minute stall
+            # would look like a hang
+            log(t("compile_note").format(sec=dt))
         if tm is not None:
             tm["upload"] += dt
             tm["pack"] -= dt
