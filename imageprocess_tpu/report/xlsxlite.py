@@ -70,12 +70,33 @@ def _cell_xml(ref: str, value) -> str:
 
 
 def _sheet_xml(rows: Iterable[Sequence]) -> str:
+    # hot loop: exact-type fast paths for the common float/int/str cells
+    # (NaN blanks); anything exotic (numpy scalars, inf, bool) drops to
+    # _cell_xml.  Profiling showed the per-cell generic path dominated the
+    # workbook write at bench shapes.
     body: List[str] = []
+    refs = _COL_REFS
+    n_refs = len(refs)
     for r, row in enumerate(rows, 1):
-        cells = "".join(
-            _cell_xml(f"{_col_ref(c)}{r}", v) for c, v in enumerate(row)
-        )
-        body.append(f'<row r="{r}">{cells}</row>')
+        parts: List[str] = []
+        for c, v in enumerate(row):
+            if v is None:
+                continue
+            cr = refs[c] if c < n_refs else _col_ref(c)
+            tv = type(v)
+            if tv is float:
+                if v == v and not math.isinf(v):  # v == v: not NaN
+                    parts.append(f'<c r="{cr}{r}"><v>{v!r}</v></c>')
+                elif math.isinf(v):
+                    parts.append(_cell_xml(f"{cr}{r}", v))
+            elif tv is int:
+                parts.append(f'<c r="{cr}{r}"><v>{v}</v></c>')
+            elif tv is str:
+                parts.append(
+                    f'<c r="{cr}{r}" t="inlineStr"><is><t>{_esc(v)}</t></is></c>')
+            else:
+                parts.append(_cell_xml(f"{cr}{r}", v))
+        body.append(f'<row r="{r}">{"".join(parts)}</row>')
     return (
         '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
         '<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">'
@@ -161,7 +182,11 @@ def write_xlsx(path: str, sheets: Dict[str, Iterable[Sequence]]) -> None:
 
 def _df_rows(df, index: bool = False) -> List[List]:
     """pandas DataFrame -> rows of plain Python cells (NaN kept; the cell
-    writer blanks them)."""
+    writer blanks them).
+
+    Numeric columns convert through ``Series.tolist()`` (numpy's C-level
+    scalar conversion) instead of a per-cell isinstance chain — the
+    per-cell path cost dominated the workbook write at bench shapes."""
     import numpy as np
 
     def py(v):
@@ -177,16 +202,18 @@ def _df_rows(df, index: bool = False) -> List[List]:
             return None
         return v
 
+    def col_values(c):
+        s = df[c]
+        if s.dtype == object:  # mixed cells may hold stray numpy scalars
+            return [py(v) for v in s.tolist()]
+        return s.tolist()
+
+    cols = [col_values(c) for c in df.columns]
     if index:
         header = [df.index.name or ""] + [str(c) for c in df.columns]
-        rows = [header]
-        for idx, row in zip(df.index, df.itertuples(index=False)):
-            rows.append([py(idx)] + [py(v) for v in row])
-    else:
-        rows = [[str(c) for c in df.columns]]
-        for row in df.itertuples(index=False):
-            rows.append([py(v) for v in row])
-    return rows
+        return [header] + [[py(i)] + list(r)
+                           for i, r in zip(df.index, zip(*cols))]
+    return [[str(c) for c in df.columns]] + [list(r) for r in zip(*cols)]
 
 
 def read_xlsx(path: str) -> Dict[str, List[List]]:
