@@ -40,6 +40,21 @@ _SINGLE_RGB = {
 }
 
 
+
+# PNG deflate level for matplotlib savers: level 3 encodes ~2x faster than
+# PIL's default 6 for ~10% larger files — the renderers are the wall on
+# image-output workloads (docs/DESIGN.md render-share measurements)
+_PNG_KW = dict(pil_kwargs={"compress_level": 3})
+
+
+def _fill_frame(fig, ax):
+    """Stretch a borderless imshow axes to the full figure.  Replaces
+    ``fig.tight_layout(pad=0)`` on these savers: tight_layout triggers a
+    FULL extra draw (~0.8 s per 3.1 Mpix frame) and warns on fixed-aspect
+    axes, while producing the same packed geometry."""
+    ax.set_position((0.0, 0.0, 1.0, 1.0))
+
+
 def crop_bbox(minx, maxx, miny, maxy, W: int, H: int):
     """The reference crop window: bbox + max(10, 5% of the long side) pad,
     clamped inclusive to the frame (Fluor_INT.py:1019-1035).  ONE
@@ -197,11 +212,12 @@ def save_png_colormap(
                         font_size=bar_font)
     if show_colorbar and vmin is not None and vmax is not None:
         add_short_colorbar(fig, ax, vmin, vmax, cmap=cmap, label=cbar_label)
-    fig.tight_layout(pad=0)
+    _fill_frame(fig, ax)
     if out_px:
         fig.set_size_inches(out_px[0] / dpi, out_px[1] / dpi)
     os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
-    fig.savefig(out_path, dpi=dpi, facecolor=fig.get_facecolor())
+    fig.savefig(out_path, dpi=dpi, facecolor=fig.get_facecolor(),
+                **_PNG_KW)
     plt.close(fig)
 
 
@@ -265,11 +281,12 @@ def save_png_image(img, out_path, dpi=300, out_px=None, scalebar_um=None,
         bar_px = int(round(float(scalebar_um) / float(px_um)))
         bar_px = max(2, min(bar_px, int(0.8 * W)))
         draw_scalebar(ax, W, H, bar_px, bar_px * float(px_um))
-    fig.tight_layout(pad=0)
+    _fill_frame(fig, ax)
     if out_px:
         fig.set_size_inches(out_px[0] / dpi, out_px[1] / dpi)
     os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
-    fig.savefig(out_path, dpi=dpi, facecolor=fig.get_facecolor())
+    fig.savefig(out_path, dpi=dpi, facecolor=fig.get_facecolor(),
+                **_PNG_KW)
     plt.close(fig)
 
 
@@ -280,11 +297,12 @@ def save_png_gray(img2d, out_path, vmin=None, vmax=None, dpi=300, out_px=None):
     fig.patch.set_facecolor("black")
     ax.imshow(img2d, cmap="gray", vmin=vmin, vmax=vmax)
     ax.set_axis_off()
-    fig.tight_layout(pad=0)
+    _fill_frame(fig, ax)
     if out_px:
         fig.set_size_inches(out_px[0] / dpi, out_px[1] / dpi)
     os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
-    fig.savefig(out_path, dpi=dpi, facecolor=fig.get_facecolor())
+    fig.savefig(out_path, dpi=dpi, facecolor=fig.get_facecolor(),
+                **_PNG_KW)
     plt.close(fig)
 
 
@@ -397,7 +415,7 @@ def save_panel_intensity_ratio(int_img, ratio_img, rim, out_png, px_um,
         cb.set_label("FRET ratio")
     plt.tight_layout()
     os.makedirs(os.path.dirname(out_png) or ".", exist_ok=True)
-    fig.savefig(out_png, dpi=300)
+    fig.savefig(out_png, dpi=300, **_PNG_KW)
     plt.close(fig)
 
 
@@ -580,7 +598,8 @@ def save_fa_crop_colormap(img_crop, mask, roi_poly_crop, out_path,
                                       labelsize=8)
         cbar.outline.set_edgecolor("white")
     os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
-    fig.savefig(out_path, facecolor="black", edgecolor="none", dpi=out_dpi)
+    fig.savefig(out_path, facecolor="black", edgecolor="none", dpi=out_dpi,
+                **_PNG_KW)
     plt.close(fig)
 
 
@@ -602,9 +621,10 @@ def save_morphology_images(img, polys, mets, tag, cfg,
                     bbox=dict(facecolor="black", alpha=0.3, pad=1,
                               edgecolor="none"))
         os.makedirs(png_full_dir, exist_ok=True)
-        fig.tight_layout(pad=0)
+        _fill_frame(fig, ax)
         fig.savefig(os.path.join(
-            png_full_dir, f"{tag}_overlay_ch{cfg.sel_ch}.png"), dpi=200)
+            png_full_dir, f"{tag}_overlay_ch{cfg.sel_ch}.png"), dpi=200,
+            **_PNG_KW)
         plt.close(fig)
 
     if not cfg.save_crop:
@@ -639,7 +659,8 @@ def save_morphology_images(img, polys, mets, tag, cfg,
             draw_scalebar(ax, cw_, ch_, bar_px, bar_px * cfg.px_um)
         fig.tight_layout(pad=0.1)
         fig.savefig(os.path.join(png_crop_dir,
-                                 f"{tag}_roi{i}_ch{cfg.sel_ch}.png"), dpi=220)
+                                 f"{tag}_roi{i}_ch{cfg.sel_ch}.png"),
+                    dpi=220, **_PNG_KW)
         plt.close(fig)
 
 
