@@ -60,6 +60,7 @@ class AutoSegConfig:
     # unet backend
     checkpoint: Optional[str] = None   # None -> bundled pretrained
     prob_threshold: float = 0.5
+    flow_follow: bool = True           # Cellpose-style instance separation
     # cellpose backend
     diameter: Optional[float] = None
     model_type: str = "cyto3"
@@ -137,6 +138,7 @@ def _unet_segment(img: np.ndarray, cfg: AutoSegConfig) -> List[np.ndarray]:
         img, apply_fn, params, tile=tile,
         prob_threshold=cfg.prob_threshold, min_size_px=cfg.min_size_px,
         max_labels=cfg.max_labels, min_poly_area=cfg.min_poly_area,
+        flow_follow=cfg.flow_follow,
     )
 
 

@@ -3,9 +3,12 @@
 The Cellpose-replacement inference path: frames are normalized (1-99
 percentile stretch like Cellpose), cut into overlapping tiles sized for the
 network, batched through the jitted forward pass, recomposed with feathered
-overlap, thresholded and instance-separated with the device CCL
-(morphology.ccl).  Polygons come out via the same cv2 external-contour
-conversion as the reference (src/ROI_auto_drawer.py:298-310).
+overlap, thresholded and instance-separated by FLOW FOLLOWING
+(segment.flows — the network's trained center-pointing flow head,
+integrated on device, splits touching cells exactly like Cellpose's
+follow_flows; the device CCL remains as the ``flow_follow=False``
+fallback).  Polygons come out via the same cv2 external-contour conversion
+as the reference (src/ROI_auto_drawer.py:298-310).
 """
 
 from __future__ import annotations
@@ -37,6 +40,7 @@ def segment_frame_unet(
     min_size_px: int = 100,
     max_labels: int = 1024,
     min_poly_area: float = 20.0,
+    flow_follow: bool = True,
 ) -> List[np.ndarray]:
     """Full frame -> instance polygons via tiled U-Net inference."""
     H, W = img.shape
@@ -62,21 +66,33 @@ def segment_frame_unet(
     ])[..., None]
     out = np.asarray(_forward(apply_fn, params, jnp.asarray(tiles)))
     prob = 1.0 / (1.0 + np.exp(-out[..., 0]))
+    n_ch = out.shape[-1]
 
-    acc = np.zeros((H + pad_h, W + pad_w), np.float32)
-    wacc = np.zeros_like(acc)
+    # feathered recomposition: the probability map AND (when present) the
+    # two flow channels blend with the same per-tile weights
+    acc = np.zeros((H + pad_h, W + pad_w, max(1, n_ch)), np.float32)
+    wacc = np.zeros((H + pad_h, W + pad_w), np.float32)
     wy = np.minimum(np.arange(tile) + 1, np.arange(tile)[::-1] + 1)
     wtile = np.minimum.outer(wy, wy).astype(np.float32)
     k = 0
     for y in ys:
         for xx in xs:
-            acc[y:y + tile, xx:xx + tile] += prob[k] * wtile
+            acc[y:y + tile, xx:xx + tile, 0] += prob[k] * wtile
+            for c in range(1, n_ch):
+                acc[y:y + tile, xx:xx + tile, c] += out[k, ..., c] * wtile
             wacc[y:y + tile, xx:xx + tile] += wtile
             k += 1
-    prob_full = (acc / np.maximum(wacc, 1e-6))[:H, :W]
+    full = acc / np.maximum(wacc, 1e-6)[..., None]
+    prob_full = full[:H, :W, 0]
 
     bw = jnp.asarray(prob_full > prob_threshold)
     if min_size_px > 0:
         bw = remove_small_objects(bw, min_size_px, connectivity=1)
-    labels = label(bw, connectivity=2, max_labels=max_labels)
+    if flow_follow and n_ch >= 3:
+        from .flows import flow_label
+
+        labels = flow_label(bw, jnp.asarray(full[:H, :W, 1:3]),
+                            max_labels=max_labels)
+    else:
+        labels = label(bw, connectivity=2, max_labels=max_labels)
     return masks_to_polygons(np.asarray(labels), min_poly_area)

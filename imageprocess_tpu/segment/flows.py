@@ -1,0 +1,114 @@
+"""Cellpose-style flow-following instance separation (device).
+
+The reference's Cellpose backend separates touching cells by integrating
+each pixel along the network's center-pointing flow field and clustering
+the convergence points (Cellpose "follow_flows"; the torch/GPU path behind
+src/ROI_auto_drawer.py:241).  The rebuild's U-Net trains the same flow
+head (models/golden.py targets) — this module closes the loop on TPU:
+
+1. :func:`follow_flows` — Euler-integrate every pixel's position along the
+   bilinear-sampled flow field for ``n_iter`` steps (one ``lax.scan``;
+   static shapes, no data-dependent control flow);
+2. :func:`flow_label` — scatter the landing points of foreground pixels,
+   dilate so each cell's convergence cloud becomes one blob, label the
+   blobs with the exact device CCL, and read each pixel's instance id at
+   its landing point.
+
+Connected-component labeling alone merges touching cells whose probability
+maps bridge; the flow divide between two centers separates them.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..morphology.binary import binary_dilation, disk
+from ..morphology.ccl import label
+
+
+def _bilinear(F: jnp.ndarray, y: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
+    """Bilinear sample of a (H, W) field at float (y, x), edge-clamped."""
+    H, W = F.shape
+    y = jnp.clip(y, 0.0, H - 1.0)
+    x = jnp.clip(x, 0.0, W - 1.0)
+    y0 = jnp.floor(y)
+    x0 = jnp.floor(x)
+    fy = y - y0
+    fx = x - x0
+    y0i = y0.astype(jnp.int32)
+    x0i = x0.astype(jnp.int32)
+    y1i = jnp.minimum(y0i + 1, H - 1)
+    x1i = jnp.minimum(x0i + 1, W - 1)
+    v00 = F[y0i, x0i]
+    v01 = F[y0i, x1i]
+    v10 = F[y1i, x0i]
+    v11 = F[y1i, x1i]
+    return ((1 - fy) * ((1 - fx) * v00 + fx * v01)
+            + fy * ((1 - fx) * v10 + fx * v11))
+
+
+@partial(jax.jit, static_argnames=("n_iter", "step"))
+def follow_flows(flows: jnp.ndarray, n_iter: int = 120,
+                 step: float = 1.0) -> jnp.ndarray:
+    """Integrate pixel positions along *flows* (H, W, 2 as [dy, dx], unit
+    vectors toward each cell's center).  Returns (H, W, 2) float landing
+    positions after ``n_iter`` Euler steps of size *step* px."""
+    H, W = flows.shape[:2]
+    fy = flows[..., 0]
+    fx = flows[..., 1]
+    yy = jax.lax.broadcasted_iota(jnp.float32, (H, W), 0)
+    xx = jax.lax.broadcasted_iota(jnp.float32, (H, W), 1)
+
+    def body(P, _):
+        py, px = P
+        dy = _bilinear(fy, py, px)
+        dx = _bilinear(fx, py, px)
+        py = jnp.clip(py + step * dy, 0.0, H - 1.0)
+        px = jnp.clip(px + step * dx, 0.0, W - 1.0)
+        return (py, px), None
+
+    (py, px), _ = jax.lax.scan(body, (yy, xx), None, length=n_iter)
+    return jnp.stack([py, px], axis=-1)
+
+
+@partial(jax.jit, static_argnames=("n_iter", "sink_radius", "max_labels",
+                                   "min_landings"))
+def flow_label(
+    fg: jnp.ndarray,            # (H, W) bool foreground (already cleaned)
+    flows: jnp.ndarray,         # (H, W, 2) [dy, dx]
+    *,
+    n_iter: int = 120,
+    sink_radius: int = 3,
+    max_labels: int = 1024,
+    min_landings: int = 3,
+) -> jnp.ndarray:
+    """Instance labels from flow convergence: pixels that land in the same
+    (dilated) sink blob share an id.  Exact ids follow the device CCL's
+    raster numbering of the sink blobs.
+
+    ``min_landings`` filters sinks: a real cell center collects hundreds
+    of trajectories, while a stray pixel with near-zero flow lands alone —
+    dropping rare landing points kills one-pixel fragment instances.  The
+    dilation then re-covers each surviving sink's neighborhood so pixels
+    landing a few px off-center still read the right blob id."""
+    H, W = fg.shape
+    land = follow_flows(flows, n_iter=n_iter)
+    ly = jnp.round(land[..., 0]).astype(jnp.int32)
+    lx = jnp.round(land[..., 1]).astype(jnp.int32)
+    flat = ly * W + lx
+
+    # landing histogram of FOREGROUND pixels only
+    ones = fg.ravel().astype(jnp.int32)
+    hist = jnp.zeros(H * W, jnp.int32).at[flat.ravel()].add(ones)
+    sinks = (hist >= min_landings).reshape(H, W)
+    # each cell's convergence cloud is a few pixels wide: dilate so it
+    # labels as ONE blob even when trajectories land on neighboring pixels
+    if sink_radius > 0:
+        sinks = binary_dilation(sinks, disk(sink_radius))
+    sink_lab = label(sinks, connectivity=2, max_labels=max_labels)
+
+    inst = sink_lab[ly, lx]
+    return jnp.where(fg, inst, 0)
