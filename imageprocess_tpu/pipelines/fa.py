@@ -405,9 +405,18 @@ def run_fa_batched(
     results: Dict[str, pd.DataFrame] = {}
     margin = cfg.close_radius + 1
 
+    from ..native import FrameBufferPool, decode_tiff_batch_hist
+
+    frame_pool = FrameBufferPool()
+
     def _load(pair):
         img_path, json_path, s_tag = pair
-        img = tiffio.read_2d(img_path, dtype=None, squeeze="smallest_axis")
+        res = decode_tiff_batch_hist([img_path], 0, pool=frame_pool)
+        if res is not None and res[0].ndim == 3:
+            img = res[0][0]  # (1, H, W) view; base recycled in finalize
+        else:
+            img = tiffio.read_2d(img_path, dtype=None,
+                                 squeeze="smallest_axis")
         return s_tag, img, _load_rois(json_path)
 
     loader = PrefetchLoader(_load, pairs, workers=max(1, prefetch_workers))
@@ -445,6 +454,7 @@ def run_fa_batched(
         _write_stage(s_tag, _fa_file_rows(
             s_tag, ((fa["cell"], fa["area"], fa["mean_int_raw"])
                     for fa in fa_rows), th_val, bg, cfg))
+        frame_pool.put(img.base)
 
     sig = None
 
@@ -504,6 +514,8 @@ def run_fa_batched(
                        for r in range(int(n_labels[bi, i])))
             _write_stage(s_tag, _fa_file_rows(s_tag, fa_iter, th_val, bg,
                                               cfg))
+        for _s_tag, img, _rois in chunk:
+            frame_pool.put(img.base)  # (1, H, W) decode buffer now dead
 
     stream_batches(
         loader, batch_size, classify, dispatch, finalize, run_serial,

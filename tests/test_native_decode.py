@@ -230,3 +230,35 @@ def test_decode_batch_hist_fused(tmp_path, rng):
     f0, h0 = decode_tiff_batch_hist([paths[0]], 0)
     assert h0 is None
     assert np.array_equal(f0, decode_tiff_batch([paths[0]]))
+
+
+def test_frame_buffer_pool_recycles(tmp_path, rng):
+    """Pooled decode returns the SAME pages on the next same-shaped get and
+    decodes bit-identically into them; views and foreign arrays are
+    refused."""
+    from PIL import Image
+
+    from imageprocess_tpu.native import FrameBufferPool, decode_tiff_batch_hist
+
+    imgs = [rng.integers(0, 65536, (64, 96)).astype(np.uint16)
+            for _ in range(2)]
+    paths = []
+    for k, im in enumerate(imgs):
+        p = str(tmp_path / f"p{k}.tif")
+        Image.fromarray(im).save(p, format="TIFF", compression="tiff_lzw")
+        paths.append(p)
+    pool = FrameBufferPool()
+    out = decode_tiff_batch_hist(paths, 0, pool=pool)
+    if out is None:
+        pytest.skip("native library unavailable")
+    frames1, _ = out
+    assert np.array_equal(frames1[0], imgs[0])
+    addr1 = frames1.ctypes.data
+    pool.put(frames1)
+    frames2, _ = decode_tiff_batch_hist(paths[::-1], 0, pool=pool)
+    assert frames2.ctypes.data == addr1          # recycled buffer
+    assert np.array_equal(frames2[0], imgs[1])   # fully overwritten
+    # views are not recyclable
+    pool.put(frames2[0])
+    got = pool.get(frames2[0].shape, np.uint16)
+    assert got.ctypes.data != frames2[0].ctypes.data
