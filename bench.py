@@ -131,21 +131,34 @@ def _device_only_mpix_s(reps: int = 20) -> float:
 
 
 def _decode_only_mpix_s(reps: int = 3) -> float:
-    """Host decode ceiling: per-file native LZW decode over the dataset —
-    the same call pattern the production PrefetchLoader threads use (the
-    batch entry point re-allocates one huge output per call, which hides
-    the decoder's real rate behind kernel page-zeroing)."""
+    """Host decode ceiling measured with the PRODUCTION call pattern: the
+    per-key native batch entry with fused histograms and recycled output
+    buffers, exactly what the streaming loader threads execute (a fresh
+    np allocation per frame would hide the decoder's rate behind kernel
+    page-zeroing)."""
     import glob
 
-    from imageprocess_tpu.core import tiffio
+    from imageprocess_tpu.native import FrameBufferPool, decode_tiff_batch_hist
 
     paths = sorted(glob.glob(os.path.join(DATA_DIR, "S*.TIF")))
+    keys = [paths[i:i + len(CHANNELS)]
+            for i in range(0, len(paths), len(CHANNELS))]
+    pool = FrameBufferPool()
     best = 0.0
     for _ in range(reps):
         t0 = time.perf_counter()
         tot = 0
-        for p in paths:
-            tot += tiffio.read_2d(p, dtype=None).size
+        for kp in keys:
+            res = decode_tiff_batch_hist(kp, 4, pool=pool)
+            if res is None:  # native unavailable: plain per-file fallback
+                from imageprocess_tpu.core import tiffio
+
+                for p in kp:
+                    tot += tiffio.read_2d(p, dtype=None).size
+                continue
+            frames, _ = res
+            tot += frames.size
+            pool.put(frames)
         best = max(best, tot / 1e6 / (time.perf_counter() - t0))
     return best
 

@@ -586,7 +586,17 @@ def run_intensity_batched(
                             pass  # stays host-side; dispatch re-gathers/pads
                         if tm is not None:
                             _tm_add("ld_upload", time.perf_counter() - t0)
-                        pre = (t_used, tiles, offs)
+                        # pre-pad the polygon arrays in the loader thread
+                        # too (a session vb hint, like nb): the main-thread
+                        # dispatch then only np.stacks — the per-key
+                        # pad_local_polys was ~30 ms/chunk of pack wall
+                        vb_used = tile_hint.setdefault(
+                            "vb", _bucket(max(len(p) for p in polys), 32))
+                        lp = valid = None
+                        if max(len(p) for p in polys) <= vb_used:
+                            lp, _, valid = pad_local_polys(
+                                polys, offs, nb_used, vb_used)
+                        pre = (t_used, tiles, offs, lp, valid)
         return key, (stid, payload), bgs, pre
 
     loader = PrefetchLoader(
@@ -690,7 +700,12 @@ def run_intensity_batched(
             nb = nb_hint
         else:
             nb = _bucket(max_n, 8)
-        vb = _bucket(max(len(poly) for poly in all_p), 32)
+        max_v = max(len(poly) for poly in all_p)
+        vb_hint = tile_hint.get("vb")
+        if use_tiles and vb_hint is not None and max_v <= vb_hint:
+            vb = vb_hint  # session-stable: loader pre-padded to this
+        else:
+            vb = _bucket(max_v, 32)
         B = len(chunk)
         pad_b = bs_state["bs"] if mesh is not None else B
         C = chunk[0][2][1].shape[0]
@@ -707,7 +722,13 @@ def run_intensity_batched(
                     offs = tile_offsets(polys, H, W, tile)
                     tiles_i = None
                 per_key.append((tiles_i, imgs, polys, offs))
-                lp, _, valid = pad_local_polys(polys, offs, nb, vb)
+                lp = valid = None
+                if (pre is not None and pre[0] == tile and len(pre) >= 5
+                        and pre[3] is not None
+                        and pre[3].shape == (nb, vb, 2)):
+                    lp, valid = pre[3], pre[4]  # loader pre-padded
+                else:
+                    lp, _, valid = pad_local_polys(polys, offs, nb, vb)
                 lp_b[bi], val_b[bi] = lp, valid
                 bgs_b[bi] = bgs_pre if bgs_pre is not None else _host_bg(
                     imgs, chs)
