@@ -132,6 +132,13 @@ def build_parser() -> argparse.ArgumentParser:
 
     p = sub.add_parser("nesprin2", help="nuclear-rim FRET (Nesprin2_FRET_Builder)")
     p.add_argument("folder")
+    p.add_argument("--batched", action="store_true",
+                   help="streaming batched tables runner (one fused device "
+                        "dispatch per chunk of pairs; image outputs fall "
+                        "back to the serial runner)")
+    p.add_argument("--devices", type=int, default=1, metavar="N",
+                   help="shard the batched pair axis over the first N "
+                        "devices (implies --batched)")
     p.add_argument("--donor-ch", type=int, default=1)
     p.add_argument("--fret-ch", type=int, default=2)
     p.add_argument("--intensity-ch", type=int, default=3)
@@ -444,7 +451,9 @@ def _dispatch(args, log) -> int:
         return 0
 
     if args.cmd == "nesprin2":
-        from .pipelines.nesprin2 import RIM_PRESETS, Nesprin2Config, run_nesprin2
+        from .pipelines.nesprin2 import (
+            RIM_PRESETS, Nesprin2Config, run_nesprin2, run_nesprin2_batched,
+        )
 
         rim_um, ann_in, ann_out = args.rim_um, args.ann_in_um, args.ann_out_um
         if args.rim_preset:
@@ -471,7 +480,22 @@ def _dispatch(args, log) -> int:
             save_panel=args.panel,
             subset_stage=args.subset_stage, subset_time=args.subset_time,
         )
-        run_nesprin2(args.folder, cfg, out_root=args.out, log=log)
+        if args.batched or args.devices > 1:
+            mesh = None
+            if args.devices > 1:
+                import jax
+
+                from .parallel.runner import make_mesh
+
+                if args.devices > len(jax.devices()):
+                    log(i18n.t("cli_devices_error").format(
+                        n=args.devices, avail=len(jax.devices())))
+                    return 1
+                mesh = make_mesh(args.devices)
+            run_nesprin2_batched(args.folder, cfg, out_root=args.out,
+                                 log=log, mesh=mesh)
+        else:
+            run_nesprin2(args.folder, cfg, out_root=args.out, log=log)
         return 0
 
     if args.cmd == "fa":

@@ -133,12 +133,7 @@ def _finite_bg(img, p1000, scope, mode: str):
     return jnp.where(base.sum() > 0, b, 0.0).astype(jnp.float32)
 
 
-@partial(jax.jit, static_argnames=(
-    "bg_mode", "bg_scope", "clip_neg", "flip", "sat_on", "clip_on",
-    "use_spectral", "has_aonly", "rim_px", "ann_on", "ann_in_px", "ann_out_px",
-    "tile",
-))
-def nesprin2_step(
+def _nesprin2_body(
     D, A, Aonly, polys, roi_valid,
     d_p1000, a_p1000, g_p1000, eps_p1000, eps_abs,
     sat_thr, clip_max, alpha, beta, g_factor,
@@ -277,16 +272,89 @@ def nesprin2_step(
             eps, R_full, R_alt, rim, union, Dcorr, Acorr)
 
 
-def load_pair_nesprin2(key, dpath, apath, roi_dir, cfg: Nesprin2Config):
+nesprin2_step = partial(jax.jit, static_argnames=(
+    "bg_mode", "bg_scope", "clip_neg", "flip", "sat_on", "clip_on",
+    "use_spectral", "has_aonly", "rim_px", "ann_on", "ann_in_px", "ann_out_px",
+    "tile",
+))(_nesprin2_body)
+
+
+# table fields packed by the batched step, per ROI slot, in order
+_N2_STAT_FIELDS = ("mean", "median", "std", "p5", "p95", "vmin", "vmax",
+                   "vsum", "npx")
+
+
+def make_nesprin2_batched_step(cfg: "Nesprin2Config", *, has_aonly: bool,
+                               tile: int, mesh=None):
+    """A chunk of rim-FRET pairs in ONE dispatch: the full device chain
+    (QC, backgrounds, spectral, eps, ratio, EDT rim, annulus local-BG,
+    tiled per-ROI stats) vmapped over the pair axis, returning one flat
+    (B, K) table array — nothing image-sized crosses the link on the
+    tables path.  Optionally sharded over *mesh* (DP over pairs, the
+    nesprin2 analogue of the intensity/FRET/FA sharded runners)."""
+    flip = cfg.ratio_mode != "FRET/Donor"
+    d_p = cfg.donor_p if cfg.per_channel_p else cfg.percentile
+    a_p = cfg.fret_p if cfg.per_channel_p else cfg.percentile
+    ann_active = cfg.annulus_on or cfg.bg_scope == "annulus"
+    kw = dict(bg_mode=cfg.bg_mode, bg_scope=cfg.bg_scope,
+              clip_neg=cfg.clip_neg, flip=flip, sat_on=cfg.sat_filter_on,
+              clip_on=cfg.clip_ratio_on, use_spectral=cfg.use_spectral,
+              has_aonly=has_aonly, rim_px=cfg.rim_px, ann_on=ann_active,
+              ann_in_px=cfg.ann_in_px, ann_out_px=cfg.ann_out_px, tile=tile)
+
+    def one(D, A, Aonly, pv, valid, lp, offs):
+        out = _nesprin2_body(
+            D, A, Aonly, pv, valid,
+            jnp.int32(p1000_of(d_p)), jnp.int32(p1000_of(a_p)),
+            jnp.int32(p1000_of(cfg.percentile)),
+            jnp.int32(p1000_of(cfg.eps_percentile)),
+            jnp.float32(cfg.eps_abs), jnp.float32(cfg.sat_threshold),
+            jnp.float32(cfg.clip_ratio_max), jnp.float32(cfg.alpha),
+            jnp.float32(cfg.beta), jnp.float32(cfg.g_factor),
+            lp, offs, **kw)
+        (stats, alt_means, donor_means, fret_means, areas, bg_ns, bg_ds,
+         eps, *_imgs) = out
+        cols = [stats[f].astype(jnp.float32) for f in _N2_STAT_FIELDS]
+        cols += [alt_means, donor_means, fret_means,
+                 areas.astype(jnp.float32), bg_ns, bg_ds]
+        return jnp.concatenate(
+            [jnp.stack(cols, 0).ravel(), eps[None]])
+
+    fn = jax.vmap(one)
+    if mesh is None:
+        return jax.jit(fn)
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    shard = NamedSharding(mesh, P(mesh.axis_names[0]))
+    return jax.jit(fn, in_shardings=(shard,) * 7, out_shardings=shard)
+
+
+def unpack_n2_flat(flat: np.ndarray, nb: int):
+    """({field: (B, nb)}, eps (B,)) from the batched step's flat result."""
+    B = flat.shape[0]
+    n_f = len(_N2_STAT_FIELDS) + 6
+    cols = flat[:, :n_f * nb].reshape(B, n_f, nb)
+    names = list(_N2_STAT_FIELDS) + ["alt_mean", "donor_mean", "fret_mean",
+                                     "area", "bg_n", "bg_d"]
+    return {n: cols[:, k] for k, n in enumerate(names)}, flat[:, -1]
+
+
+def load_pair_nesprin2(key, dpath, apath, roi_dir, cfg: Nesprin2Config,
+                       need_intensity: bool = True):
     """Host side of one pair: donor/acceptor (+ intensity, + optional
-    acceptor-only via the swap_ch fallback chain, :1424-1437) and ROIs."""
+    acceptor-only via the swap_ch fallback chain, :1424-1437) and ROIs.
+    The intensity-channel frame feeds only the image outputs; tables-only
+    callers skip its decode with ``need_intensity=False`` (I = None)."""
     D = tiffio.read_2d(dpath, dtype=None)
     A = tiffio.read_2d(apath, dtype=None)
 
-    cand = naming.swap_channel_in_name(dpath, cfg.intensity_ch)
-    if not os.path.exists(cand):
-        cand = naming.swap_channel_in_name(apath, cfg.intensity_ch)
-    I = tiffio.read_2d(cand) if os.path.exists(cand) else D.astype(np.float32)
+    I = None
+    if need_intensity:
+        cand = naming.swap_channel_in_name(dpath, cfg.intensity_ch)
+        if not os.path.exists(cand):
+            cand = naming.swap_channel_in_name(apath, cfg.intensity_ch)
+        I = (tiffio.read_2d(cand) if os.path.exists(cand)
+             else D.astype(np.float32))
 
     Aonly = None
     if cfg.aonly_ch is not None:
@@ -409,6 +477,201 @@ def process_pair_nesprin2(key, dpath, apath, roi_dir, cfg: Nesprin2Config,
     return rows
 
 
+def _n2_pairs(folder: str, cfg: Nesprin2Config, log):
+    """Discover + subset-filter the (key, donor, acceptor) pairs."""
+    files = naming.list_tifs(folder)
+    pairs, _ = naming.build_pairs_by_channel(
+        files, cfg.timelapse, cfg.donor_ch, cfg.fret_ch, cfg.grammar
+    )
+    log(t("msg_info_pairs").format(count=len(pairs)))
+    if pairs and cfg.subset_stage is not None:
+        s_code = naming.fmt_stage(cfg.subset_stage)
+        if not cfg.timelapse or cfg.subset_time is None:
+            pairs = [p for p in pairs if p[0][0] == s_code]
+        else:
+            t_code = naming.fmt_time(cfg.subset_time)
+            pairs = [p for p in pairs if p[0] == (s_code, t_code)]
+    return pairs
+
+
+def _n2_row(s, t_code, i, cols, eps_f, bi, cfg: Nesprin2Config,
+            flip: bool, d_p: float, a_p: float) -> dict:
+    """One per-ROI table row from the batched step's unpacked columns —
+    the same schema process_pair_nesprin2 emits."""
+    main_mean = float(cols["mean"][bi, i])
+    alt_mean = float(cols["alt_mean"][bi, i])
+    return {
+        "stage": s,
+        "time": t_code if cfg.timelapse else None,
+        "roi": i + 1,
+        "area_px": int(cols["area"][bi, i]),
+        "ratio_mean": main_mean,
+        "ratio_median": float(cols["median"][bi, i]),
+        "ratio_std": float(cols["std"][bi, i]),
+        "ratio_p5": float(cols["p5"][bi, i]),
+        "ratio_p95": float(cols["p95"][bi, i]),
+        "ratio_FoverD_mean": alt_mean if flip else main_mean,
+        "ratio_DoverF_mean": main_mean if flip else alt_mean,
+        "donor_mean": float(cols["donor_mean"][bi, i]),
+        "fret_mean": float(cols["fret_mean"][bi, i]),
+        "eps": eps_f, "p": cfg.percentile,
+        "donor_p": d_p, "fret_p": a_p,
+        "ratio_mode": cfg.ratio_mode,
+        "bg_scope": cfg.bg_scope, "bg_mode": cfg.bg_mode,
+        "clip_neg": cfg.clip_neg,
+        "sat_filter_on": cfg.sat_filter_on,
+        "sat_threshold": cfg.sat_threshold,
+        "clip_ratio_on": cfg.clip_ratio_on,
+        "clip_ratio_max": cfg.clip_ratio_max,
+    }
+
+
+def run_nesprin2_batched(
+    folder: str,
+    cfg: Nesprin2Config,
+    out_root: Optional[str] = None,
+    log=print,
+    batch_size: int = 4,
+    mesh=None,
+    prefetch_workers: int = 8,
+) -> List[dict]:
+    """Tables-only batched rim-FRET runner: prefetch-thread decode, a
+    chunk of pairs per fused dispatch (the FULL device chain — QC,
+    backgrounds, spectral, eps, EDT rim, annulus local-BG, tiled per-ROI
+    stats — vmapped over pairs, :func:`make_nesprin2_batched_step`),
+    optionally sharded over a ``Mesh``.  Rows identical to
+    :func:`run_nesprin2`; image outputs fall back to the serial runner."""
+    if cfg.do_tif or cfg.do_png:
+        return run_nesprin2(folder, cfg, out_root=out_root, log=log)
+    from ..ops.roistats import choose_tile, pad_local_polys, tile_offsets
+    from ..parallel.runner import PrefetchLoader, stream_batches
+    from ..report.excel import save_nesprin2_excel
+
+    out_root = out_root or os.path.join(folder, "RES")
+    roi_dir = os.path.join(folder, "roi")
+    pairs = _n2_pairs(folder, cfg, log)
+    if not pairs:
+        log(t("msg_no_pairs"))
+        return []
+
+    flip = cfg.ratio_mode != "FRET/Donor"
+    d_p = cfg.donor_p if cfg.per_channel_p else cfg.percentile
+    a_p = cfg.fret_p if cfg.per_channel_p else cfg.percentile
+    ann_active = cfg.annulus_on or cfg.bg_scope == "annulus"
+    margin = (cfg.ann_out_px + 1) if ann_active else 0
+
+    def _load(kv):
+        key, dpath, apath = kv
+        D, A, _I, Aonly, polys = load_pair_nesprin2(
+            key, dpath, apath, roi_dir, cfg, need_intensity=False)
+        return kv, (D, A, Aonly, polys)
+
+    loader = PrefetchLoader(_load, pairs, workers=max(1, prefetch_workers))
+
+    if mesh is not None:
+        n_dev = len(mesh.devices.ravel())
+        batch_size = max(batch_size, n_dev)
+        batch_size -= batch_size % n_dev
+
+    hint: Dict[str, int] = {}
+    step_cache: Dict[tuple, object] = {}
+    rows_all: List[dict] = []
+
+    def run_serial(kv, loaded4):
+        key, dpath, apath = kv
+        D, A, Aonly, polys = loaded4
+        rows_all.extend(process_pair_nesprin2(
+            key, dpath, apath, roi_dir, cfg, {}, log=log,
+            loaded=(D, A, None, Aonly, polys)))
+
+    sig = None
+
+    def classify(item):
+        nonlocal sig
+        kv, (D, A, Aonly, polys) = item
+        key = kv[0]
+        tag = key[0] if key[1] is None else f"{key[0]}_{key[1]}"
+        log(t("msg_processing").format(tag=tag))
+        if not polys:
+            log(t("msg_warn_no_roi_tag").format(tag=tag))
+            return "skip", None
+        H, W = D.shape
+        tile = choose_tile(polys, H, W, margin=margin)
+        key_sig = (D.shape, A.shape, Aonly is not None)
+        if sig is None and tile is not None and A.shape == D.shape:
+            sig = key_sig
+            hint.setdefault("tile", tile)
+            hint.setdefault("nb", _bucket(len(polys)))
+            hint.setdefault("vb", _bucket(max(len(p) for p in polys), 32))
+        if (key_sig != sig or tile is None or tile > hint.get("tile", 0)
+                or len(polys) > hint.get("nb", 0)
+                or max(len(p) for p in polys) > hint.get("vb", 0)):
+            return "serial", (kv, (D, A, Aonly, polys))
+        return "batch", (kv, (D, A, Aonly, polys))
+
+    def step_for(tile, nb, vb):
+        key = (tile, nb, vb)
+        if key not in step_cache:
+            step_cache[key] = make_nesprin2_batched_step(
+                cfg, has_aonly=sig[2], tile=tile, mesh=mesh)
+        return step_cache[key]
+
+    def dispatch(chunk):
+        tile, nb, vb = hint["tile"], hint["nb"], hint["vb"]
+        B = len(chunk)
+        pad_b = batch_size if mesh is not None else B
+        H, W = chunk[0][1][0].shape
+        D_b = np.zeros((pad_b, H, W), chunk[0][1][0].dtype)
+        A_b = np.zeros((pad_b, H, W), chunk[0][1][1].dtype)
+        Ao_b = np.zeros((pad_b, H, W),
+                        chunk[0][1][2].dtype if sig[2] else np.uint16)
+        pv_b = np.zeros((pad_b, nb, vb, 2), np.float32)
+        val_b = np.zeros((pad_b, nb), bool)
+        lp_b = np.zeros((pad_b, nb, vb, 2), np.float32)
+        off_b = np.zeros((pad_b, nb, 2), np.int32)
+        for bi, (kv, (D, A, Aonly, polys)) in enumerate(chunk):
+            D_b[bi], A_b[bi] = D, A
+            if sig[2] and Aonly is not None:
+                Ao_b[bi] = Aonly
+            for i, p in enumerate(polys):
+                pv_b[bi, i] = pad_polygons([np.asarray(p, np.float32)], vb)[0]
+            val_b[bi, :len(polys)] = True
+            offs = tile_offsets(polys, H, W, tile, margin=margin)
+            lp, off_pad, _ = pad_local_polys(polys, offs, nb, vb)
+            lp_b[bi], off_b[bi] = lp, off_pad
+        flat = step_for(tile, nb, vb)(
+            jnp.asarray(D_b), jnp.asarray(A_b), jnp.asarray(Ao_b),
+            jnp.asarray(pv_b), jnp.asarray(val_b), jnp.asarray(lp_b),
+            jnp.asarray(off_b))
+        try:
+            flat.copy_to_host_async()
+        except AttributeError:
+            pass
+        return chunk, flat
+
+    def finalize(rec):
+        chunk, flat = rec
+        cols, eps_arr = unpack_n2_flat(np.asarray(flat), hint["nb"])
+        for bi, (kv, (_D, _A, _Ao, polys)) in enumerate(chunk):
+            s, t_code = kv[0]
+            eps_f = float(eps_arr[bi])
+            for i in range(len(polys)):
+                rows_all.append(_n2_row(s, t_code, i, cols, eps_f, bi, cfg,
+                                        flip, d_p, a_p))
+
+    stream_batches(
+        loader, batch_size, classify, dispatch, finalize,
+        lambda e: run_serial(e[0], e[1]),
+        lambda err: log(t("err_worker").format(key=err.item[0],
+                                               error=err.error)),
+    )
+
+    if cfg.do_xls:
+        save_nesprin2_excel(rows_all, os.path.join(out_root, "xls"),
+                            cfg.timelapse)
+    return rows_all
+
+
 def run_nesprin2(
     folder: str,
     cfg: Nesprin2Config,
@@ -420,22 +683,10 @@ def run_nesprin2(
 
     out_root = out_root or os.path.join(folder, "RES")
     roi_dir = os.path.join(folder, "roi")
-    files = naming.list_tifs(folder)
-    pairs, _ = naming.build_pairs_by_channel(
-        files, cfg.timelapse, cfg.donor_ch, cfg.fret_ch, cfg.grammar
-    )
-    log(t("msg_info_pairs").format(count=len(pairs)))
+    pairs = _n2_pairs(folder, cfg, log)
     if not pairs:
         log(t("msg_no_pairs"))
         return []
-
-    if cfg.subset_stage is not None:
-        s_code = naming.fmt_stage(cfg.subset_stage)
-        if not cfg.timelapse or cfg.subset_time is None:
-            pairs = [p for p in pairs if p[0][0] == s_code]
-        else:
-            t_code = naming.fmt_time(cfg.subset_time)
-            pairs = [p for p in pairs if p[0] == (s_code, t_code)]
 
     dirs = {
         "tif32_full": os.path.join(out_root, "TIF", "ratio32_full"),

@@ -157,3 +157,52 @@ def test_nesprin2_spectral_flip(folder, tmp_path):
     rows = run_nesprin2(folder, cfg, out_root=str(tmp_path), log=lambda *_: None)
     _compare(rows, _ref_rows(folder, cfg))
     assert rows[0]["ratio_DoverF_mean"] == rows[0]["ratio_mean"]
+
+
+def test_nesprin2_batched_matches_serial(folder, tmp_path):
+    """The tables-only batched runner (full device chain vmapped over
+    pairs, one flat fetch) reproduces the serial rows exactly — including
+    with annulus local-BG on."""
+    from imageprocess_tpu.pipelines.nesprin2 import run_nesprin2_batched
+
+    for kw in ({}, {"annulus_on": True, "ann_in_um": 0.9, "ann_out_um": 1.8}):
+        cfg = Nesprin2Config(donor_ch=2, fret_ch=3, px_um=0.223, rim_um=1.0,
+                             do_xls=False, **kw)
+        r1 = run_nesprin2(folder, cfg, out_root=str(tmp_path / "s"),
+                          log=lambda *_: None)
+        r2 = run_nesprin2_batched(folder, cfg, out_root=str(tmp_path / "b"),
+                                  log=lambda *_: None, batch_size=2)
+        assert len(r1) == len(r2) > 0
+        for a, b in zip(r1, r2):
+            assert a.keys() == b.keys()
+            for k, v in a.items():
+                if isinstance(v, float):
+                    if np.isnan(v):
+                        assert np.isnan(b[k]), (k, kw)
+                    else:
+                        assert b[k] == pytest.approx(v, rel=1e-6), (k, kw)
+                else:
+                    assert b[k] == v, (k, kw)
+
+
+def test_nesprin2_batched_sharded(folder, tmp_path):
+    """Sharded over the test mesh == serial rows (DP over pairs)."""
+    import jax
+
+    from imageprocess_tpu.parallel.runner import make_mesh
+    from imageprocess_tpu.pipelines.nesprin2 import run_nesprin2_batched
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs the multi-device CPU mesh")
+    cfg = Nesprin2Config(donor_ch=2, fret_ch=3, px_um=0.223, rim_um=1.0,
+                         do_xls=False)
+    r1 = run_nesprin2(folder, cfg, out_root=str(tmp_path / "s"),
+                      log=lambda *_: None)
+    r2 = run_nesprin2_batched(folder, cfg, out_root=str(tmp_path / "b"),
+                              log=lambda *_: None, batch_size=2,
+                              mesh=make_mesh(2))
+    assert len(r1) == len(r2) > 0
+    for a, b in zip(r1, r2):
+        for k, v in a.items():
+            if isinstance(v, float) and not np.isnan(v):
+                assert b[k] == pytest.approx(v, rel=1e-6), k
