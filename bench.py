@@ -148,8 +148,11 @@ def _decode_only_mpix_s(reps: int = 3) -> float:
     for _ in range(reps):
         t0 = time.perf_counter()
         tot = 0
+        from imageprocess_tpu.pipelines.intensity import IntensityConfig
+
+        stride = max(1, IntensityConfig().bg_stride)  # production hist stride
         for kp in keys:
-            res = decode_tiff_batch_hist(kp, 4, pool=pool)
+            res = decode_tiff_batch_hist(kp, stride, pool=pool)
             if res is None:  # native unavailable: plain per-file fallback
                 from imageprocess_tpu.core import tiffio
 

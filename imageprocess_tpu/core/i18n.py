@@ -81,6 +81,7 @@ STRINGS = {
         "draw_kind_auto": "자동",
         "draw_kind_rough": "러프",
         "draw_roi_redrawn": "  ROI {i} 다시 그림 ({nv} 정점)",
+        "n2_images_serial": "[안내] 이미지 출력이 켜져 있어 쌍별 직렬 러너로 진행합니다",
         "cli_experiment": "=== 실험: {folder}",
         "cli_devices_error": "[오류] --devices {n} > 사용 가능 장치 {avail}개",
     },
@@ -148,6 +149,7 @@ STRINGS = {
         "draw_kind_auto": "auto",
         "draw_kind_rough": "rough",
         "draw_roi_redrawn": "  ROI {i} redrawn ({nv} vertices)",
+        "n2_images_serial": "[note] image outputs requested — using the per-pair serial runner",
         "cli_experiment": "=== experiment: {folder}",
         "cli_devices_error": "[error] --devices {n} > {avail} available",
     },

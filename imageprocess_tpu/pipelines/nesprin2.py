@@ -289,8 +289,10 @@ def make_nesprin2_batched_step(cfg: "Nesprin2Config", *, has_aonly: bool,
     """A chunk of rim-FRET pairs in ONE dispatch: the full device chain
     (QC, backgrounds, spectral, eps, ratio, EDT rim, annulus local-BG,
     tiled per-ROI stats) vmapped over the pair axis, returning one flat
-    (B, K) table array — nothing image-sized crosses the link on the
-    tables path.  Optionally sharded over *mesh* (DP over pairs, the
+    (B, K) table array.  This is a minimum-FETCH path (nothing image-sized
+    comes BACK over the link) — unlike intensity/FRET it must still UPLOAD
+    full frames, because the rim EDT and the eps scope need the whole
+    union mask.  Optionally sharded over *mesh* (DP over pairs, the
     nesprin2 analogue of the intensity/FRET/FA sharded runners)."""
     flip = cfg.ratio_mode != "FRET/Donor"
     d_p = cfg.donor_p if cfg.per_channel_p else cfg.percentile
@@ -411,7 +413,8 @@ def process_pair_nesprin2(key, dpath, apath, roi_dir, cfg: Nesprin2Config,
 
     out = nesprin2_step(
         jnp.asarray(D), jnp.asarray(A),
-        jnp.asarray(Aonly if Aonly is not None else np.zeros_like(D)),
+        jnp.asarray(Aonly if Aonly is not None
+                    else np.zeros((1, 1), D.dtype)),
         jnp.asarray(pv), jnp.asarray(valid),
         jnp.int32(p1000_of(d_p)), jnp.int32(p1000_of(a_p)),
         jnp.int32(p1000_of(cfg.percentile)),
@@ -542,6 +545,10 @@ def run_nesprin2_batched(
     optionally sharded over a ``Mesh``.  Rows identical to
     :func:`run_nesprin2`; image outputs fall back to the serial runner."""
     if cfg.do_tif or cfg.do_png:
+        # image outputs render host-side per pair (94% of that wall is the
+        # renderer, docs/DESIGN.md) — say so instead of silently dropping
+        # a requested mesh
+        log(t("n2_images_serial"))
         return run_nesprin2(folder, cfg, out_root=out_root, log=log)
     from ..ops.roistats import choose_tile, pad_local_polys, tile_offsets
     from ..parallel.runner import PrefetchLoader, stream_batches
@@ -560,11 +567,39 @@ def run_nesprin2_batched(
     ann_active = cfg.annulus_on or cfg.bg_scope == "annulus"
     margin = (cfg.ann_out_px + 1) if ann_active else 0
 
+    hint: Dict[str, int] = {}
+
     def _load(kv):
         key, dpath, apath = kv
         D, A, _I, Aonly, polys = load_pair_nesprin2(
             key, dpath, apath, roi_dir, cfg, need_intensity=False)
-        return kv, (D, A, Aonly, polys)
+        # pre-pad the polygon/offset arrays in the prefetch thread against
+        # session-stable (tile, nb, vb) hints, so dispatch only stacks
+        # (mirrors the intensity loader; the per-key pad loops were pack
+        # wall on the 1-core host)
+        pre = None
+        if polys and A.shape == D.shape:
+            H, W = D.shape
+            t_need = choose_tile(polys, H, W, margin=margin)
+            if t_need is not None:
+                t_used = hint.setdefault("tile", t_need)
+                nb_used = hint.setdefault("nb", _bucket(len(polys)))
+                vb_used = hint.setdefault(
+                    "vb", _bucket(max(len(p) for p in polys), 32))
+                if (t_need <= t_used <= min(H, W)
+                        and len(polys) <= nb_used
+                        and max(len(p) for p in polys) <= vb_used):
+                    pv = np.zeros((nb_used, vb_used, 2), np.float32)
+                    for i, poly in enumerate(polys):
+                        pv[i] = pad_polygons(
+                            [np.asarray(poly, np.float32)], vb_used)[0]
+                    valid = np.zeros(nb_used, bool)
+                    valid[:len(polys)] = True
+                    offs = tile_offsets(polys, H, W, t_used, margin=margin)
+                    lp, off_pad, _ = pad_local_polys(polys, offs, nb_used,
+                                                     vb_used)
+                    pre = (t_used, pv, valid, lp, off_pad)
+        return kv, (D, A, Aonly, polys), pre
 
     loader = PrefetchLoader(_load, pairs, workers=max(1, prefetch_workers))
 
@@ -573,7 +608,6 @@ def run_nesprin2_batched(
         batch_size = max(batch_size, n_dev)
         batch_size -= batch_size % n_dev
 
-    hint: Dict[str, int] = {}
     step_cache: Dict[tuple, object] = {}
     rows_all: List[dict] = []
 
@@ -588,26 +622,19 @@ def run_nesprin2_batched(
 
     def classify(item):
         nonlocal sig
-        kv, (D, A, Aonly, polys) = item
+        kv, (D, A, Aonly, polys), pre = item
         key = kv[0]
         tag = key[0] if key[1] is None else f"{key[0]}_{key[1]}"
         log(t("msg_processing").format(tag=tag))
         if not polys:
             log(t("msg_warn_no_roi_tag").format(tag=tag))
             return "skip", None
-        H, W = D.shape
-        tile = choose_tile(polys, H, W, margin=margin)
         key_sig = (D.shape, A.shape, Aonly is not None)
-        if sig is None and tile is not None and A.shape == D.shape:
+        if sig is None and pre is not None:
             sig = key_sig
-            hint.setdefault("tile", tile)
-            hint.setdefault("nb", _bucket(len(polys)))
-            hint.setdefault("vb", _bucket(max(len(p) for p in polys), 32))
-        if (key_sig != sig or tile is None or tile > hint.get("tile", 0)
-                or len(polys) > hint.get("nb", 0)
-                or max(len(p) for p in polys) > hint.get("vb", 0)):
+        if pre is None or key_sig != sig or pre[0] != hint.get("tile"):
             return "serial", (kv, (D, A, Aonly, polys))
-        return "batch", (kv, (D, A, Aonly, polys))
+        return "batch", (kv, (D, A, Aonly, polys), pre)
 
     def step_for(tile, nb, vb):
         key = (tile, nb, vb)
@@ -623,21 +650,21 @@ def run_nesprin2_batched(
         H, W = chunk[0][1][0].shape
         D_b = np.zeros((pad_b, H, W), chunk[0][1][0].dtype)
         A_b = np.zeros((pad_b, H, W), chunk[0][1][1].dtype)
-        Ao_b = np.zeros((pad_b, H, W),
-                        chunk[0][1][2].dtype if sig[2] else np.uint16)
+        # a (1, 1) placeholder when no acceptor-only channel exists:
+        # _nesprin2_body never reads it unless has_aonly, and a full-frame
+        # zeros array would ship ~6 MB of dead bytes per pair
+        Ao_b = (np.zeros((pad_b, H, W), chunk[0][1][2].dtype) if sig[2]
+                else np.zeros((pad_b, 1, 1), np.uint16))
         pv_b = np.zeros((pad_b, nb, vb, 2), np.float32)
         val_b = np.zeros((pad_b, nb), bool)
         lp_b = np.zeros((pad_b, nb, vb, 2), np.float32)
         off_b = np.zeros((pad_b, nb, 2), np.int32)
-        for bi, (kv, (D, A, Aonly, polys)) in enumerate(chunk):
+        for bi, (kv, (D, A, Aonly, polys), pre) in enumerate(chunk):
             D_b[bi], A_b[bi] = D, A
             if sig[2] and Aonly is not None:
                 Ao_b[bi] = Aonly
-            for i, p in enumerate(polys):
-                pv_b[bi, i] = pad_polygons([np.asarray(p, np.float32)], vb)[0]
-            val_b[bi, :len(polys)] = True
-            offs = tile_offsets(polys, H, W, tile, margin=margin)
-            lp, off_pad, _ = pad_local_polys(polys, offs, nb, vb)
+            _t, pv, valid, lp, off_pad = pre  # loader pre-padded to hints
+            pv_b[bi], val_b[bi] = pv, valid
             lp_b[bi], off_b[bi] = lp, off_pad
         flat = step_for(tile, nb, vb)(
             jnp.asarray(D_b), jnp.asarray(A_b), jnp.asarray(Ao_b),
@@ -652,7 +679,7 @@ def run_nesprin2_batched(
     def finalize(rec):
         chunk, flat = rec
         cols, eps_arr = unpack_n2_flat(np.asarray(flat), hint["nb"])
-        for bi, (kv, (_D, _A, _Ao, polys)) in enumerate(chunk):
+        for bi, (kv, (_D, _A, _Ao, polys), _pre) in enumerate(chunk):
             s, t_code = kv[0]
             eps_f = float(eps_arr[bi])
             for i in range(len(polys)):
