@@ -209,30 +209,56 @@ def stream_batches(loader, batch_size: int, classify, dispatch, emit,
     - emit(record): fetch + emit a dispatched batch's rows
     - serial(entry): per-key fallback
     - on_error(LoadError): log-and-skip
+
+    Fault isolation (the reference catches worker exceptions per future,
+    Fluor_INT.py:1139-1143): a dispatch or emit failure — e.g. a device/
+    tunnel error mid-run — degrades that chunk to the per-key serial path
+    instead of aborting the whole run; a key whose serial fallback ALSO
+    fails is logged through on_error and skipped.
     """
     size = batch_size if callable(batch_size) else (lambda: batch_size)
     buf = []
-    pending = None
+    pending = None          # opaque record from dispatch
+    pending_entries = None  # its entries, for serial recovery on emit failure
+
+    def serial_safe(entry):
+        try:
+            serial(entry)
+        except Exception as e:  # noqa: BLE001 — log-and-skip per key
+            on_error(LoadError(entry, e))
 
     def drain():
-        nonlocal pending
-        if pending is not None:
-            emit(pending)
-            pending = None
+        nonlocal pending, pending_entries
+        if pending is None:
+            return
+        rec, entries = pending, pending_entries
+        pending = pending_entries = None
+        try:
+            emit(rec)
+        except Exception:  # noqa: BLE001 — result fetch failed: redo
+            for e in entries:  # the chunk per key (device may be back, or
+                serial_safe(e)  # each key logs its own error)
 
     def flush():
-        nonlocal pending
+        nonlocal pending, pending_entries
         if not buf:
             return
-        rec = dispatch(list(buf))  # copy: buf.clear() must not empty the
-                                   # chunk held by the in-flight record
+        entries = list(buf)  # copy: buf.clear() must not empty the
+        buf.clear()          # chunk held by the in-flight record
+        try:
+            rec = dispatch(entries)
+        except Exception:  # noqa: BLE001 — dispatch failed: go serial
+            drain()
+            for e in entries:
+                serial_safe(e)
+            return
         drain()
         if rec is None:
-            for e in buf:
-                serial(e)
+            for e in entries:
+                serial_safe(e)
         else:
             pending = rec
-        buf.clear()
+            pending_entries = entries
 
     for item in loader:
         if isinstance(item, LoadError):
@@ -244,7 +270,7 @@ def stream_batches(loader, batch_size: int, classify, dispatch, emit,
         if kind == "serial":
             flush()
             drain()
-            serial(entry)
+            serial_safe(entry)
             continue
         buf.append(entry)
         if len(buf) >= size():

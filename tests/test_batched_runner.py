@@ -311,3 +311,43 @@ def test_batched_smaller_frame_than_hint_tile(tmp_path):
     for r in rows:
         assert abs(r["ch1_mean"] - sd[r["stage"]]["ch1_mean"]) <= 1e-5 * max(
             abs(sd[r["stage"]]["ch1_mean"]), 1e-9)
+
+
+def test_stream_batches_fault_isolation():
+    """A dispatch or emit failure degrades the chunk to the serial path;
+    a serial failure is logged through on_error and skipped (the
+    reference's per-future worker error handling)."""
+    from imageprocess_tpu.parallel.runner import stream_batches
+
+    # dispatch raises on the second chunk; emit raises for chunk 3's rec
+    emitted, serialed, errors = [], [], []
+    calls = {"dispatch": 0}
+
+    def dispatch(chunk):
+        calls["dispatch"] += 1
+        if calls["dispatch"] == 2:
+            raise RuntimeError("device fell over")
+        return ("rec", list(chunk))
+
+    def emit(rec):
+        _, chunk = rec
+        if 8 in chunk:
+            raise RuntimeError("fetch failed")
+        emitted.extend(chunk)
+
+    def serial(entry):
+        if entry == 9:
+            raise RuntimeError("serial also failed")
+        serialed.append(entry)
+
+    stream_batches(
+        list(range(12)), 2, lambda x: ("batch", x), dispatch, emit, serial,
+        lambda err: errors.append((err.item, str(err.error))),
+    )
+    # every key accounted for exactly once: emitted, serialed, or errored
+    seen = sorted(emitted + serialed + [e[0] for e in errors])
+    assert seen == list(range(12))
+    assert serialed and emitted                   # both paths exercised
+    assert 2 in serialed and 3 in serialed        # chunk 2 fell back
+    assert 8 in serialed or 8 in [e[0] for e in errors]  # emit recovery
+    assert [e[0] for e in errors] == [9]
