@@ -193,7 +193,7 @@ class LoadError:
 
 
 def stream_batches(loader, batch_size: int, classify, dispatch, emit,
-                   serial, on_error) -> None:
+                   serial, on_error, cancel=None) -> None:
     """The one-batch-in-flight streaming protocol shared by the batched
     runners (intensity, fret): consume a PrefetchLoader, keep ONE dispatched
     batch pending so host decode of chunk k+1 overlaps device compute of
@@ -209,6 +209,9 @@ def stream_batches(loader, batch_size: int, classify, dispatch, emit,
     - emit(record): fetch + emit a dispatched batch's rows
     - serial(entry): per-key fallback
     - on_error(LoadError): log-and-skip
+    - cancel: optional zero-arg callable checked between items (the
+      reference GUI's cancel flag, Fluor_INT.py:2219-2233); in-flight work
+      drains so rows collected so far are still emitted
 
     Fault isolation (the reference catches worker exceptions per future,
     Fluor_INT.py:1139-1143): a dispatch or emit failure — e.g. a device/
@@ -261,6 +264,8 @@ def stream_batches(loader, batch_size: int, classify, dispatch, emit,
             pending_entries = entries
 
     for item in loader:
+        if cancel is not None and cancel():
+            break
         if isinstance(item, LoadError):
             on_error(item)
             continue

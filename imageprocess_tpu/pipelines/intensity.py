@@ -424,6 +424,7 @@ def run_intensity_batched(
     batch_size: int = 8,
     mesh=None,
     prefetch_workers: int = 8,
+    cancel=None,
 ) -> List[dict]:
     """Batched variant: frames stack into (B, C, H, W) and quantify in ONE
     device dispatch per chunk — optionally sharded over a ``Mesh`` (data
@@ -861,7 +862,10 @@ def run_intensity_batched(
         lambda e: run_serial(e[0], e[1], e[2]),
         lambda err: log(t("err_worker").format(key=err.item[0],
                                                error=err.error)),
+        cancel=cancel,
     )
+    if cancel is not None and cancel():
+        log(t("cancelled"))
 
     if cfg.do_xls and rows_all:
         xls_dir = os.path.join(out_root, "xls")

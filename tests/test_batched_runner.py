@@ -82,12 +82,13 @@ def test_chunk_autoscale_grows_and_stays_correct(tmp_path):
     chunk_lens = []
     orig = runner_mod.stream_batches
 
-    def spy(loader, batch_size, classify, dispatch, emit, serial_fb, on_err):
+    def spy(loader, batch_size, classify, dispatch, emit, serial_fb, on_err,
+            **kw):
         def dispatch_spy(chunk):
             chunk_lens.append(len(chunk))
             return dispatch(chunk)
         return orig(loader, batch_size, classify, dispatch_spy, emit,
-                    serial_fb, on_err)
+                    serial_fb, on_err, **kw)
 
     # the pipeline imports stream_batches at call time, so patching the
     # runner module name is enough
@@ -351,3 +352,23 @@ def test_stream_batches_fault_isolation():
     assert 2 in serialed and 3 in serialed        # chunk 2 fell back
     assert 8 in serialed or 8 in [e[0] for e in errors]  # emit recovery
     assert [e[0] for e in errors] == [9]
+
+
+def test_batched_cancel_partial_rows(timelapse_folder, tmp_path):
+    """Cancel between chunks stops the run but keeps the rows collected so
+    far and still writes the workbook (Fluor_INT.py:2219-2233 semantics)."""
+    state = {"n": 0}
+
+    def cancel():
+        state["n"] += 1
+        return state["n"] > 6  # let the first chunks through
+
+    cfg = IntensityConfig(channels=(1, 2), timelapse=True, do_xls=True)
+    logs = []
+    rows = run_intensity_batched(str(timelapse_folder), cfg,
+                                 out_root=str(tmp_path), log=logs.append,
+                                 batch_size=2, cancel=cancel)
+    assert 0 < len(rows) < 16
+    assert any("취소" in str(line) or "CANCEL" in str(line).upper()
+               for line in logs)
+    assert (tmp_path / "xls" / "fluor_intensity_perROI.csv").exists()
