@@ -571,10 +571,19 @@ def run_fret_batched(
                         tiles = jax.device_put(tiles)
                     except Exception:
                         pass  # stays host-side; dispatch re-gathers
-                    pre = (t_used, tiles, offs)
+                    # pre-pad the polygon arrays here too (session vb
+                    # hint) so dispatch just stacks — see intensity
+                    vb_used = tile_hint.setdefault(
+                        "vb", _bucket(max(len(p) for p in polys), 32))
+                    lp = valid = None
+                    if max(len(p) for p in polys) <= vb_used:
+                        lp, _, valid = pad_local_polys(
+                            polys, offs, nb_used, vb_used)
+                    pre = (t_used, tiles, offs, lp, valid)
         return kv, (D, A, polys), scalars, pre
 
-    loader = PrefetchLoader(_load, pairs, workers=max(1, prefetch_workers))
+    loader = PrefetchLoader(_load, pairs, workers=max(1, prefetch_workers),
+                            ahead=32)
 
     if mesh is not None:
         n_dev = len(mesh.devices.ravel())
@@ -585,6 +594,15 @@ def run_fret_batched(
     else:
         tile_step = partial(batched_fret_tile_stats,
                             clip_neg=cfg.clip_neg, flip=flip)
+
+    # chunk auto-scaling (see intensity): double pairs-per-dispatch when
+    # decode runs ahead of the device, cap 32
+    bs_state = {"bs": batch_size}
+
+    def _maybe_grow_chunk():
+        bs = bs_state["bs"]
+        if bs * 2 <= 32 and loader.ready >= (3 * bs) // 2:
+            bs_state["bs"] = bs * 2
 
     rows_all: List[dict] = []
 
@@ -632,6 +650,7 @@ def run_fret_batched(
             # this point, recycle its pages (put() ignores a None base
             # from the per-file PIL fallback)
             frame_pool.put(D.base)
+        _maybe_grow_chunk()
 
     def dispatch(chunk):
         all_p = [poly for _, (_, _, polys), _, _ in chunk for poly in polys]
@@ -644,9 +663,12 @@ def run_fret_batched(
         nb_hint = tile_hint.get("nb")
         nb = (nb_hint if nb_hint is not None and max_n <= nb_hint
               else _bucket(max_n, 8))
-        vb = _bucket(max(len(poly) for poly in all_p), 32)
+        max_v = max(len(poly) for poly in all_p)
+        vb_hint = tile_hint.get("vb")
+        vb = (vb_hint if vb_hint is not None and max_v <= vb_hint
+              else _bucket(max_v, 32))
         B = len(chunk)
-        pad_b = batch_size if mesh is not None else B
+        pad_b = bs_state["bs"] if mesh is not None else B
         lp_b = np.zeros((pad_b, nb, vb, 2), np.float32)
         val_b = np.zeros((pad_b, nb), bool)
         bgs_b = np.zeros((pad_b, 2), np.float32)
@@ -662,7 +684,12 @@ def run_fret_batched(
                 offs = tile_offsets(polys, H, W, tile)
                 tiles_i = None
             per_key.append((tiles_i, D, A, polys, offs))
-            lp, _, valid = pad_local_polys(polys, offs, nb, vb)
+            if (pre is not None and pre[0] == tile and len(pre) >= 5
+                    and pre[3] is not None
+                    and pre[3].shape == (nb, vb, 2)):
+                lp, valid = pre[3], pre[4]  # loader pre-padded
+            else:
+                lp, _, valid = pad_local_polys(polys, offs, nb, vb)
             lp_b[bi], val_b[bi] = lp, valid
             bgs_b[bi] = (bgd, bga)
             eps_b[bi] = eps_f
@@ -710,7 +737,7 @@ def run_fret_batched(
         return "batch", (kv, loaded, scalars, pre)
 
     stream_batches(
-        loader, batch_size, classify, dispatch,
+        loader, lambda: bs_state["bs"], classify, dispatch,
         lambda rec: emit_rows(*rec),
         lambda e: run_serial(e[0], e[1]),
         lambda err: log(t("err_worker").format(key=err.item[0],
