@@ -388,6 +388,7 @@ def run_fa_batched(
     batch_size: int = 4,
     mesh=None,
     prefetch_workers: int = 8,
+    cancel=None,
 ) -> Dict[str, pd.DataFrame]:
     """Streaming batched FA tables (same outputs as :func:`run_fa_batch`):
     prefetch-thread decode overlaps device compute, frames chunk into ONE
@@ -521,6 +522,7 @@ def run_fa_batched(
         loader, batch_size, classify, dispatch, finalize, run_serial,
         lambda err: log(t("err_worker").format(key=err.item[2],
                                                error=err.error)),
+        cancel=cancel,
     )
 
     if cfg.do_master_report and results:

@@ -498,6 +498,7 @@ def run_fret_batched(
     batch_size: int = 4,
     mesh=None,
     prefetch_workers: int = 8,
+    cancel=None,
 ) -> List[dict]:
     """Tables-only batched FRET runner: host backgrounds + eps (exact
     native u16 percentiles in the prefetch threads), ROI tiles of both
@@ -742,6 +743,7 @@ def run_fret_batched(
         lambda e: run_serial(e[0], e[1]),
         lambda err: log(t("err_worker").format(key=err.item[0],
                                                error=err.error)),
+        cancel=cancel,
     )
 
     if cfg.do_xls and rows_all:

@@ -537,6 +537,7 @@ def run_nesprin2_batched(
     batch_size: int = 4,
     mesh=None,
     prefetch_workers: int = 8,
+    cancel=None,
 ) -> List[dict]:
     """Tables-only batched rim-FRET runner: prefetch-thread decode, a
     chunk of pairs per fused dispatch (the FULL device chain — QC,
@@ -691,6 +692,7 @@ def run_nesprin2_batched(
         lambda e: run_serial(e[0], e[1]),
         lambda err: log(t("err_worker").format(key=err.item[0],
                                                error=err.error)),
+        cancel=cancel,
     )
 
     if cfg.do_xls:
