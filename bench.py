@@ -246,9 +246,18 @@ def main():
               file=sys.stderr)
         best = 0.0
 
-    device_mpix = _device_only_mpix_s()
-    decode_mpix = _decode_only_mpix_s()
-    fret_mpix = _fret_e2e_mpix_s()
+    def _safe(fn, label):
+        # a transient tunnel/backend outage in one sub-metric must not
+        # cost the whole bench its one JSON line
+        try:
+            return fn()
+        except Exception as e:  # noqa: BLE001
+            print(f"[bench] {label} failed: {e}", file=sys.stderr)
+            return 0.0
+
+    device_mpix = _safe(_device_only_mpix_s, "device_mpix_s")
+    decode_mpix = _safe(_decode_only_mpix_s, "decode_mpix_s")
+    fret_mpix = _safe(_fret_e2e_mpix_s, "fret_e2e_mpix_s")
 
     baseline = 0.8  # Mpix/s, BASELINE.md reference log
     rois_per_s = len(rows) * best / mpix  # same wall time, ROI-count units
@@ -269,4 +278,13 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except Exception as e:  # noqa: BLE001 — the driver contract is ONE
+        # JSON line no matter what (e.g. a tunnel outage mid-run)
+        print(f"[bench] fatal: {e}", file=sys.stderr)
+        print(json.dumps({
+            "metric": "intensity_e2e_throughput", "value": 0.0,
+            "unit": "Mpix/s", "vs_baseline": 0.0,
+            "error": str(e)[:200],
+        }))
