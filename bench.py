@@ -285,6 +285,7 @@ if __name__ == "__main__":
         print(f"[bench] fatal: {e}", file=sys.stderr)
         print(json.dumps({
             "metric": "intensity_e2e_throughput", "value": 0.0,
-            "unit": "Mpix/s", "vs_baseline": 0.0,
-            "error": str(e)[:200],
+            "unit": "Mpix/s", "vs_baseline": 0.0, "rois_per_s": 0.0,
+            "device_mpix_s": 0.0, "decode_mpix_s": 0.0,
+            "fret_e2e_mpix_s": 0.0, "error": str(e)[:200],
         }))

@@ -182,6 +182,27 @@ def sharded_batched_tile_stats(mesh: Mesh, *, clip_neg=True) -> Callable:
     )
 
 
+def make_autoscaler(loader, batch_size: int, cap: int = 32):
+    """Chunk-size auto-scaling shared by the batched runners: a
+    (current_size, maybe_grow) pair.  maybe_grow doubles the size (up to
+    *cap*, where device throughput saturates — docs/DESIGN.md) whenever
+    the loader's decoded-and-waiting queue outruns 1.5x the current size;
+    on a decode-bound host the queue never fills and the size never moves
+    (no recompiles, no regression).  Doubling preserves any mesh
+    divisibility of the starting size."""
+    state = {"bs": batch_size}
+
+    def current() -> int:
+        return state["bs"]
+
+    def maybe_grow() -> None:
+        bs = state["bs"]
+        if bs * 2 <= cap and loader.ready >= (3 * bs) // 2:
+            state["bs"] = bs * 2
+
+    return current, maybe_grow
+
+
 class LoadError:
     """Sentinel yielded by PrefetchLoader when an item's load_fn raised:
     carries the item and the exception so callers can log-and-skip (the
@@ -193,7 +214,7 @@ class LoadError:
 
 
 def stream_batches(loader, batch_size: int, classify, dispatch, emit,
-                   serial, on_error, cancel=None) -> None:
+                   serial, on_error, cancel=None) -> bool:
     """The one-batch-in-flight streaming protocol shared by the batched
     runners (intensity, fret): consume a PrefetchLoader, keep ONE dispatched
     batch pending so host decode of chunk k+1 overlaps device compute of
@@ -210,8 +231,12 @@ def stream_batches(loader, batch_size: int, classify, dispatch, emit,
     - serial(entry): per-key fallback
     - on_error(LoadError): log-and-skip
     - cancel: optional zero-arg callable checked between items (the
-      reference GUI's cancel flag, Fluor_INT.py:2219-2233); in-flight work
-      drains so rows collected so far are still emitted
+      reference GUI's cancel flag, Fluor_INT.py:2219-2233).  On cancel,
+      the already-dispatched in-flight chunk drains (its rows are kept)
+      but buffered, never-dispatched entries are DROPPED — dispatching
+      them would start new device work, possibly compiling a fresh
+      partial-chunk shape (minutes on a tunneled chip).  Returns True if
+      the run was cancelled.
 
     Fault isolation (the reference catches worker exceptions per future,
     Fluor_INT.py:1139-1143): a dispatch or emit failure — e.g. a device/
@@ -263,8 +288,10 @@ def stream_batches(loader, batch_size: int, classify, dispatch, emit,
             pending = rec
             pending_entries = entries
 
+    cancelled = False
     for item in loader:
         if cancel is not None and cancel():
+            cancelled = True
             break
         if isinstance(item, LoadError):
             on_error(item)
@@ -280,8 +307,12 @@ def stream_batches(loader, batch_size: int, classify, dispatch, emit,
         buf.append(entry)
         if len(buf) >= size():
             flush()
-    flush()
+    if cancelled:
+        buf.clear()
+    else:
+        flush()
     drain()
+    return cancelled
 
 
 class PrefetchLoader:

@@ -318,6 +318,7 @@ def run_fa_batch(
     out_root: str,
     cfg: FaConfig,
     log=print,
+    cancel=None,
 ) -> Dict[str, pd.DataFrame]:
     """Batch process (FA_Analyzer.py:939-1052): per-stage CSVs under
     ``individual_results/`` + optional master report."""
@@ -326,6 +327,9 @@ def run_fa_batch(
     pairs = list_fa_pairs(img_dir, roi_dir, cfg.channel)
     results: Dict[str, pd.DataFrame] = {}
     for img_path, json_path, s_tag in pairs:
+        if cancel is not None and cancel():
+            log(t("cancelled"))
+            break
         log(t("fa_processing").format(tag=s_tag))
         img = tiffio.read_2d(img_path, squeeze="smallest_axis")
         rois = _load_rois(json_path)
@@ -518,12 +522,13 @@ def run_fa_batched(
         for _s_tag, img, _rois in chunk:
             frame_pool.put(img.base)  # (1, H, W) decode buffer now dead
 
-    stream_batches(
+    if stream_batches(
         loader, batch_size, classify, dispatch, finalize, run_serial,
         lambda err: log(t("err_worker").format(key=err.item[2],
                                                error=err.error)),
         cancel=cancel,
-    )
+    ):
+        log(t("cancelled"))
 
     if cfg.do_master_report and results:
         merge_fa_report(out_root, cfg.master_name, log=log)

@@ -337,6 +337,7 @@ def run_fret(
     out_root: Optional[str] = None,
     log=print,
     prefetch_workers: int = 8,
+    cancel=None,
 ) -> List[dict]:
     """Run the FRET workload over an experiment *folder*
     (fret_ratio_builder.py:892-1023)."""
@@ -368,6 +369,9 @@ def run_fret(
 
     rows_all: List[dict] = []
     for item in loader:
+        if cancel is not None and cancel():
+            log(t("cancelled"))
+            break
         if isinstance(item, LoadError):
             log(t("err_worker").format(key=item.item[0], error=item.error))
             continue
@@ -508,7 +512,9 @@ def run_fret_batched(
     doesn't fit the fast path."""
     from ..ops.roistats import choose_tile, gather_tiles, pad_local_polys, tile_offsets
     from ..ops.stats import STAT_FIELDS
-    from ..parallel.runner import PrefetchLoader, stream_batches
+    from ..parallel.runner import (
+        PrefetchLoader, make_autoscaler, stream_batches,
+    )
     from ..report.excel import save_fret_excel
 
     fast_ok = (not cfg.do_tif and not cfg.do_png
@@ -516,7 +522,7 @@ def run_fret_batched(
                and cfg.bg_mode in ("percentile", "none"))
     if not fast_ok:
         return run_fret(folder, cfg, out_root=out_root, log=log,
-                        prefetch_workers=prefetch_workers)
+                        prefetch_workers=prefetch_workers, cancel=cancel)
 
     out_root = out_root or os.path.join(folder, "RES")
     roi_dir = os.path.join(folder, "roi")
@@ -596,14 +602,7 @@ def run_fret_batched(
         tile_step = partial(batched_fret_tile_stats,
                             clip_neg=cfg.clip_neg, flip=flip)
 
-    # chunk auto-scaling (see intensity): double pairs-per-dispatch when
-    # decode runs ahead of the device, cap 32
-    bs_state = {"bs": batch_size}
-
-    def _maybe_grow_chunk():
-        bs = bs_state["bs"]
-        if bs * 2 <= 32 and loader.ready >= (3 * bs) // 2:
-            bs_state["bs"] = bs * 2
+    _cur_bs, _maybe_grow_chunk = make_autoscaler(loader, batch_size)
 
     rows_all: List[dict] = []
 
@@ -669,7 +668,7 @@ def run_fret_batched(
         vb = (vb_hint if vb_hint is not None and max_v <= vb_hint
               else _bucket(max_v, 32))
         B = len(chunk)
-        pad_b = bs_state["bs"] if mesh is not None else B
+        pad_b = _cur_bs() if mesh is not None else B
         lp_b = np.zeros((pad_b, nb, vb, 2), np.float32)
         val_b = np.zeros((pad_b, nb), bool)
         bgs_b = np.zeros((pad_b, 2), np.float32)
@@ -737,14 +736,15 @@ def run_fret_batched(
             return "serial", (kv, loaded)
         return "batch", (kv, loaded, scalars, pre)
 
-    stream_batches(
-        loader, lambda: bs_state["bs"], classify, dispatch,
+    if stream_batches(
+        loader, _cur_bs, classify, dispatch,
         lambda rec: emit_rows(*rec),
         lambda e: run_serial(e[0], e[1]),
         lambda err: log(t("err_worker").format(key=err.item[0],
                                                error=err.error)),
         cancel=cancel,
-    )
+    ):
+        log(t("cancelled"))
 
     if cfg.do_xls and rows_all:
         save_fret_excel(rows_all, os.path.join(out_root, "xls"),

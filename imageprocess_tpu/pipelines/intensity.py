@@ -443,14 +443,16 @@ def run_intensity_batched(
     )
     from ..parallel.runner import (
         PrefetchLoader, batched_intensity_step_tiled,
-        batched_tile_stats_step, sharded_batched_intensity_tiled,
-        sharded_batched_tile_stats, stream_batches,
+        batched_tile_stats_step, make_autoscaler,
+        sharded_batched_intensity_tiled, sharded_batched_tile_stats,
+        stream_batches,
     )
     from ..report.excel import save_intensity_excel
 
     if cfg.bg_scope != "full":
         return run_intensity(folder, cfg, out_root=out_root, log=log,
-                             prefetch_workers=prefetch_workers)
+                             prefetch_workers=prefetch_workers,
+                             cancel=cancel)
 
     files = naming.list_tifs(folder)
     keymap = naming.build_keymap(files, cfg.timelapse, cfg.grammar)
@@ -610,19 +612,7 @@ def run_intensity_batched(
         batch_size = max(batch_size, n_dev)
         batch_size -= batch_size % n_dev
 
-    # chunk-size auto-scaling: when decode runs AHEAD of the device (the
-    # loader's ready queue outgrows the chunk), double the frames per
-    # dispatch (cap 32, where device throughput saturates — ~1270 Mpix/s
-    # at 32 frames, docs/DESIGN.md) so the ~28 ms dispatch floor amortizes
-    # without env tuning.  On a decode-bound host the queue never fills and
-    # the size never moves (no recompiles, no regression); doubling keeps
-    # any mesh divisibility intact.
-    bs_state = {"bs": batch_size}
-
-    def _maybe_grow_chunk():
-        bs = bs_state["bs"]
-        if bs * 2 <= 32 and loader.ready >= (3 * bs) // 2:
-            bs_state["bs"] = bs * 2
+    _cur_bs, _maybe_grow_chunk = make_autoscaler(loader, batch_size)
 
     step_cache: Dict[int, object] = {}
 
@@ -708,7 +698,7 @@ def run_intensity_batched(
         else:
             vb = _bucket(max_v, 32)
         B = len(chunk)
-        pad_b = bs_state["bs"] if mesh is not None else B
+        pad_b = _cur_bs() if mesh is not None else B
         C = chunk[0][2][1].shape[0]
         lp_b = np.zeros((pad_b, nb, vb, 2), np.float32)
         val_b = np.zeros((pad_b, nb), bool)
@@ -857,14 +847,14 @@ def run_intensity_batched(
                 yield item
         source = _timed_loader()
 
-    stream_batches(
-        source, lambda: bs_state["bs"], classify, dispatch, finalize,
+    was_cancelled = stream_batches(
+        source, _cur_bs, classify, dispatch, finalize,
         lambda e: run_serial(e[0], e[1], e[2]),
         lambda err: log(t("err_worker").format(key=err.item[0],
                                                error=err.error)),
         cancel=cancel,
     )
-    if cancel is not None and cancel():
+    if was_cancelled:
         log(t("cancelled"))
 
     if cfg.do_xls and rows_all:

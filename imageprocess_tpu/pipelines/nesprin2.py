@@ -550,7 +550,8 @@ def run_nesprin2_batched(
         # renderer, docs/DESIGN.md) — say so instead of silently dropping
         # a requested mesh
         log(t("n2_images_serial"))
-        return run_nesprin2(folder, cfg, out_root=out_root, log=log)
+        return run_nesprin2(folder, cfg, out_root=out_root, log=log,
+                            cancel=cancel)
     from ..ops.roistats import choose_tile, pad_local_polys, tile_offsets
     from ..parallel.runner import PrefetchLoader, stream_batches
     from ..report.excel import save_nesprin2_excel
@@ -687,13 +688,14 @@ def run_nesprin2_batched(
                 rows_all.append(_n2_row(s, t_code, i, cols, eps_f, bi, cfg,
                                         flip, d_p, a_p))
 
-    stream_batches(
+    if stream_batches(
         loader, batch_size, classify, dispatch, finalize,
         lambda e: run_serial(e[0], e[1]),
         lambda err: log(t("err_worker").format(key=err.item[0],
                                                error=err.error)),
         cancel=cancel,
-    )
+    ):
+        log(t("cancelled"))
 
     if cfg.do_xls:
         save_nesprin2_excel(rows_all, os.path.join(out_root, "xls"),
@@ -706,6 +708,7 @@ def run_nesprin2(
     cfg: Nesprin2Config,
     out_root: Optional[str] = None,
     log=print,
+    cancel=None,
 ) -> List[dict]:
     """Run the rim-FRET workload (Nesprin2_FRET_Builder.py:1331-1736)."""
     from ..report.excel import save_nesprin2_excel
@@ -738,6 +741,9 @@ def run_nesprin2(
 
     rows_all: List[dict] = []
     for item in loader:
+        if cancel is not None and cancel():
+            log(t("cancelled"))
+            break
         if isinstance(item, LoadError):
             log(t("err_worker").format(key=item.item[0], error=item.error))
             continue

@@ -372,3 +372,31 @@ def test_batched_cancel_partial_rows(timelapse_folder, tmp_path):
     assert any("취소" in str(line) or "CANCEL" in str(line).upper()
                for line in logs)
     assert (tmp_path / "xls" / "fluor_intensity_perROI.csv").exists()
+
+
+def test_stream_batches_cancel_drops_undispatched():
+    """On cancel, the in-flight chunk drains but buffered entries are NOT
+    dispatched as a fresh (new-shape) chunk; returns True."""
+    from imageprocess_tpu.parallel.runner import stream_batches
+
+    dispatched, emitted = [], []
+    state = {"seen": 0}
+
+    def cancel():
+        return state["seen"] >= 5  # fires with entries 4 (and 5) buffered
+
+    def classify(x):
+        state["seen"] += 1
+        return ("batch", x)
+
+    cancelled = stream_batches(
+        iter(range(10)), 3, classify,
+        lambda c: (dispatched.append(list(c)), list(c))[1],
+        lambda rec: emitted.extend(rec),
+        lambda e: emitted.append(e),
+        lambda err: None,
+        cancel=cancel,
+    )
+    assert cancelled is True
+    assert dispatched == [[0, 1, 2]]   # the buffered [3, 4] never dispatch
+    assert emitted == [0, 1, 2]        # in-flight chunk drained
