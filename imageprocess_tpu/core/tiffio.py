@@ -100,4 +100,7 @@ def normalize_to_u16(
     reference's 16-bit preview transform (Fluor_INT.py:930-943)."""
     clipped = np.clip(img, lo, hi)
     norm = (clipped - lo) / (hi - lo + eps)
-    return (norm * 65535).astype(np.uint16)
+    # NaN pixels (QC'd saturation etc.) clip through unchanged; numpy's
+    # float->uint16 cast of NaN is platform-defined (0 on x86, with a
+    # RuntimeWarning) — pin the observed reference behavior explicitly.
+    return (np.nan_to_num(norm, nan=0.0) * 65535).astype(np.uint16)
