@@ -681,12 +681,10 @@ def save_fa_figs(
             tile = extras["tile"]
             for i, (oy, ox) in enumerate(extras["offsets"]):
                 fa_mask[oy:oy + tile, ox:ox + tile] |= extras["labels"][i] > 0
+        from ..report.render import colormap_rgba_u8
+
         fig, ax = plt.subplots(figsize=(10, 10 * H / W))
         lo, hi = np.percentile(img, [1, 99])
-        ax.imshow(img, cmap="gray", vmin=lo, vmax=hi)
-        overlay = np.zeros((H, W, 4), np.float32)
-        overlay[fa_mask] = (1.0, 0.2, 0.2, 0.9)
-        ax.imshow(overlay)
         for i, poly in enumerate(rois, 1):
             P = np.asarray(poly, float)
             ax.plot(np.r_[P[:, 0], P[0, 0]], np.r_[P[:, 1], P[0, 1]],
@@ -696,7 +694,17 @@ def save_fa_figs(
         ax.set_title(f"{s_tag}  alpha={cfg.alpha}  thr={thr:.1f}  bg={bg:.1f}")
         ax.set_axis_off()
         out = os.path.join(fig_dir, f"{s_tag}_FA.png")
+        # tight_layout triggers a full draw: run it before the megapixel
+        # image artists exist (layout depends only on the title), then
+        # paint the base frame + FA overlay as pre-colormapped u8 RGBA
         fig.tight_layout(pad=0.2)
+        base = colormap_rgba_u8(img, "gray", lo, hi)
+        # composite the reference's 0.9-alpha red FA overlay in u8:
+        # out = 0.9*red + 0.1*base, same pixels as the second imshow layer
+        under = base[fa_mask, :3].astype(np.float32)
+        base[fa_mask, :3] = (0.9 * np.float32([255.0, 51.0, 51.0])
+                             + 0.1 * under + 0.5).astype(np.uint8)
+        ax.imshow(base)
         fig.savefig(out, dpi=dpi)
         plt.close(fig)
         written.append(out)

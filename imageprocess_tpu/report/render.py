@@ -177,6 +177,55 @@ def _transparent_outside(cmap):
     return cm_obj
 
 
+_LUT_CACHE: dict = {}
+
+
+def _cmap_lut_u8(cmap) -> np.ndarray:
+    """(256, 4) uint8 LUT for a named/instance colormap (cached by name)."""
+    key = cmap if isinstance(cmap, str) else getattr(cmap, "name", None)
+    if key is None or key not in _LUT_CACHE:
+        cm_obj = plt.get_cmap(cmap) if isinstance(cmap, str) else cmap
+        lut = (cm_obj(np.linspace(0.0, 1.0, 256)) * 255.0 + 0.5).astype(np.uint8)
+        if key is None:
+            return lut
+        _LUT_CACHE[key] = lut
+    return _LUT_CACHE[key]
+
+
+def colormap_rgba_u8(img2d, cmap="jet", vmin=None, vmax=None, mask=None):
+    """Matplotlib-equivalent scalar colormapping done in numpy (within one
+    256-step LUT quantum of imshow's float64 pipeline, visually identical):
+    normalize -> LUT index -> (H, W, 4) uint8.
+
+    The savers feed this to ``imshow`` instead of a float image + cmap:
+    mpl's per-draw float64 norm/LUT pass on megapixel frames is the
+    measured hot spot of every image-output workload (docs/DESIGN.md),
+    and a uint8 RGBA array passes through it untouched.  Non-finite pixels
+    (QC'd saturation, ratio clips) and mask=False pixels get alpha 0 —
+    exactly the `_transparent_outside` / default-bad behavior, letting the
+    savers' black background show through.
+    """
+    v = np.asarray(img2d, np.float32)
+    fin = np.isfinite(v)
+    if mask is not None:
+        fin &= np.asarray(mask, bool)
+    allfin = bool(fin.all())
+    if not allfin:
+        v = np.where(fin, v, 0.0)
+    if vmin is None or vmax is None:
+        vis = v[fin] if not allfin else v
+        lo = float(vis.min()) if vis.size else 0.0
+        hi = float(vis.max()) if vis.size else 1.0
+        vmin = lo if vmin is None else float(vmin)
+        vmax = hi if vmax is None else float(vmax)
+    scale = 256.0 / (vmax - vmin) if vmax > vmin else 0.0
+    idx = np.clip(((v - vmin) * scale).astype(np.int32), 0, 255)
+    out = _cmap_lut_u8(cmap)[idx]
+    if not allfin:
+        out[~fin] = 0
+    return out
+
+
 def save_png_colormap(
     img2d,
     out_path,
@@ -198,13 +247,8 @@ def save_png_colormap(
     fig, ax = plt.subplots()
     ax.set_facecolor("black")
     fig.patch.set_facecolor("black")
-    shown = np.array(img2d, copy=True)
-    if mask is not None:
-        shown = np.ma.array(shown, mask=~mask)
-        ax.imshow(shown, cmap=_transparent_outside(cmap),
-                  vmin=vmin, vmax=vmax)
-    else:
-        ax.imshow(shown, cmap=cmap, vmin=vmin, vmax=vmax)
+    shown = np.asarray(img2d)
+    ax.imshow(colormap_rgba_u8(shown, cmap, vmin, vmax, mask=mask))
     ax.set_axis_off()
     if scalebar_um is not None and px_um is not None and scalebar_um > 0:
         H, W = shown.shape[:2]
@@ -272,9 +316,10 @@ def save_png_image(img, out_path, dpi=300, out_px=None, scalebar_um=None,
     ax.set_facecolor("black")
     fig.patch.set_facecolor("black")
     if img.ndim == 2:
-        ax.imshow(img, cmap="gray", vmin=0.0, vmax=1.0)
+        ax.imshow(colormap_rgba_u8(img, "gray", 0.0, 1.0))
     else:
-        ax.imshow(np.clip(img, 0, 1))
+        rgb = np.clip(np.asarray(img, np.float32), 0, 1)
+        ax.imshow((rgb * 255.0 + 0.5).astype(np.uint8))
     ax.set_axis_off()
     H, W = img.shape[:2]
     if scalebar_um is not None and px_um is not None:
@@ -295,7 +340,7 @@ def save_png_gray(img2d, out_path, vmin=None, vmax=None, dpi=300, out_px=None):
     fig, ax = plt.subplots()
     ax.set_facecolor("black")
     fig.patch.set_facecolor("black")
-    ax.imshow(img2d, cmap="gray", vmin=vmin, vmax=vmax)
+    ax.imshow(colormap_rgba_u8(img2d, "gray", vmin, vmax))
     ax.set_axis_off()
     _fill_frame(fig, ax)
     if out_px:
@@ -399,10 +444,10 @@ def save_panel_intensity_ratio(int_img, ratio_img, rim, out_png, px_um,
     ivals = I[np.isfinite(I)]
     ilo, ihi = (np.percentile(ivals, 1), np.percentile(ivals, 99)) if ivals.size else (0.0, 1.0)
     fig, axes = plt.subplots(1, 2, figsize=(6, 3))
-    axes[0].imshow(I, vmin=ilo, vmax=ihi, cmap="gray")
+    axes[0].imshow(colormap_rgba_u8(I, "gray", ilo, ihi))
     axes[0].set_title(title_left)
     axes[0].axis("off")
-    im = axes[1].imshow(R, vmin=vmin, vmax=vmax, cmap=cmap)
+    axes[1].imshow(colormap_rgba_u8(R, cmap, vmin, vmax))
     axes[1].set_title(title_right)
     axes[1].axis("off")
     H, W = R.shape
@@ -411,7 +456,11 @@ def save_panel_intensity_ratio(int_img, ratio_img, rim, out_png, px_um,
         for ax in axes:
             draw_scalebar(ax, W, H, bar_px, bar_px * px_um)
     if show_colorbar:
-        cb = fig.colorbar(im, ax=axes[1], fraction=0.046, pad=0.04)
+        sm = mpl.cm.ScalarMappable(
+            norm=mpl.colors.Normalize(vmin=vmin, vmax=vmax),
+            cmap=plt.get_cmap(cmap) if isinstance(cmap, str) else cmap,
+        )
+        cb = fig.colorbar(sm, ax=axes[1], fraction=0.046, pad=0.04)
         cb.set_label("FRET ratio")
     plt.tight_layout()
     os.makedirs(os.path.dirname(out_png) or ".", exist_ok=True)
@@ -553,7 +602,6 @@ def save_fa_crop_colormap(img_crop, mask, roi_poly_crop, out_path,
     fig.patch.set_facecolor("black")
     ax = fig.add_axes([0, 0, 1, 1])
     ax.set_facecolor("black")
-    masked = np.ma.array(img_crop, mask=~mask)
     if vmin is None or vmax is None:
         valid = img_crop[mask]
         alo, ahi = ((np.percentile(valid, 1), np.percentile(valid, 99))
@@ -571,7 +619,11 @@ def save_fa_crop_colormap(img_crop, mask, roi_poly_crop, out_path,
         except ValueError:
             cmap = plt.get_cmap("jet").copy()
     cmap.set_bad(color="black")
-    im = ax.imshow(masked, cmap=cmap, vmin=vmin, vmax=vmax, aspect="equal")
+    # masked-out pixels get alpha 0 over the black facecolor — identical
+    # composite to the set_bad(black) masked-array draw, minus the float64
+    # per-draw colormap pass
+    ax.imshow(colormap_rgba_u8(img_crop, cmap, vmin, vmax, mask=mask),
+              aspect="equal")
     P = np.asarray(roi_poly_crop)
     ax.plot(P[:, 0], P[:, 1], linestyle="--", linewidth=roi_lw,
             color=roi_color, alpha=0.8)
@@ -593,7 +645,9 @@ def save_fa_crop_colormap(img_crop, mask, roi_poly_crop, out_path,
 
         cax = inset_axes(ax, width="3%", height="40%", loc="center right",
                          borderpad=1)
-        cbar = plt.colorbar(im, cax=cax, orientation="vertical")
+        sm = mpl.cm.ScalarMappable(
+            norm=mpl.colors.Normalize(vmin=vmin, vmax=vmax), cmap=cmap)
+        cbar = plt.colorbar(sm, cax=cax, orientation="vertical")
         cbar.ax.yaxis.set_tick_params(color="white", labelcolor="white",
                                       labelsize=8)
         cbar.outline.set_edgecolor("white")
@@ -610,7 +664,7 @@ def save_morphology_images(img, polys, mets, tag, cfg,
     H, W = img.shape
     if cfg.save_full:
         fig, ax = plt.subplots(figsize=(8, 8 * H / W))
-        ax.imshow(img, cmap="gray")
+        ax.imshow(colormap_rgba_u8(img, "gray"))
         ax.set_axis_off()
         for i, poly in enumerate(polys, 1):
             P = np.asarray(poly)
@@ -640,7 +694,6 @@ def save_morphology_images(img, polys, mets, tag, cfg,
         if cfg.mask_outside:
             crop = crop * rasterize_polygon_np(P2, crop.shape).astype(crop.dtype)
         fig, ax = plt.subplots(figsize=(5, 5 * crop.shape[0] / crop.shape[1]))
-        ax.imshow(crop, cmap="gray")
         ax.set_axis_off()
         ax.plot(np.r_[P2[:, 0], P2[0, 0]], np.r_[P2[:, 1], P2[0, 1]],
                 lw=1.5, color="cyan")
@@ -657,7 +710,11 @@ def save_morphology_images(img, polys, mets, tag, cfg,
                 bar_px = max_bar
             bar_px = max(bar_px, 2)
             draw_scalebar(ax, cw_, ch_, bar_px, bar_px * cfg.px_um)
+        # tight_layout triggers a full draw — run it BEFORE the image
+        # artist exists (layout depends only on the title/decorations),
+        # then add the image, so the megapixel draw happens exactly once
         fig.tight_layout(pad=0.1)
+        ax.imshow(colormap_rgba_u8(crop, "gray"))
         fig.savefig(os.path.join(png_crop_dir,
                                  f"{tag}_roi{i}_ch{cfg.sel_ch}.png"),
                     dpi=220, **_PNG_KW)
