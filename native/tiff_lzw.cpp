@@ -27,6 +27,10 @@
 #include <sys/stat.h>
 #include <unistd.h>
 
+#if defined(__SSE2__)
+#include <emmintrin.h>
+#endif
+
 #include <atomic>
 #include <cstdint>
 #include <cstdio>
@@ -336,7 +340,36 @@ void undo_predictor(uint8_t* row, uint32_t width, uint16_t bits,
             row[i] = (uint8_t)(row[i] + row[i - samples]);
     } else if (bits == 16) {
         uint16_t* r16 = reinterpret_cast<uint16_t*>(row);
-        for (uint32_t i = samples; i < width * samples; ++i)
+        uint32_t n = width * samples;
+#if defined(__SSE2__)
+        if (samples == 1) {
+            // Predictor-2 undo == inclusive prefix sum (mod 2^16) of the
+            // row.  The scalar loop is a 1-add-per-pixel serial dependency
+            // chain (~12% of whole-file decode, native/bench_decode.cc);
+            // log-step shift-adds compute 8 lanes per chain step instead.
+            __m128i carry = _mm_setzero_si128();
+            uint32_t i = 0;
+            for (; i + 8 <= n; i += 8) {
+                __m128i x = _mm_loadu_si128(
+                    reinterpret_cast<const __m128i*>(r16 + i));
+                x = _mm_add_epi16(x, _mm_slli_si128(x, 2));
+                x = _mm_add_epi16(x, _mm_slli_si128(x, 4));
+                x = _mm_add_epi16(x, _mm_slli_si128(x, 8));
+                x = _mm_add_epi16(x, carry);
+                _mm_storeu_si128(reinterpret_cast<__m128i*>(r16 + i), x);
+                // broadcast lane 7 (the row's running sum) to all lanes
+                carry = _mm_shufflehi_epi16(x, _MM_SHUFFLE(3, 3, 3, 3));
+                carry = _mm_unpackhi_epi64(carry, carry);
+            }
+            uint16_t c = i ? r16[i - 1] : 0;
+            for (; i < n; ++i) {
+                c = (uint16_t)(c + r16[i]);
+                r16[i] = c;
+            }
+            return;
+        }
+#endif
+        for (uint32_t i = samples; i < n; ++i)
             r16[i] = (uint16_t)(r16[i] + r16[i - samples]);
     }
 }
