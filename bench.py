@@ -130,7 +130,7 @@ def _device_only_mpix_s(reps: int = 20) -> float:
     return best
 
 
-def _decode_only_mpix_s(reps: int = 3) -> float:
+def _decode_only_mpix_s(reps: int = 7) -> float:
     """Host decode ceiling measured with the PRODUCTION call pattern: the
     per-key native batch entry with fused histograms and recycled output
     buffers, exactly what the streaming loader threads execute (a fresh
@@ -179,7 +179,7 @@ def _fret_e2e_mpix_s() -> float:
     mpix = N_STAGES * 2 * H * W / 1e6
     best = 0.0
     n_rows = 0
-    for rep in range(4):
+    for rep in range(6):
         _sh.rmtree(out_root, ignore_errors=True)
         t0 = time.perf_counter()
         rows = run_fret_batched(DATA_DIR, cfg, out_root=out_root,
