@@ -262,3 +262,99 @@ def test_frame_buffer_pool_recycles(tmp_path, rng):
     pool.put(frames2[0])
     got = pool.get(frames2[0].shape, np.uint16)
     assert got.ctypes.data != frames2[0].ctypes.data
+
+
+def _write_raw_tiff(path, data_bytes, h, w, bits, *, predictor=1,
+                    big_endian=False):
+    """Hand-rolled minimal classic TIFF: one uncompressed strip, explicit
+    predictor tag.  PIL never writes predictor=2, so the decoder's
+    horizontal-differencing undo (incl. the SSE2 prefix-sum fast path,
+    native/tiff_lzw.cpp undo_predictor) is reachable only through crafted
+    files like these."""
+    import struct
+
+    e = ">" if big_endian else "<"
+    magic = b"MM" if big_endian else b"II"
+    data_off = 8
+    ifd_off = data_off + len(data_bytes)
+    entries = [
+        (256, 3, 1, w),            # ImageWidth
+        (257, 3, 1, h),            # ImageLength
+        (258, 3, 1, bits),         # BitsPerSample
+        (259, 3, 1, 1),            # Compression: none
+        (262, 3, 1, 1),            # Photometric: minisblack
+        (273, 4, 1, data_off),     # StripOffsets
+        (277, 3, 1, 1),            # SamplesPerPixel
+        (278, 3, 1, h),            # RowsPerStrip
+        (279, 4, 1, len(data_bytes)),  # StripByteCounts
+        (317, 3, 1, predictor),    # Predictor
+    ]
+    buf = bytearray()
+    buf += magic + struct.pack(e + "HI", 42, ifd_off)
+    buf += data_bytes
+    buf += struct.pack(e + "H", len(entries))
+    for tag, typ, cnt, val in entries:
+        if typ == 3:  # SHORT sits left-justified in the 4-byte value field
+            buf += struct.pack(e + "HHIHH", tag, typ, cnt, val, 0)
+        else:
+            buf += struct.pack(e + "HHII", tag, typ, cnt, val)
+    buf += struct.pack(e + "I", 0)  # next IFD
+    open(path, "wb").write(bytes(buf))
+
+
+@pytest.mark.parametrize("w", [3, 5, 8, 13, 61, 2048])
+def test_predictor2_u16_roundtrip(tmp_path, rng, w):
+    """Predictor-2 undo == per-row inclusive prefix sum mod 2^16: widths
+    below/at/above the 8-lane SIMD width hit the tail, main, and mixed
+    paths."""
+    h = 16
+    arr = rng.integers(0, 65536, size=(h, w)).astype(np.uint16)
+    diff = arr.copy()
+    diff[:, 1:] -= arr[:, :-1]          # uint16 wraparound == mod 2^16
+    p = str(tmp_path / f"p2_{w}.tif")
+    _write_raw_tiff(p, diff.tobytes(), h, w, 16, predictor=2)
+    got = decode_tiff(p)
+    if got is None:
+        pytest.skip("native decoder unavailable")
+    np.testing.assert_array_equal(got, arr)
+
+
+def test_predictor2_u8_roundtrip(tmp_path, rng):
+    h, w = 16, 61
+    arr = rng.integers(0, 256, size=(h, w)).astype(np.uint8)
+    diff = arr.copy()
+    diff[:, 1:] -= arr[:, :-1]
+    p = str(tmp_path / "p2_u8.tif")
+    _write_raw_tiff(p, diff.tobytes(), h, w, 8, predictor=2)
+    got = decode_tiff(p)
+    if got is None:
+        pytest.skip("native decoder unavailable")
+    np.testing.assert_array_equal(got, arr)
+
+
+def test_big_endian_u16_with_predictor(tmp_path, rng):
+    """'MM' file: byteswap runs BEFORE the predictor undo; both must
+    compose to the original values."""
+    h, w = 8, 61
+    arr = rng.integers(0, 65536, size=(h, w)).astype(np.uint16)
+    diff = arr.copy()
+    diff[:, 1:] -= arr[:, :-1]
+    p = str(tmp_path / "be.tif")
+    _write_raw_tiff(p, diff.astype(">u2").tobytes(), h, w, 16,
+                    predictor=2, big_endian=True)
+    got = decode_tiff(p)
+    if got is None:
+        pytest.skip("native decoder unavailable")
+    np.testing.assert_array_equal(got, arr)
+
+
+def test_big_endian_u16_plain(tmp_path, rng):
+    h, w = 8, 32
+    arr = rng.integers(0, 65536, size=(h, w)).astype(np.uint16)
+    p = str(tmp_path / "be1.tif")
+    _write_raw_tiff(p, arr.astype(">u2").tobytes(), h, w, 16,
+                    predictor=1, big_endian=True)
+    got = decode_tiff(p)
+    if got is None:
+        pytest.skip("native decoder unavailable")
+    np.testing.assert_array_equal(got, arr)
