@@ -668,6 +668,8 @@ def save_fa_figs(
     matplotlib.use("Agg")
     import matplotlib.pyplot as plt
 
+    from ..report.render import colormap_rgba_u8
+
     fig_dir = os.path.join(out_root, "fig")
     os.makedirs(fig_dir, exist_ok=True)
     written = []
@@ -681,8 +683,6 @@ def save_fa_figs(
             tile = extras["tile"]
             for i, (oy, ox) in enumerate(extras["offsets"]):
                 fa_mask[oy:oy + tile, ox:ox + tile] |= extras["labels"][i] > 0
-        from ..report.render import colormap_rgba_u8
-
         fig, ax = plt.subplots(figsize=(10, 10 * H / W))
         lo, hi = np.percentile(img, [1, 99])
         for i, poly in enumerate(rois, 1):

@@ -171,25 +171,21 @@ def add_short_colorbar(fig, ax, vmin, vmax, cmap="jet", label="Intensity (a.u.)"
     cb.outline.set_edgecolor("w")
 
 
-def _transparent_outside(cmap):
-    cm_obj = (plt.get_cmap(cmap) if isinstance(cmap, str) else cmap).copy()
-    cm_obj.set_bad(alpha=0.0)
-    return cm_obj
-
-
 _LUT_CACHE: dict = {}
 
 
 def _cmap_lut_u8(cmap) -> np.ndarray:
-    """(256, 4) uint8 LUT for a named/instance colormap (cached by name)."""
-    key = cmap if isinstance(cmap, str) else getattr(cmap, "name", None)
-    if key is None or key not in _LUT_CACHE:
-        cm_obj = plt.get_cmap(cmap) if isinstance(cmap, str) else cmap
-        lut = (cm_obj(np.linspace(0.0, 1.0, 256)) * 255.0 + 0.5).astype(np.uint8)
-        if key is None:
-            return lut
-        _LUT_CACHE[key] = lut
-    return _LUT_CACHE[key]
+    """(256, 4) uint8 LUT for a colormap.  Cached by name for STRING keys
+    only: a Colormap instance may carry modified colors under a stale
+    ``.name`` (``.copy()`` keeps it), so instances are sampled fresh each
+    call — 256 samples, negligible next to the megapixel LUT gather."""
+    if isinstance(cmap, str) and cmap in _LUT_CACHE:
+        return _LUT_CACHE[cmap]
+    cm_obj = plt.get_cmap(cmap) if isinstance(cmap, str) else cmap
+    lut = (cm_obj(np.linspace(0.0, 1.0, 256)) * 255.0 + 0.5).astype(np.uint8)
+    if isinstance(cmap, str):
+        _LUT_CACHE[cmap] = lut
+    return lut
 
 
 def colormap_rgba_u8(img2d, cmap="jet", vmin=None, vmax=None, mask=None):
@@ -202,7 +198,7 @@ def colormap_rgba_u8(img2d, cmap="jet", vmin=None, vmax=None, mask=None):
     measured hot spot of every image-output workload (docs/DESIGN.md),
     and a uint8 RGBA array passes through it untouched.  Non-finite pixels
     (QC'd saturation, ratio clips) and mask=False pixels get alpha 0 —
-    exactly the `_transparent_outside` / default-bad behavior, letting the
+    exactly the set_bad(alpha=0) masked-imshow behavior, letting the
     savers' black background show through.
     """
     v = np.asarray(img2d, np.float32)
@@ -219,7 +215,12 @@ def colormap_rgba_u8(img2d, cmap="jet", vmin=None, vmax=None, mask=None):
         vmin = lo if vmin is None else float(vmin)
         vmax = hi if vmax is None else float(vmax)
     scale = 256.0 / (vmax - vmin) if vmax > vmin else 0.0
-    idx = np.clip(((v - vmin) * scale).astype(np.int32), 0, 255)
+    # clip in FLOAT before the cast: a tiny display window with hot pixels
+    # can push (v-vmin)*scale past 2^31, and float->int32 overflow lands on
+    # INT32_MIN — the brightest pixels would clip to index 0 (vmin color)
+    # instead of 255 (mpl clips to the top LUT entry)
+    idx = np.clip((v - np.float32(vmin)) * np.float32(scale),
+                  0.0, 255.0).astype(np.int32)
     out = _cmap_lut_u8(cmap)[idx]
     if not allfin:
         out[~fin] = 0

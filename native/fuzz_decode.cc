@@ -36,6 +36,8 @@ int main(int argc, char** argv) {
     std::string err;
     int ok = 0, fail = 0;
     char path[] = "/tmp/fuzz_decode_XXXXXX.tif";
+    int fd = mkstemps(path, 4);  // own file: concurrent runs don't clobber
+    if (fd < 0) { std::perror("mkstemps"); return 2; }
     for (int it = 0; it < iters; ++it) {
         uint32_t h = 1 + g() % 64, w = 1 + g() % 96;
         std::vector<uint8_t> strip(g() % 4096);
@@ -45,16 +47,19 @@ int main(int argc, char** argv) {
         auto tif = (it % 7 == 0)
                        ? std::vector<uint8_t>(strip)        // pure garbage file
                        : make_tiff(g, h, w, comp, pred, strip);
-        FILE* f = std::fopen("/tmp/fuzz_case.tif", "wb");
-        std::fwrite(tif.data(), 1, tif.size(), f);
-        std::fclose(f);
+        if (::ftruncate(fd, 0) != 0 || ::lseek(fd, 0, SEEK_SET) < 0 ||
+            ::write(fd, tif.data(), tif.size()) != (ssize_t)tif.size()) {
+            std::perror("write case");
+            return 2;
+        }
         out.assign((size_t)h * w * 2, 0xAB);
-        int rc = decode_one("/tmp/fuzz_case.tif", 0, out.data(),
+        int rc = decode_one(path, 0, out.data(),
                             (long long)out.size(), 1, &err);
         (rc == 0 ? ok : fail)++;
     }
+    ::close(fd);
+    ::unlink(path);
     std::printf("fuzz: %d iterations, %d decoded, %d rejected — no crashes\n",
                 iters, ok, fail);
-    (void)path;
     return 0;
 }

@@ -51,8 +51,14 @@ def main(argv=None) -> int:
 
     ta, tb = [], []
     for rep in range(args.reps):
-        ta.append(_run(cmd_a))
-        tb.append(_run(cmd_b))
+        # alternate order (AB, BA, AB, ...): a fixed order would hand one
+        # side every cold cache / periodic-noise alignment systematically
+        if rep % 2 == 0:
+            ta.append(_run(cmd_a))
+            tb.append(_run(cmd_b))
+        else:
+            tb.append(_run(cmd_b))
+            ta.append(_run(cmd_a))
         print(f"rep {rep + 1}/{args.reps}: "
               f"{args.label_a}={ta[-1]:.3f}s {args.label_b}={tb[-1]:.3f}s",
               file=sys.stderr)

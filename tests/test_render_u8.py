@@ -72,6 +72,20 @@ def test_auto_range_ignores_masked_and_nonfinite():
     assert 0 < out[1, 2, 0] < 255
 
 
+def test_tiny_window_hot_pixels_clip_to_top():
+    """Regression: a tiny display window with far-over-range pixels must
+    clip to the TOP LUT entry like matplotlib, not wrap through int32
+    overflow to the vmin color (hot pixels rendering black)."""
+    img = np.zeros((4, 4), np.float32)
+    img[1, 1] = 65535.0          # saturated pixel
+    img[2, 2] = -65535.0         # far below the window
+    with np.errstate(invalid="raise"):  # the old cast also warned here
+        out = colormap_rgba_u8(img, "gray", vmin=0.0, vmax=1e-3)
+    assert out[1, 1, 0] == 255   # white, not black
+    assert out[2, 2, 0] == 0
+    assert out[0, 0, 0] == 0
+
+
 def test_all_masked_frame_does_not_crash():
     img = np.full((4, 4), np.nan, np.float32)
     out = colormap_rgba_u8(img, "gray")
