@@ -299,6 +299,26 @@ def main(argv: Optional[List[str]] = None) -> int:
         log(i18n.t("run_end"))
 
 
+def _mesh_for(args, log):
+    """Validate ``--devices`` against the available device count and build
+    the 1-D mesh the batched runners shard over (the reference's worker-
+    count spinbox, Fluor_INT.py:2211-2213).  Returns ``(ok, mesh)`` — ok
+    is False when the request exceeds the hardware (callers exit 1);
+    mesh is None for single-device runs."""
+    if args.devices <= 1:
+        return True, None
+    import jax
+
+    from .parallel.runner import make_mesh
+
+    n_avail = len(jax.devices())
+    if args.devices > n_avail:
+        log(i18n.t("cli_devices_error").format(n=args.devices,
+                                               avail=n_avail))
+        return False, None
+    return True, make_mesh(args.devices)
+
+
 def _dispatch(args, log) -> int:
     if args.cmd == "intensity":
         from .pipelines.intensity import IntensityConfig, run_intensity
@@ -368,18 +388,9 @@ def _dispatch(args, log) -> int:
                 from .core.runlog import RunLogger
                 from .pipelines.intensity import run_intensity_batched
 
-                mesh = None
-                if args.devices > 1:
-                    import jax
-
-                    from .parallel.runner import make_mesh
-
-                    n_avail = len(jax.devices())
-                    if args.devices > n_avail:
-                        log(i18n.t("cli_devices_error").format(
-                            n=args.devices, avail=n_avail))
-                        return 1
-                    mesh = make_mesh(args.devices)
+                ok, mesh = _mesh_for(args, log)
+                if not ok:
+                    return 1
                 # L8 parity on the production path: RES/logs/run_*.txt
                 # with [START]/[END] stamps, like the serial runner
                 res_root = out_root or os.path.join(folder, "RES")
@@ -433,17 +444,9 @@ def _dispatch(args, log) -> int:
             scale_bar_um=args.scalebar_um,
             subset_stage=args.subset_stage, subset_time=args.subset_time,
         )
-        mesh = None
-        if args.devices > 1:
-            import jax
-
-            from .parallel.runner import make_mesh
-
-            if args.devices > len(jax.devices()):
-                log(i18n.t("cli_devices_error").format(
-                    n=args.devices, avail=len(jax.devices())))
-                return 1
-            mesh = make_mesh(args.devices)
+        ok, mesh = _mesh_for(args, log)
+        if not ok:
+            return 1
         # tables-only runs take the minimum-transfer batched path;
         # image outputs fall back to the rendering runner automatically
         run_fret_batched(args.folder, cfg, out_root=args.out, log=log,
@@ -481,17 +484,9 @@ def _dispatch(args, log) -> int:
             subset_stage=args.subset_stage, subset_time=args.subset_time,
         )
         if args.batched or args.devices > 1:
-            mesh = None
-            if args.devices > 1:
-                import jax
-
-                from .parallel.runner import make_mesh
-
-                if args.devices > len(jax.devices()):
-                    log(i18n.t("cli_devices_error").format(
-                        n=args.devices, avail=len(jax.devices())))
-                    return 1
-                mesh = make_mesh(args.devices)
+            ok, mesh = _mesh_for(args, log)
+            if not ok:
+                return 1
             run_nesprin2_batched(args.folder, cfg, out_root=args.out,
                                  log=log, mesh=mesh)
         else:
@@ -511,17 +506,9 @@ def _dispatch(args, log) -> int:
             master_name=args.master_name,
         )
         if args.batched or args.devices > 1:
-            mesh = None
-            if args.devices > 1:
-                import jax
-
-                from .parallel.runner import make_mesh
-
-                if args.devices > len(jax.devices()):
-                    log(i18n.t("cli_devices_error").format(
-                        n=args.devices, avail=len(jax.devices())))
-                    return 1
-                mesh = make_mesh(args.devices)
+            ok, mesh = _mesh_for(args, log)
+            if not ok:
+                return 1
             run_fa_batched(args.img_dir, args.roi_dir, args.out, cfg,
                            log=log, mesh=mesh)
         else:

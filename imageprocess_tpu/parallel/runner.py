@@ -32,6 +32,17 @@ def make_mesh(n_devices: Optional[int] = None, axis: str = "batch") -> Mesh:
     return Mesh(np.array(devs), (axis,))
 
 
+def round_batch_to_mesh(batch_size: int, mesh) -> int:
+    """Round a runner's chunk size so every mesh-sharded dispatch divides
+    evenly over the mesh's devices (short trailing chunks pad with
+    valid=False lanes instead).  No-op for single-device runs."""
+    if mesh is None:
+        return batch_size
+    n_dev = len(mesh.devices.ravel())
+    batch_size = max(batch_size, n_dev)
+    return batch_size - batch_size % n_dev
+
+
 def _intensity_one(imgs, polys, roi_valid, p1000s, *, bg_mode, bg_scope,
                    clip_neg, bg_stride):
     """Single-frame intensity compute: the REAL production program
@@ -213,6 +224,15 @@ class LoadError:
         self.error = error
 
 
+class EmitFetchError(Exception):
+    """Raised by an emit() callback when the device->host result fetch
+    failed BEFORE any side effect ran (row append, buffer recycle, file
+    write).  This is the only emit failure :func:`stream_batches` recovers
+    by re-running the chunk's keys through the serial path — recovering
+    after a partial emit would duplicate report rows and double-put
+    recycled decode buffers into the FrameBufferPool."""
+
+
 def stream_batches(loader, batch_size: int, classify, dispatch, emit,
                    serial, on_error, cancel=None) -> bool:
     """The one-batch-in-flight streaming protocol shared by the batched
@@ -239,10 +259,15 @@ def stream_batches(loader, batch_size: int, classify, dispatch, emit,
       the run was cancelled.
 
     Fault isolation (the reference catches worker exceptions per future,
-    Fluor_INT.py:1139-1143): a dispatch or emit failure — e.g. a device/
-    tunnel error mid-run — degrades that chunk to the per-key serial path
-    instead of aborting the whole run; a key whose serial fallback ALSO
-    fails is logged through on_error and skipped.
+    Fluor_INT.py:1139-1143): a dispatch failure, or an emit failure raised
+    as :class:`EmitFetchError` (the result fetch died before any side
+    effect) — e.g. a device/tunnel error mid-run — degrades that chunk to
+    the per-key serial path instead of aborting the whole run; a key whose
+    serial fallback ALSO fails is logged through on_error and skipped.
+    Any OTHER emit exception means rows/buffers may already be partially
+    emitted, so the chunk is NOT re-run (that would duplicate report rows
+    and double-put pooled decode buffers); its keys are logged through
+    on_error instead.
     """
     size = batch_size if callable(batch_size) else (lambda: batch_size)
     buf = []
@@ -263,9 +288,12 @@ def stream_batches(loader, batch_size: int, classify, dispatch, emit,
         pending = pending_entries = None
         try:
             emit(rec)
-        except Exception:  # noqa: BLE001 — result fetch failed: redo
-            for e in entries:  # the chunk per key (device may be back, or
-                serial_safe(e)  # each key logs its own error)
+        except EmitFetchError:  # result fetch failed pre-emit: redo
+            for e in entries:   # the chunk per key (device may be back,
+                serial_safe(e)  # or each key logs its own error)
+        except Exception as exc:  # noqa: BLE001 — emit partially ran:
+            for e in entries:     # re-running would duplicate rows /
+                on_error(LoadError(e, exc))  # double-put pool buffers
 
     def flush():
         nonlocal pending, pending_entries

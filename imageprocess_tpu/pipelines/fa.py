@@ -402,7 +402,10 @@ def run_fa_batched(
     (FA_Analyzer.py:939-1052).  Stages whose frame shape or ROI geometry
     falls outside the session hints drop to the per-image path inline."""
     from ..ops.roistats import choose_tile, pad_local_polys, tile_offsets
-    from ..parallel.runner import PrefetchLoader, stream_batches
+    from ..parallel.runner import (
+        EmitFetchError, PrefetchLoader, round_batch_to_mesh,
+        stream_batches,
+    )
 
     indiv_dir = os.path.join(out_root, "individual_results")
     os.makedirs(indiv_dir, exist_ok=True)
@@ -426,10 +429,7 @@ def run_fa_batched(
 
     loader = PrefetchLoader(_load, pairs, workers=max(1, prefetch_workers))
 
-    if mesh is not None:
-        n_dev = len(mesh.devices.ravel())
-        batch_size = max(batch_size, n_dev)
-        batch_size -= batch_size % n_dev
+    batch_size = round_batch_to_mesh(batch_size, mesh)
 
     hint: Dict[str, int] = {}
     step_cache: Dict[tuple, object] = {}
@@ -509,8 +509,12 @@ def run_fa_batched(
 
     def finalize(rec):
         chunk, flat = rec
+        try:  # fetch is side-effect-free: a failure is safe to retry
+            flat = np.asarray(flat)
+        except Exception as e:  # noqa: BLE001
+            raise EmitFetchError(str(e)) from e
         props, n_labels, scal = unpack_fa_flat(
-            np.asarray(flat), hint["nb"], cfg.max_fa_per_cell)
+            flat, hint["nb"], cfg.max_fa_per_cell)
         for bi, (s_tag, _, rois) in enumerate(chunk):
             _m, _s, bg, th_val = (float(v) for v in scal[bi])
             fa_iter = ((i + 1, float(props["area"][bi, i, r]),
@@ -522,9 +526,15 @@ def run_fa_batched(
         for _s_tag, img, _rois in chunk:
             frame_pool.put(img.base)  # (1, H, W) decode buffer now dead
 
+    def _err_key(it):
+        # LoadError.item is the raw (img_path, json_path, s_tag) loader
+        # pair on a load failure, or the classified (s_tag, img, rois)
+        # entry when a serial fallback / emit failed
+        return it[2] if isinstance(it[2], str) else it[0]
+
     if stream_batches(
         loader, batch_size, classify, dispatch, finalize, run_serial,
-        lambda err: log(t("err_worker").format(key=err.item[2],
+        lambda err: log(t("err_worker").format(key=_err_key(err.item),
                                                error=err.error)),
         cancel=cancel,
     ):

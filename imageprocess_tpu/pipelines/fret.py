@@ -513,7 +513,8 @@ def run_fret_batched(
     from ..ops.roistats import choose_tile, gather_tiles, pad_local_polys, tile_offsets
     from ..ops.stats import STAT_FIELDS
     from ..parallel.runner import (
-        PrefetchLoader, make_autoscaler, stream_batches,
+        EmitFetchError, PrefetchLoader, make_autoscaler,
+        round_batch_to_mesh, stream_batches,
     )
     from ..report.excel import save_fret_excel
 
@@ -592,10 +593,8 @@ def run_fret_batched(
     loader = PrefetchLoader(_load, pairs, workers=max(1, prefetch_workers),
                             ahead=32)
 
+    batch_size = round_batch_to_mesh(batch_size, mesh)
     if mesh is not None:
-        n_dev = len(mesh.devices.ravel())
-        batch_size = max(batch_size, n_dev)
-        batch_size -= batch_size % n_dev
         tile_step = sharded_batched_fret_tile_stats(
             mesh, clip_neg=cfg.clip_neg, flip=flip)
     else:
@@ -614,7 +613,10 @@ def run_fret_batched(
             frame_pool.put(loaded[0].base)  # the (2, H, W) decode buffer
 
     def emit_rows(chunk, packed):
-        packed = np.asarray(packed)             # ONE fetch per chunk
+        try:  # ONE fetch per chunk; side-effect-free, so safe to retry
+            packed = np.asarray(packed)
+        except Exception as e:  # noqa: BLE001
+            raise EmitFetchError(str(e)) from e
         stats = {f: packed[:, j] for j, f in enumerate(STAT_FIELDS)}
         areas = packed[:, len(STAT_FIELDS), 0]
         for bi, (kv, (D, A, polys), (bgd, bga, eps_f), _pre) in enumerate(
@@ -736,11 +738,17 @@ def run_fret_batched(
             return "serial", (kv, loaded)
         return "batch", (kv, loaded, scalars, pre)
 
+    def _err_key(it):
+        # LoadError.item is the raw (key, dpath, apath) loader item on a
+        # load failure, or an entry whose [0] is that triple when a serial
+        # fallback / emit failed
+        return it[0] if isinstance(it[1], str) else it[0][0]
+
     if stream_batches(
         loader, _cur_bs, classify, dispatch,
         lambda rec: emit_rows(*rec),
         lambda e: run_serial(e[0], e[1]),
-        lambda err: log(t("err_worker").format(key=err.item[0],
+        lambda err: log(t("err_worker").format(key=_err_key(err.item),
                                                error=err.error)),
         cancel=cancel,
     ):

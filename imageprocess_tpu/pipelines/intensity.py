@@ -442,8 +442,8 @@ def run_intensity_batched(
         choose_tile, gather_tiles, pad_local_polys, tile_offsets,
     )
     from ..parallel.runner import (
-        PrefetchLoader, batched_intensity_step_tiled,
-        batched_tile_stats_step, make_autoscaler,
+        EmitFetchError, PrefetchLoader, batched_intensity_step_tiled,
+        batched_tile_stats_step, make_autoscaler, round_batch_to_mesh,
         sharded_batched_intensity_tiled, sharded_batched_tile_stats,
         stream_batches,
     )
@@ -607,10 +607,7 @@ def run_intensity_batched(
         ahead=32,
     )
 
-    if mesh is not None:
-        n_dev = len(mesh.devices.ravel())
-        batch_size = max(batch_size, n_dev)
-        batch_size -= batch_size % n_dev
+    batch_size = round_batch_to_mesh(batch_size, mesh)
 
     _cur_bs, _maybe_grow_chunk = make_autoscaler(loader, batch_size)
 
@@ -778,13 +775,17 @@ def run_intensity_batched(
         nonlocal n_done
         chunk, packed, bgs_dev, bgs_host = rec
         t0 = time.perf_counter() if tm is not None else 0.0
-        packed = np.asarray(packed)            # ONE device->host round trip
+        try:  # ONE device->host round trip; no side effects yet, so a
+            packed = np.asarray(packed)  # failure is safe to retry serially
+            bgs = (bgs_host if bgs_host is not None
+                   else np.asarray(bgs_dev))
+        except Exception as e:  # noqa: BLE001
+            raise EmitFetchError(str(e)) from e
         if tm is not None:
             tm["fetch"] += time.perf_counter() - t0
             t0 = time.perf_counter()
         stats = {f: packed[:, k] for k, f in enumerate(STAT_FIELDS)}
         areas = packed[:, len(STAT_FIELDS), 0]  # (B, N), channel-invariant
-        bgs = bgs_host if bgs_host is not None else np.asarray(bgs_dev)
         for bi, (key, _, (chs, _, polys, _), *_) in enumerate(chunk):
             s, t_code = key
             for i in range(len(polys)):

@@ -553,7 +553,10 @@ def run_nesprin2_batched(
         return run_nesprin2(folder, cfg, out_root=out_root, log=log,
                             cancel=cancel)
     from ..ops.roistats import choose_tile, pad_local_polys, tile_offsets
-    from ..parallel.runner import PrefetchLoader, stream_batches
+    from ..parallel.runner import (
+        EmitFetchError, PrefetchLoader, round_batch_to_mesh,
+        stream_batches,
+    )
     from ..report.excel import save_nesprin2_excel
 
     out_root = out_root or os.path.join(folder, "RES")
@@ -605,10 +608,7 @@ def run_nesprin2_batched(
 
     loader = PrefetchLoader(_load, pairs, workers=max(1, prefetch_workers))
 
-    if mesh is not None:
-        n_dev = len(mesh.devices.ravel())
-        batch_size = max(batch_size, n_dev)
-        batch_size -= batch_size % n_dev
+    batch_size = round_batch_to_mesh(batch_size, mesh)
 
     step_cache: Dict[tuple, object] = {}
     rows_all: List[dict] = []
@@ -680,7 +680,11 @@ def run_nesprin2_batched(
 
     def finalize(rec):
         chunk, flat = rec
-        cols, eps_arr = unpack_n2_flat(np.asarray(flat), hint["nb"])
+        try:  # fetch is side-effect-free: a failure is safe to retry
+            flat = np.asarray(flat)
+        except Exception as e:  # noqa: BLE001
+            raise EmitFetchError(str(e)) from e
+        cols, eps_arr = unpack_n2_flat(flat, hint["nb"])
         for bi, (kv, (_D, _A, _Ao, polys), _pre) in enumerate(chunk):
             s, t_code = kv[0]
             eps_f = float(eps_arr[bi])
@@ -688,10 +692,16 @@ def run_nesprin2_batched(
                 rows_all.append(_n2_row(s, t_code, i, cols, eps_f, bi, cfg,
                                         flip, d_p, a_p))
 
+    def _err_key(it):
+        # LoadError.item is the raw (key, dpath, apath) loader item on a
+        # load failure, or an entry whose [0] is that triple when a serial
+        # fallback / emit failed
+        return it[0] if isinstance(it[1], str) else it[0][0]
+
     if stream_batches(
         loader, batch_size, classify, dispatch, finalize,
         lambda e: run_serial(e[0], e[1]),
-        lambda err: log(t("err_worker").format(key=err.item[0],
+        lambda err: log(t("err_worker").format(key=_err_key(err.item),
                                                error=err.error)),
         cancel=cancel,
     ):

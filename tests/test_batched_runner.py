@@ -315,10 +315,12 @@ def test_batched_smaller_frame_than_hint_tile(tmp_path):
 
 
 def test_stream_batches_fault_isolation():
-    """A dispatch or emit failure degrades the chunk to the serial path;
-    a serial failure is logged through on_error and skipped (the
-    reference's per-future worker error handling)."""
-    from imageprocess_tpu.parallel.runner import stream_batches
+    """A dispatch failure, or an emit failure raised as EmitFetchError
+    (the result fetch died before any side effect), degrades the chunk to
+    the serial path; a serial failure is logged through on_error and
+    skipped (the reference's per-future worker error handling)."""
+    from imageprocess_tpu.parallel.runner import (EmitFetchError,
+                                                  stream_batches)
 
     # dispatch raises on the second chunk; emit raises for chunk 3's rec
     emitted, serialed, errors = [], [], []
@@ -333,7 +335,7 @@ def test_stream_batches_fault_isolation():
     def emit(rec):
         _, chunk = rec
         if 8 in chunk:
-            raise RuntimeError("fetch failed")
+            raise EmitFetchError("fetch failed")
         emitted.extend(chunk)
 
     def serial(entry):
@@ -350,8 +352,35 @@ def test_stream_batches_fault_isolation():
     assert seen == list(range(12))
     assert serialed and emitted                   # both paths exercised
     assert 2 in serialed and 3 in serialed        # chunk 2 fell back
-    assert 8 in serialed or 8 in [e[0] for e in errors]  # emit recovery
+    assert 8 in serialed                          # fetch-failure recovery
     assert [e[0] for e in errors] == [9]
+
+
+def test_stream_batches_partial_emit_not_rerun():
+    """An emit failure AFTER side effects began (any exception other than
+    EmitFetchError) must NOT re-run the chunk serially — that would
+    duplicate already-appended report rows and double-put recycled decode
+    buffers into the FrameBufferPool; the chunk's keys are logged through
+    on_error instead."""
+    from imageprocess_tpu.parallel.runner import stream_batches
+
+    emitted, serialed, errors = [], [], []
+
+    def emit(rec):
+        _, chunk = rec
+        emitted.extend(chunk)      # rows appended BEFORE the failure
+        if 2 in chunk:
+            raise RuntimeError("run-log write failed mid-emit")
+
+    stream_batches(
+        list(range(6)), 2, lambda x: ("batch", x),
+        lambda chunk: ("rec", list(chunk)), emit,
+        serialed.append,
+        lambda err: errors.append(err.item),
+    )
+    assert emitted == [0, 1, 2, 3, 4, 5]   # each key emitted exactly once
+    assert serialed == []                  # no duplicating serial re-run
+    assert errors == [2, 3]                # the failed chunk's keys logged
 
 
 def test_batched_cancel_partial_rows(timelapse_folder, tmp_path):
