@@ -55,7 +55,13 @@ def histogram_mode_value(x: jnp.ndarray, mask: jnp.ndarray, p1000: int) -> jnp.n
     """The reference's "hist-mode" background: CDF threshold over a
     2048-bin histogram of the scoped values, returning the midpoint of the
     first bin whose CDF reaches p/100."""
-    vals = jnp.where(mask, x, jnp.nan)
+    # finite-only scope: lo/hi already skip NaN (nanmin/nanmax), but a NaN
+    # pixel inside the mask would cast to an arbitrary bin index (the
+    # int32 cast of NaN) and be counted, biasing the CDF — exclude it from
+    # the weights too (the Nesprin2 variant's isfinite filter,
+    # Nesprin2_FRET_Builder.py:432-458; u16-sourced frames are unaffected)
+    finite = mask & jnp.isfinite(x)
+    vals = jnp.where(finite, x, jnp.nan)
     lo = jnp.nanmin(vals)
     hi = jnp.nanmax(vals)
     span = jnp.where(hi > lo, hi - lo, 1.0)
@@ -63,7 +69,7 @@ def histogram_mode_value(x: jnp.ndarray, mask: jnp.ndarray, p1000: int) -> jnp.n
         ((x - lo) / span * HIST_BINS).astype(jnp.int32), 0, HIST_BINS - 1
     )
     hist = jnp.zeros(HIST_BINS, jnp.int32).at[idx.ravel()].add(
-        mask.ravel().astype(jnp.int32)
+        finite.ravel().astype(jnp.int32)
     )
     total = hist.sum()
     cdf = jnp.cumsum(hist).astype(jnp.float32) / jnp.maximum(total, 1).astype(
@@ -75,8 +81,9 @@ def histogram_mode_value(x: jnp.ndarray, mask: jnp.ndarray, p1000: int) -> jnp.n
     bin_w = span / HIST_BINS
     mid = lo + (first.astype(jnp.float32) + 0.5) * bin_w
     thr = jnp.where(none_reaches, hi, mid)
-    # empty histogram -> percentile fallback (reference behavior)
-    fallback = masked_quantile(x, mask, p1000)
+    # empty histogram -> percentile fallback (reference behavior);
+    # finite-scoped for the same reason as the histogram weights
+    fallback = masked_quantile(x, finite, p1000)
     return jnp.where(total > 0, thr, fallback)
 
 
@@ -103,19 +110,12 @@ def bg_value(
                 # 16-step value-range bisection: exact order stats with no
                 # sort and no 65536-bin scatter (ops.tilestats_u16); only
                 # u8/u16 — wider integer types would clip at 65535
-                from .tilestats_u16 import _order_stats_bisect
+                from .tilestats_u16 import bisect_masked_quantile
 
-                n = sub.size
-                k, g = exact_quantile_pos(jnp.int32(n), p1000)
-                ks = jnp.stack([
-                    jnp.clip(k, 0, n - 1),
-                    jnp.clip(jnp.minimum(k + 1, n - 1), 0, n - 1),
-                ])[None]                                      # (1, 2)
-                os2 = _order_stats_bisect(
+                b = bisect_masked_quantile(
                     jnp.clip(sub2.astype(jnp.int32), 0, U16_BINS - 1),
-                    eff, ks,
-                ).astype(jnp.float32)                         # (1, 2)
-                b = os2[0, 0] + g * (os2[0, 1] - os2[0, 0])
+                    eff, jnp.full((1,), sub.size, jnp.int32), p1000,
+                )[0]
             else:
                 from .percentile import quantile_from_sorted
 

@@ -48,6 +48,8 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from .percentile import exact_quantile_pos
+
 _MIN_I32 = -2147483648  # python int: jnp constants may not be captured by kernels
 _NSTAT = 16  # padded stats row (lane-friendly); 10 used
 
@@ -65,19 +67,6 @@ def _key_to_float(s: jnp.ndarray) -> jnp.ndarray:
     b = jnp.where(s >= 0, s, jnp.int32(_MIN_I32) - s)
     vec = jnp.full((8, 128), b, jnp.int32)
     return jax.lax.bitcast_convert_type(vec, jnp.float32)[0, 0]
-
-
-def _quantile_pos(n: jnp.ndarray, p1000: jnp.ndarray):
-    """Exact (k, g) for np.percentile linear interpolation
-    (ops.percentile.exact_quantile_pos, int32-safe)."""
-    nm1 = jnp.maximum(n - 1, 0)
-    qhi = nm1 // 1000
-    qlo = nm1 % 1000
-    b = qlo * p1000
-    c = qhi * p1000 + b // 1000
-    k = c // 100
-    rem = (c % 100) * 1000 + b % 1000
-    return k, rem.astype(jnp.float32) / 100000.0
 
 
 def _order_stats6(keys, valid, n, ks):
@@ -124,10 +113,12 @@ def _kernel(offs_ref, plohi_ref, img_ref, masks_ref, out_ref, tile_ref, sem):
     t = tile_ref[:]
     m = masks_ref[0]
     valid = m & jnp.isfinite(t)
-    mf = valid.astype(jnp.float32)
     n = jnp.sum(jnp.where(valid, 1, 0))
     nf = jnp.maximum(n.astype(jnp.float32), 1.0)
-    s = jnp.sum(t * mf)
+    # where(), not t * mf: a non-finite pixel ANYWHERE in the tile (QC NaN
+    # inside the mask, or garbage outside it) would poison the product sum
+    # (NaN * 0.0 = NaN) despite the finite-only `valid` mask
+    s = jnp.sum(jnp.where(valid, t, 0.0))
     mean = s / nf
     var = jnp.sum(jnp.where(valid, (t - mean) * (t - mean), 0.0)) / nf
     vmin = jnp.min(jnp.where(valid, t, jnp.inf))
@@ -135,9 +126,11 @@ def _kernel(offs_ref, plohi_ref, img_ref, masks_ref, out_ref, tile_ref, sem):
 
     keys = _sortable_key(jnp.where(valid, t, 0.0))
 
-    k_lo, g_lo = _quantile_pos(n, plohi_ref[0, 0])
-    k_md, g_md = _quantile_pos(n, jnp.int32(50000))
-    k_hi, g_hi = _quantile_pos(n, plohi_ref[0, 1])
+    # the ONE exact np.percentile (k, g) arithmetic (pure jnp scalar math,
+    # Mosaic-safe) — do not re-inline it here
+    k_lo, g_lo = exact_quantile_pos(n, plohi_ref[0, 0])
+    k_md, g_md = exact_quantile_pos(n, jnp.int32(50000))
+    k_hi, g_hi = exact_quantile_pos(n, plohi_ref[0, 1])
     ks = [k_lo, k_lo + 1, k_md, k_md + 1, k_hi, k_hi + 1]
     os6 = _order_stats6(keys, valid, n, ks)
 
@@ -177,7 +170,6 @@ def align_offsets(offsets: np.ndarray) -> np.ndarray:
     return out
 
 
-@partial(jax.jit, static_argnames=("tile", "interpret"))
 def roi_stats_pallas(
     imgs: jnp.ndarray,      # (C, H, W) float32
     masks: jnp.ndarray,     # (N, T, T) bool (tile-local, validity applied)
@@ -189,7 +181,38 @@ def roi_stats_pallas(
     interpret: bool = False,
 ) -> Dict[str, jnp.ndarray]:
     """All nine per-(channel, ROI) statistics in one fused kernel pass.
-    Returns the ops.stats.STAT_FIELDS dict of (C, N) arrays."""
+    Returns the ops.stats.STAT_FIELDS dict of (C, N) arrays.
+
+    On hardware (interpret=False) tile origins MUST be (8, 128)-aligned:
+    ``pl.multiple_of`` is an unchecked compiler promise, so an unaligned
+    DMA would read a shifted tile with no error.  Concrete offsets are
+    validated here; offsets traced under an outer jit keep the alignment
+    contract on the caller (use :func:`align_offsets`)."""
+    if not interpret:
+        try:
+            o = np.asarray(offsets)
+        except Exception:  # traced value: cannot inspect, contract applies
+            o = None
+        if o is not None and ((o[:, 0] % 8).any() or (o[:, 1] % 128).any()):
+            raise ValueError(
+                "roi_stats_pallas on hardware requires (8, 128)-aligned "
+                "tile origins; apply align_offsets() and size tiles with "
+                "matching margin (interpret=True has no such constraint)")
+    return _roi_stats_pallas_jit(imgs, masks, offsets, p_lo1000, p_hi1000,
+                                 tile=tile, interpret=interpret)
+
+
+@partial(jax.jit, static_argnames=("tile", "interpret"))
+def _roi_stats_pallas_jit(
+    imgs: jnp.ndarray,
+    masks: jnp.ndarray,
+    offsets: jnp.ndarray,
+    p_lo1000: int = 5000,
+    p_hi1000: int = 95000,
+    *,
+    tile: int,
+    interpret: bool = False,
+) -> Dict[str, jnp.ndarray]:
     C = imgs.shape[0]
     N = masks.shape[0]
     plohi = jnp.asarray([[p_lo1000, p_hi1000]], jnp.int32)

@@ -39,6 +39,8 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from .percentile import exact_quantile_pos
+
 U16_MAX = 65535
 
 
@@ -57,11 +59,11 @@ def _kernel(tiles_ref, masks_ref, pk_ref, out_ref):
     p = pk_ref[:, 0:1]                           # (R, 1) i32
     plus = pk_ref[:, 1:2]
     nm1 = jnp.maximum(n - 1, 0)
-    qhi = nm1 // 1000
-    qlo = nm1 % 1000
-    b = qlo * p
-    c_ = qhi * p + b // 1000
-    k = jnp.clip(c_ // 100 + plus, 0, nm1)       # (R, 1)
+    # the ONE exact np.percentile (k, g) arithmetic, broadcast over the
+    # (R, 1) percentile column (pure jnp int math, Mosaic-safe); g unused —
+    # interpolation happens in tile_stats_u16 after the bg transform
+    k0, _ = exact_quantile_pos(n, p)
+    k = jnp.clip(k0 + plus, 0, nm1)              # (R, 1)
 
     lo = jnp.zeros((R, 1), jnp.int32)
     hi = jnp.full((R, 1), U16_MAX, jnp.int32)

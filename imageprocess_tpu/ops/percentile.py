@@ -8,8 +8,9 @@ On TPU we run in float32, where computing ``h`` directly is inexact for
 megapixel ``n`` (rel error ~1e-7 of h ≈ O(1) absolute!), which can shift the
 chosen order statistic.  ``exact_quantile_pos`` instead computes
 ``k = floor(h)`` and the fractional weight *exactly* in int32 arithmetic for
-any percentile with <= 3 decimal places (all GUI-exposed values), for
-n - 1 up to ~2.1e7 (a 2048x1536 frame is 3.1e6).
+any percentile with <= 3 decimal places (all GUI-exposed values) and ANY
+int32 ``n`` (every intermediate provably < 2^31 — see the derivation in the
+function docstring), so gigapixel sharded frames are safe too.
 
 Reference semantics being replicated: np.percentile calls inside
 src/INT/Fluor_INT.py:461-548, src/FRET/fret_ratio_builder.py:314-362.
@@ -27,22 +28,28 @@ def p1000_of(p: float) -> int:
     return int(round(float(p) * 1000))
 
 
-def exact_quantile_pos(n, p1000: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
+def exact_quantile_pos(n, p1000) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """(k, g) with k = floor((n-1)*p1000/100000) and g the exact fractional
-    remainder in [0, 1), all in int32-safe arithmetic.
+    remainder in [0, 1), all in int32-safe arithmetic for ANY int32 n
+    (p1000 <= 100000, i.e. percentiles <= 100; broadcasts over array
+    p1000 — the Pallas kernels pass a per-lane column).
 
-    Derivation: write n-1 = qhi*1000 + qlo.  Then
-    (n-1)*p1000 = (qhi*p1000)*1000 + qlo*p1000 = C*1000 + Br with
-    C = qhi*p1000 + (qlo*p1000)//1000 and Br = (qlo*p1000) % 1000, so
-    k = C // 100 and remainder = (C % 100)*1000 + Br (provably < 100000).
-    qhi*p1000 <= 2.1e4 * 1e5 < 2^31 keeps everything in int32.
+    Derivation: write n-1 = q*100000 + r and r = r1*1000 + r0.  Then
+    (n-1)*p1000 = q*p1000*100000 + r*p1000 with
+    r*p1000 = C*1000 + (B % 1000), B = r0*p1000 and C = r1*p1000 + B//1000,
+    so k = q*p1000 + C//100 and remainder = (C % 100)*1000 + B % 1000
+    (provably < 100000).  Every intermediate fits int32:
+    B <= 999*1e5 ~ 1e8, C <= 99*1e5 + 1e5 ~ 1e7,
+    q*p1000 <= 21474*1e5 < 2^31, and k <= n-1 < 2^31.
     """
     nm1 = jnp.maximum(n - 1, 0).astype(jnp.int32)
-    qhi = nm1 // 1000
-    qlo = nm1 % 1000
-    b = qlo * p1000
-    c = qhi * p1000 + b // 1000
-    k = c // 100
+    q = nm1 // 100000
+    r = nm1 % 100000
+    r1 = r // 1000
+    r0 = r % 1000
+    b = r0 * p1000
+    c = r1 * p1000 + b // 1000
+    k = q * p1000 + c // 100
     rem = (c % 100) * 1000 + b % 1000
     g = rem.astype(jnp.float32) / 100000.0
     return k, g

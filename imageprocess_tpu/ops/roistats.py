@@ -76,12 +76,15 @@ def pad_local_polys(polys, offsets: np.ndarray, n_bucket: int, v_bucket: int):
 
     pv = np.zeros((n_bucket, v_bucket, 2), np.float32)
     valid = np.zeros(n_bucket, bool)
-    for i, p in enumerate(polys):
-        local = np.asarray(p, np.float32) - np.array(
-            [offsets[i, 1], offsets[i, 0]], np.float32
-        )
-        pv[i] = pad_polygons([local], v_bucket)[0]
-        valid[i] = True
+    if len(polys):
+        # one pad_polygons call for the whole batch (a per-polygon loop of
+        # single-element calls was ~30 ms/chunk of pack wall on the 1-core
+        # host); offsets are [row, col] -> subtract as [x, y]
+        shift = np.asarray(offsets[: len(polys), ::-1], np.float32)
+        pv[: len(polys)] = pad_polygons(
+            [np.asarray(p, np.float32) - shift[i]
+             for i, p in enumerate(polys)], v_bucket)
+        valid[: len(polys)] = True
     offs_pad = np.zeros((n_bucket, 2), np.int32)
     offs_pad[: len(polys)] = offsets
     return pv, offs_pad, valid

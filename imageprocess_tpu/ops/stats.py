@@ -93,5 +93,10 @@ def auto_minmax(
     hi = quantile_from_sorted(xs, n, p_hi1000)
     lo = jnp.where(n > 0, lo, 0.0)
     hi = jnp.where(n > 0, hi, 1.0)
-    hi = jnp.where(hi <= lo, lo + 1e-6, hi)
+    # the reference adds a flat 1e-6 in float64; in float32 that is a no-op
+    # for lo >= ~16 (ulp exceeds 1e-6), returning hi == lo and breaking the
+    # hi > lo contract (division by zero downstream) — so the epsilon
+    # scales with |lo| (same guard idiom as view.stretch_view)
+    eps = jnp.maximum(jnp.float32(1e-6), jnp.abs(lo) * jnp.float32(1e-6))
+    hi = jnp.where(hi <= lo, lo + eps, hi)
     return lo, hi

@@ -55,6 +55,25 @@ def _order_stats_bisect(xi: jnp.ndarray, mask: jnp.ndarray,
     return hi
 
 
+def bisect_masked_quantile(xi: jnp.ndarray, mask: jnp.ndarray, n,
+                           p1000: int) -> jnp.ndarray:
+    """np.percentile-linear quantile of masked integral values via the
+    16-step value-range bisection — the scalar-quantile companion to
+    :func:`tile_stats_u16` (no sort, no 65536-bin scatter).
+
+    xi: (..., P) int32 in [0, 65535]; mask: (..., P) bool; n: (...) int32
+    valid counts (broadcast-compatible with xi's batch dims).  Returns
+    (...) float32; undefined where n == 0 — callers guard.  Bisect raw
+    values, THEN transform order stats, THEN interpolate stays exact for
+    monotone transforms (module docstring)."""
+    k, g = exact_quantile_pos(n, p1000)
+    nm1 = jnp.maximum(n - 1, 0)
+    ks = jnp.stack([jnp.clip(k, 0, nm1),
+                    jnp.clip(jnp.minimum(k + 1, nm1), 0, nm1)], axis=-1)
+    os2 = _order_stats_bisect(xi, mask, ks).astype(jnp.float32)
+    return os2[..., 0] + g * (os2[..., 1] - os2[..., 0])
+
+
 @partial(jax.jit, static_argnames=("clip_neg", "p_lo1000", "p_hi1000"))
 def tile_stats_u16(
     tiles: jnp.ndarray,     # (N, C, t, t) uint16 RAW tile pixels

@@ -31,6 +31,21 @@ def test_exact_quantile_pos(n, p):
     np.testing.assert_allclose(float(k) + float(g), h, atol=1e-6 * max(h, 1))
 
 
+@pytest.mark.parametrize("n", [21_474_837, 21_474_838, 100_000_000,
+                               1_000_000_001, 2_147_483_647])
+@pytest.mark.parametrize("p", [0.1, 5.0, 50.0, 95.0, 99.9, 100.0])
+def test_exact_quantile_pos_full_int32_range(n, p):
+    """Above n-1 ~ 2.1e7 the old single-level decomposition overflowed
+    int32 (silently corrupting every quantile on >21.5 Mpix frames, e.g.
+    row-sharded stitched FOVs); the two-level form is exact for ANY
+    int32 n."""
+    p1000 = p1000_of(p)
+    k, g = exact_quantile_pos(jnp.int32(n), p1000)
+    k_true, rem_true = divmod((n - 1) * p1000, 100000)  # exact python ints
+    assert int(k) == k_true, (int(k), k_true)
+    np.testing.assert_allclose(float(g), rem_true / 100000.0, atol=2e-7)
+
+
 @pytest.mark.parametrize("p", [1.0, 5.0, 50.0, 95.0, 99.0])
 @pytest.mark.parametrize("kind", ["u16", "float"])
 def test_masked_quantile_matches_numpy(p, kind):
@@ -150,6 +165,33 @@ def test_auto_minmax():
     # degenerate
     lo, hi = auto_minmax(jnp.zeros((4, 4)))
     assert float(hi) > float(lo)
+
+
+def test_auto_minmax_constant_large_value():
+    """float32: lo + 1e-6 == lo once lo >= ~16 (ulp exceeds the epsilon),
+    so the flat reference guard silently returned hi == lo on constant
+    bright frames — the scaled epsilon must keep hi > lo."""
+    lo, hi = auto_minmax(jnp.full((16, 16), 1000.0, jnp.float32))
+    assert float(lo) == 1000.0
+    assert float(hi) > float(lo)
+
+
+def test_bg_hist_mode_ignores_nan_in_scope():
+    """A QC-NaN'd pixel inside the scope mask must not be binned (the
+    int32 cast of NaN lands in an arbitrary bin and skews the CDF):
+    hist-mode over a NaN-bearing frame == hist-mode with those pixels
+    masked out."""
+    x = (RNG.random((64, 64)) * 100).astype(np.float32)
+    x[5:9, 5:9] = np.nan
+    mask = np.ones_like(x, bool)
+    got = float(bg_value(jnp.asarray(x), p1000_of(5.0),
+                         scope_mask=jnp.asarray(mask), mode="hist-mode",
+                         stride=1))
+    want = float(bg_value(jnp.asarray(x), p1000_of(5.0),
+                          scope_mask=jnp.asarray(mask & np.isfinite(x)),
+                          mode="hist-mode", stride=1))
+    assert np.isfinite(got)
+    assert got == want
 
 
 def test_ratio_and_qc():
