@@ -90,21 +90,32 @@ def _root_sizes(roots: jnp.ndarray) -> jnp.ndarray:
     )
 
 
-@partial(jax.jit, static_argnames=("connectivity", "max_labels"))
+@partial(jax.jit, static_argnames=("connectivity", "max_labels",
+                                   "with_overflow"))
 def label(
-    fg: jnp.ndarray, connectivity: int = 2, max_labels: int = 1024
-) -> jnp.ndarray:
+    fg: jnp.ndarray, connectivity: int = 2, max_labels: int = 1024,
+    with_overflow: bool = False,
+):
     """skimage.measure.label parity: int32 labels 1..n in raster order of
     first pixels, 0 = background.  *max_labels* is the static bound on the
-    number of components (excess components would alias; size it to the
-    workload)."""
+    number of components — beyond it labels ALIAS (the size-limited unique
+    truncates and dropped roots searchsort onto wrong ranks).  Pass
+    ``with_overflow=True`` to also get a scalar bool that detects exactly
+    that condition, so fused callers can surface it instead of emitting
+    silently wrong components (the sharded variant raises on the same
+    flag, parallel.spatial.sharded_label)."""
     H, W = fg.shape
     roots = label_roots(fg, connectivity)
     sentinel = jnp.int32(H * W)
     uniq = jnp.unique(roots, size=max_labels + 1, fill_value=sentinel)
     comp = jnp.searchsorted(uniq, roots.ravel()).astype(jnp.int32)
-    lab = jnp.where(fg.ravel(), comp + 1, 0)
-    return lab.reshape(H, W)
+    lab = jnp.where(fg.ravel(), comp + 1, 0).reshape(H, W)
+    if with_overflow:
+        # the sentinel is the LARGEST possible value, and any background
+        # pixel (or the fill padding) puts it in uniq — overflow is the
+        # only way it gets squeezed out of the size-limited unique
+        return lab, uniq[-1] != sentinel
+    return lab
 
 
 @partial(jax.jit, static_argnames=("connectivity",))

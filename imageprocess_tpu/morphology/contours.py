@@ -149,10 +149,14 @@ def masks_to_polygons(
         if m.sum() == 0:
             continue
         cnts, _ = cv2.findContours(m, cv2.RETR_EXTERNAL, cv2.CHAIN_APPROX_SIMPLE)
-        if not cnts:
-            continue
-        c = max(cnts, key=cv2.contourArea)
-        if cv2.contourArea(c) < float(min_area):
-            continue
-        polys.append(c[:, 0, :].astype(float))
+        # EVERY qualifying external contour, not just the largest: a label
+        # can own disjoint blobs (e.g. stray flow_label sink pixels), and
+        # the reference keeps each outline with >= 3 vertices
+        # (ROI_auto_drawer.py:303-309)
+        for c in cnts:
+            if cv2.contourArea(c) < float(min_area):
+                continue
+            poly = c[:, 0, :].astype(float)
+            if poly.shape[0] >= 3:
+                polys.append(poly)
     return polys

@@ -362,7 +362,8 @@ class PrefetchLoader:
         self.ready = 0
 
     def __iter__(self) -> Iterator:
-        with cf.ThreadPoolExecutor(self._workers) as pool:
+        pool = cf.ThreadPoolExecutor(self._workers)
+        try:
             futures: List[cf.Future] = []
             it = iter(self._items)
             for _ in range(self._ahead):
@@ -383,3 +384,9 @@ class PrefetchLoader:
                 except Exception as e:  # noqa: BLE001 - surfaced to caller
                     yield LoadError(self._items[idx], e)
                 idx += 1
+        finally:
+            # abandoned mid-iteration (stream_batches' cancel path breaks
+            # out of the loop): drop the up-to-`ahead` queued decodes
+            # instead of blocking on them — cancel must return promptly,
+            # not after seconds of dead decode work on a 1-core host
+            pool.shutdown(wait=False, cancel_futures=True)

@@ -48,11 +48,23 @@ def _halo_exchange_rows(x: jnp.ndarray, halo: int, axis_name: str, fill):
     return jnp.concatenate([top_pad, x, bot_pad], axis=0)
 
 
+def _u16_hist(x, weights=None):
+    """(65536,) int32 histogram of a u16-valued array, optionally
+    mask-weighted — the shard-local half of every psum percentile here."""
+    xi = jnp.clip(x.astype(jnp.int32), 0, U16_BINS - 1).ravel()
+    w = (jnp.ones(xi.shape, jnp.int32) if weights is None
+         else weights.ravel().astype(jnp.int32))
+    return jnp.zeros((U16_BINS,), jnp.int32).at[xi].add(w)
+
+
 def _psum_hist_quantile(hist, axis: str, p1000):
     """Exact global percentile from per-shard u16 histograms: one psum,
     then the (k, g) order-statistic interpolation — the ONE implementation
     of the np.percentile linear rule over psum histograms (the value of
-    the j-th order statistic is the first bin whose cdf exceeds j)."""
+    the j-th order statistic is the first bin whose cdf exceeds j).
+    NaN for an empty global histogram (quantile_from_sorted contract; an
+    unguarded searchsorted over the all-zero cdf would return the garbage
+    value 65536)."""
     hist = jax.lax.psum(hist, axis)
     n = hist.sum()
     k, g = exact_quantile_pos(n, jnp.int32(p1000))
@@ -60,7 +72,7 @@ def _psum_hist_quantile(hist, axis: str, p1000):
     lo_v = jnp.searchsorted(cdf, k, side="right").astype(jnp.float32)
     hi_v = jnp.searchsorted(cdf, jnp.minimum(k + 1, n - 1),
                             side="right").astype(jnp.float32)
-    return lo_v + g * (hi_v - lo_v)
+    return jnp.where(n > 0, lo_v + g * (hi_v - lo_v), jnp.nan)
 
 
 def sharded_quantile_u16(mesh: Mesh, p1000: int):
@@ -69,9 +81,7 @@ def sharded_quantile_u16(mesh: Mesh, p1000: int):
     axis = mesh.axis_names[0]
 
     def local(x):
-        xi = jnp.clip(x.astype(jnp.int32), 0, U16_BINS - 1)
-        hist = jnp.zeros((U16_BINS,), jnp.int32).at[xi.ravel()].add(1)
-        return _psum_hist_quantile(hist, axis, p1000)[None]
+        return _psum_hist_quantile(_u16_hist(x), axis, p1000)[None]
 
     fn = jax.jit(jax.shard_map(
         local, mesh=mesh, in_specs=P(axis, None), out_specs=P(axis),
@@ -90,9 +100,7 @@ def sharded_bg_correct_u16(mesh: Mesh, p1000: int, clip_neg: bool = True):
     axis = mesh.axis_names[0]
 
     def local(x):
-        xi = jnp.clip(x.astype(jnp.int32), 0, U16_BINS - 1)
-        hist = jnp.zeros((U16_BINS,), jnp.int32).at[xi.ravel()].add(1)
-        b = _psum_hist_quantile(hist, axis, p1000)
+        b = _psum_hist_quantile(_u16_hist(x), axis, p1000)
         out = x.astype(jnp.float32) - b
         if clip_neg:
             out = jnp.maximum(out, 0.0)
@@ -432,10 +440,7 @@ def sharded_fa_stats(mesh: Mesh):
         gcol = jnp.arange(W)
         sample = ((grow % 10 == 0)[:, None] & (gcol % 10 == 0)[None, :]
                   & finite)
-        xi = jnp.clip(x.astype(jnp.int32), 0, U16_BINS - 1)
-        hist = jnp.zeros((U16_BINS,), jnp.int32).at[xi.ravel()].add(
-            sample.ravel().astype(jnp.int32))
-        bg = _psum_hist_quantile(hist, axis, 1000)
+        bg = _psum_hist_quantile(_u16_hist(x, weights=sample), axis, 1000)
         return jnp.stack([m, jnp.sqrt(var), bg])[None]
 
     fn = jax.jit(jax.shard_map(

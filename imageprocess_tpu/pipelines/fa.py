@@ -121,9 +121,12 @@ def _fa_cells_body(
             bw = bw & keep
         if se is not None:
             bw = binary_closing_skimage(bw, se)
-        lab = label(bw, connectivity=2, max_labels=max_labels)
+        # with_overflow: a cell with > max_labels FAs would alias label
+        # slots and emit wrong area/mean rows — surface it instead
+        lab, over = label(bw, connectivity=2, max_labels=max_labels,
+                          with_overflow=True)
         props = region_props(lab, t, max_labels=max_labels)
-        return lab, props
+        return lab, props, over
 
     return jax.vmap(per_cell)(masks, offsets)
 
@@ -163,7 +166,7 @@ def fa_batched_step(
     def one(img, lp, off, val):
         m, s, bg = _global_stats_body(img)
         thr = m + alpha * s
-        _, props = _fa_cells_body(
+        _, props, over = _fa_cells_body(
             img, lp, off, val, thr, min_px, tile=tile,
             close_radius=close_radius, max_labels=max_labels,
             do_remove_small=do_remove_small)
@@ -172,22 +175,29 @@ def fa_batched_step(
                          + [jnp.broadcast_to(
                              props["n_labels"].astype(jnp.float32)[:, None],
                              props["area"].shape)], axis=0)
-        return pack, jnp.stack([m, s, bg, thr])
+        # trailing per-image flag: any cell's FA count overflowed
+        # max_labels (label slots would alias -> wrong rows)
+        return pack, jnp.stack([m, s, bg, thr]), over.any()
 
-    pack, scal = jax.vmap(one)(imgs, local_polys, offsets, roi_valid)
-    return jnp.concatenate([pack.reshape(B, -1), scal], axis=1)
+    pack, scal, over = jax.vmap(one)(imgs, local_polys, offsets, roi_valid)
+    return jnp.concatenate(
+        [pack.reshape(B, -1), scal, over.astype(jnp.float32)[:, None]],
+        axis=1)
 
 
 def unpack_fa_flat(flat: np.ndarray, nb: int, max_labels: int):
     """Split :func:`fa_batched_step`'s flat result back into
-    ({field: (B, N, L)}, n_labels (B, N) int, scalars (B, 4))."""
+    ({field: (B, N, L)}, n_labels (B, N) int, scalars (B, 4),
+    overflow (B,) bool — True where a cell's FA count exceeded
+    max_labels and the packed rows would alias)."""
     B = flat.shape[0]
     nf = len(_FA_PACK_FIELDS) + 1
     pack = flat[:, :nf * nb * max_labels].reshape(B, nf, nb, max_labels)
-    scal = flat[:, -4:]
+    scal = flat[:, -5:-1]
+    over = flat[:, -1] > 0.0
     props = {f: pack[:, k] for k, f in enumerate(_FA_PACK_FIELDS)}
     n_labels = pack[:, nf - 1, :, 0].astype(np.int32)
-    return props, n_labels, scal
+    return props, n_labels, scal, over
 
 
 def sharded_fa_batched_step(mesh, *, tile, close_radius, max_labels,
@@ -244,13 +254,19 @@ def analyze_image(
     vb = _bucket(max(len(p) for p in rois), 32)
     lpv, offs_pad, valid = pad_local_polys(rois, offs, nb, vb)
 
-    labs, props = fa_analyze_tiled(
+    labs, props, over = fa_analyze_tiled(
         imgj, jnp.asarray(lpv), jnp.asarray(offs_pad), jnp.asarray(valid),
         jnp.float32(threshold), jnp.float32(cfg.min_px),
         tile=tile, close_radius=int(cfg.close_radius),
         max_labels=cfg.max_fa_per_cell,
         do_remove_small=cfg.min_px > 0,
     )
+    if bool(np.asarray(over).any()):
+        raise ValueError(
+            f"a cell contains more than max_fa_per_cell="
+            f"{cfg.max_fa_per_cell} focal adhesions — label slots would "
+            "alias and the report rows would be wrong; re-run with a "
+            "larger --max-fa-per-cell")
     labs = np.asarray(labs)
     props = {k: np.asarray(v) for k, v in props.items()}
 
@@ -513,9 +529,18 @@ def run_fa_batched(
             flat = np.asarray(flat)
         except Exception as e:  # noqa: BLE001
             raise EmitFetchError(str(e)) from e
-        props, n_labels, scal = unpack_fa_flat(
+        props, n_labels, scal, over = unpack_fa_flat(
             flat, hint["nb"], cfg.max_fa_per_cell)
         for bi, (s_tag, _, rois) in enumerate(chunk):
+            if over[bi]:
+                # aliased label slots -> wrong rows: skip the stage loudly
+                # (re-run with a larger --max-fa-per-cell)
+                log(t("err_worker").format(
+                    key=s_tag,
+                    error=("FA count exceeded max_fa_per_cell="
+                           f"{cfg.max_fa_per_cell}; raise "
+                           "--max-fa-per-cell")))
+                continue
             _m, _s, bg, th_val = (float(v) for v in scal[bi])
             fa_iter = ((i + 1, float(props["area"][bi, i, r]),
                         float(props["mean"][bi, i, r]))

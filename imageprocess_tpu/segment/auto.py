@@ -106,8 +106,9 @@ def auto_segment_step(
     bw = fill_holes(bw)
     if min_size > 0:
         bw = remove_small_objects(bw, min_size, connectivity=1)
-    labels = label(bw, connectivity=2, max_labels=max_labels)
-    return labels, thr
+    labels, over = label(bw, connectivity=2, max_labels=max_labels,
+                         with_overflow=True)
+    return labels, thr, over
 
 
 _UNET_CACHE = {}
@@ -148,7 +149,7 @@ def auto_segment_frame(img: np.ndarray, cfg: AutoSegConfig) -> List[np.ndarray]:
         return _cellpose_segment(img, cfg)
     if cfg.backend == "unet":
         return _unet_segment(img, cfg)
-    labels, _ = auto_segment_step(
+    labels, _, over = auto_segment_step(
         jnp.asarray(img, jnp.float32),
         jnp.int32(int(round(cfg.thr_percentile * 1000))),
         jnp.float32(cfg.thr_k),
@@ -156,6 +157,10 @@ def auto_segment_frame(img: np.ndarray, cfg: AutoSegConfig) -> List[np.ndarray]:
         open_radius=cfg.open_radius, close_radius=cfg.close_radius,
         min_size=cfg.min_size_px, max_labels=cfg.max_labels,
     )
+    if bool(over):
+        raise ValueError(
+            f"component count exceeded max_labels={cfg.max_labels} — "
+            "labels would alias; raise AutoSegConfig.max_labels")
     return masks_to_polygons(np.asarray(labels), cfg.min_poly_area)
 
 

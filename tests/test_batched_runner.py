@@ -314,7 +314,30 @@ def test_batched_smaller_frame_than_hint_tile(tmp_path):
             abs(sd[r["stage"]]["ch1_mean"]), 1e-9)
 
 
-def test_stream_batches_fault_isolation():
+def test_prefetch_loader_abandons_queued_work_on_early_exit():
+    """Breaking out of iteration (stream_batches' cancel path) must not
+    block on — or execute — the up-to-`ahead` decodes still queued in the
+    pool: cancel has to return promptly on a 1-core host."""
+    import threading
+    import time as _t
+
+    from imageprocess_tpu.parallel.runner import PrefetchLoader
+
+    started = []
+    lock = threading.Lock()
+
+    def load(i):
+        with lock:
+            started.append(i)
+        _t.sleep(0.05)
+        return i
+
+    loader = PrefetchLoader(load, list(range(32)), workers=2, ahead=16)
+    for item in loader:
+        assert item == 0
+        break  # abandon with ~16 decodes queued
+    _t.sleep(0.3)  # give any (wrongly) surviving queue time to drain
+    assert len(started) < 16  # queued-but-unstarted futures were cancelled
     """A dispatch failure, or an emit failure raised as EmitFetchError
     (the result fetch died before any side effect), degrades the chunk to
     the serial path; a serial failure is logged through on_error and

@@ -113,6 +113,41 @@ def test_label_8conn_partition_matches_cv2(seed):
     assert len(pairs) == n_ref  # one ref label per our label (incl. bg)
 
 
+def test_label_overflow_flag():
+    """with_overflow detects component counts beyond max_labels (labels
+    alias past the capacity: the size-limited unique truncates and dropped
+    roots searchsort onto wrong ranks) — the single-device counterpart of
+    sharded_label's ValueError."""
+    fg = np.zeros((16, 33), bool)
+    fg[::2, ::2] = True  # 8 * 17 = 136 isolated pixels (4-conn components)
+    lab, over = label(fg, connectivity=1, max_labels=8, with_overflow=True)
+    assert bool(over)
+    lab, over = label(fg, connectivity=1, max_labels=136,
+                      with_overflow=True)
+    assert not bool(over)
+    assert int(np.asarray(lab).max()) == 136
+    # degenerate frames must not false-positive
+    for frame in (np.zeros((8, 8), bool), np.ones((8, 8), bool)):
+        _, over = label(frame, connectivity=1, max_labels=4,
+                        with_overflow=True)
+        assert not bool(over)
+
+
+def test_masks_to_polygons_keeps_every_blob_of_a_label():
+    """The reference appends EVERY external contour with area >= 20 and
+    >= 3 vertices (ROI_auto_drawer.py:303-309) — a label owning two
+    disjoint blobs must yield two polygons, not just the largest."""
+    from imageprocess_tpu.morphology.contours import masks_to_polygons
+
+    labels = np.zeros((64, 64), np.int32)
+    labels[4:19, 4:19] = 1       # 225 px blob
+    labels[30:50, 30:50] = 1     # 400 px blob, same label
+    labels[55:57, 55:57] = 1     # 4 px blob: under min_area, dropped
+    polys = masks_to_polygons(labels, min_area=20.0)
+    assert len(polys) == 2
+    assert all(p.shape[0] >= 3 for p in polys)
+
+
 def test_label_snake():
     """Long snaky component exercises pointer jumping."""
     fg = np.zeros((32, 64), bool)

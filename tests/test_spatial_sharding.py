@@ -201,6 +201,21 @@ def test_sharded_label_empty_and_full(mesh):
     assert got.max() == 1  # one component spanning every shard
 
 
+def test_sharded_fa_stats_empty_bg_sample_is_nan(mesh):
+    """An empty global histogram (every [::10, ::10] sample pixel
+    non-finite) must give bg = NaN, matching quantile_from_sorted's
+    contract — an unguarded searchsorted over the all-zero cdf returned
+    the garbage value 65536."""
+    from imageprocess_tpu.parallel.spatial import sharded_fa_stats
+
+    img = np.full((256, 192), 100.0, np.float32)
+    img[::10, ::10] = np.nan   # exactly the bg subsample
+    run = sharded_fa_stats(mesh)
+    m, s, bg = run(shard_frame(mesh, img))
+    assert np.isnan(bg)
+    assert m == 100.0 and s == 0.0  # finite-only moments unaffected
+
+
 def test_sharded_rim_mask_empty(mesh):
     from imageprocess_tpu.parallel.spatial import sharded_rim_mask
 
