@@ -144,6 +144,19 @@ def encode_imagej_roi(poly_xy: np.ndarray, name: str = "") -> bytes:
     left, top = int(xs.min()), int(ys.min())
     right, bottom = int(xs.max()), int(ys.max())
     n = len(xs)
+    # the .roi format stores the bbox, vertex count, and relative coords as
+    # signed 16-bit — validate up front so an out-of-range polygon (e.g. on
+    # a stitched frame past x=32767) fails with an actionable message
+    # instead of a bare struct.error mid-zip
+    if not (-32768 <= top and bottom <= 32767
+            and -32768 <= left and right <= 32767):
+        raise ValueError(
+            f"polygon bbox ({left},{top})-({right},{bottom}) exceeds the "
+            "ImageJ .roi signed-16-bit coordinate range")
+    if n > 32767 or right - left > 32767 or bottom - top > 32767:
+        raise ValueError(
+            "polygon exceeds the ImageJ .roi 16-bit limits "
+            f"(n={n}, extent {right - left}x{bottom - top})")
     header = bytearray(64)
     header[0:4] = _IJ_MAGIC
     struct.pack_into(">h", header, 4, _IJ_VERSION)
@@ -200,10 +213,16 @@ def save_imagej_roi_zip(zip_path: str, polygons: Sequence[np.ndarray],
     the committed golden roi/zip/S01.zip)."""
     os.makedirs(os.path.dirname(zip_path) or ".", exist_ok=True)
     tmp = zip_path + ".tmp"
-    with zipfile.ZipFile(tmp, "w", zipfile.ZIP_DEFLATED) as zf:
-        for i, poly in enumerate(polygons, 1):
-            zf.writestr(f"roi_{i}.roi", encode_imagej_roi(poly, f"roi_{i}"))
-    os.replace(tmp, zip_path)
+    try:
+        with zipfile.ZipFile(tmp, "w", zipfile.ZIP_DEFLATED) as zf:
+            for i, poly in enumerate(polygons, 1):
+                zf.writestr(f"roi_{i}.roi",
+                            encode_imagej_roi(poly, f"roi_{i}"))
+        os.replace(tmp, zip_path)
+    except BaseException:
+        if os.path.exists(tmp):
+            os.remove(tmp)  # atomic-write contract: never leave a .tmp
+        raise
 
 
 def load_imagej_roi_zip(zip_path: str) -> List[np.ndarray]:

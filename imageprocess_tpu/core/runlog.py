@@ -68,17 +68,23 @@ class Progress:
         self._window = window
         self._report_every = report_every
         self._times = [time.time()]
+        self._units = [0]  # cumulative WEIGHTED units at each tick
 
     def step(self, n: int = 1, label: str = "") -> None:
         self.done += n
         now = time.time()
         self._times.append(now)
+        self._units.append(self.done)
         if len(self._times) > self._window + 1:
             self._times.pop(0)
+            self._units.pop(0)
         if self.done % self._report_every == 0 or self.done >= self.total:
             span = self._times[-1] - self._times[0]
-            steps = len(self._times) - 1
-            rate = steps / span if span > 0 else 0.0
+            # rate in WEIGHTED units/s, the same units as the total — a
+            # call-count rate under-estimated throughput by the average
+            # weight per call (ROI-weighted callers pass n = len(rows))
+            units = self._units[-1] - self._units[0]
+            rate = units / span if span > 0 else 0.0
             remain = (self.total - self.done) / rate if rate > 0 else 0.0
             mm, ss = divmod(int(remain), 60)
             pct = 100.0 * self.done / self.total

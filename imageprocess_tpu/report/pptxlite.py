@@ -16,6 +16,10 @@ import re
 import zipfile
 from typing import List, Optional, Tuple
 
+# extensions the saved package declares Default content types for — every
+# add_picture path must carry one (validated there)
+_PICTURE_EXTENSIONS = {"png", "jpg", "jpeg", "tif", "tiff"}
+
 EMU_PER_INCH = 914400
 EMU_PER_CM = 360000
 
@@ -49,6 +53,14 @@ class Slide:
                     width: Optional[int] = None, height: Optional[int] = None):
         from PIL import Image
 
+        ext = os.path.splitext(path)[1].lstrip(".").lower()
+        if ext not in _PICTURE_EXTENSIONS:
+            # the package only declares content types for these — any
+            # other extension would zip fine but PowerPoint rejects the
+            # whole .pptx as corrupt on open
+            raise ValueError(
+                f"unsupported picture extension {ext!r}: the deck's "
+                f"content types cover {sorted(_PICTURE_EXTENSIONS)}")
         with Image.open(path) as im:
             w_px, h_px = im.size
         if width is None and height is None:

@@ -309,6 +309,31 @@ class PanelPngOptions:
         return vmin, vmax
 
 
+def resolve_vminmax_txt(cmin_txt: str, cmax_txt: str, vals: np.ndarray,
+                        p_lo: float = 1.0, p_hi: float = 99.0):
+    """Tolerant cmin/cmax resolution shared by the FRET and Nesprin2 crop
+    exporters: malformed or missing text falls back to the percentile
+    auto-range of *vals*, and an explicit-but-inverted pair keeps vmin and
+    re-derives vmax (fret_ratio_builder.py:371-426 semantics).  The panel
+    writer's PanelPngOptions.vminmax intentionally differs: it RAISES on
+    malformed text (get_vminmax, Fluor_INT.py:956-966)."""
+    try:
+        vmin = float(cmin_txt) if cmin_txt != "" else None
+    except ValueError:
+        vmin = None
+    try:
+        vmax = float(cmax_txt) if cmax_txt != "" else None
+    except ValueError:
+        vmax = None
+    if vmin is None or vmax is None or vmax <= vmin:
+        lo, hi = _auto_minmax_np(vals, p_lo, p_hi)
+        if vmin is None:
+            vmin = lo
+        if vmax is None or vmax <= vmin:
+            vmax = hi
+    return vmin, vmax
+
+
 def save_png_image(img, out_path, dpi=300, out_px=None, scalebar_um=None,
                    px_um=None):
     """The cropper's normalized-view PNG writer: gray [0,1] for 2-D input,
@@ -403,21 +428,8 @@ def save_fret_images(stid, suffix, R_full, union, polys, cfg, dirs) -> None:
         mask = rasterize_polygon_np(P2, crop.shape)
         out_path = os.path.join(dirs["PNG_CROP"], f"{stid}_roi{i}_{suffix}.png")
         if cfg.apply_cmap:
-            vmin = vmax = None
-            try:
-                vmin = float(cfg.cmin_txt) if cfg.cmin_txt != "" else None
-            except ValueError:
-                vmin = None
-            try:
-                vmax = float(cfg.cmax_txt) if cfg.cmax_txt != "" else None
-            except ValueError:
-                vmax = None
-            if vmin is None or vmax is None or vmax <= vmin:
-                lo, hi = _auto_minmax_np(crop[mask], 1.0, 99.0)
-                if vmin is None:
-                    vmin = lo
-                if vmax is None or vmax <= vmin:
-                    vmax = hi
+            vmin, vmax = resolve_vminmax_txt(cfg.cmin_txt, cfg.cmax_txt,
+                                             crop[mask])
             save_png_colormap(
                 crop, out_path, vmin=vmin, vmax=vmax, cmap=cfg.cmap_name,
                 mask=mask if cfg.mask_outside else None,
@@ -544,22 +556,9 @@ def save_nesprin2_images(tag, suffix, R_full, rim, I, polys, cfg, dirs, eps,
         crop_roi_full = rasterize_polygon_np(P2, cropR.shape)
         crop_rim = crop_roi_full & rim[y0:y1 + 1, x0:x1 + 1]
 
-        vmin = vmax = None
-        try:
-            vmin = float(cfg.crop_vmin_txt) if cfg.crop_vmin_txt != "" else None
-        except ValueError:
-            vmin = None
-        try:
-            vmax = float(cfg.crop_vmax_txt) if cfg.crop_vmax_txt != "" else None
-        except ValueError:
-            vmax = None
-        if vmin is None or vmax is None or vmax <= vmin:
-            lo, hi = (_auto_minmax_np(cropR[crop_rim], 1.0, 99.0)
-                      if crop_rim.any() else _auto_minmax_np(cropR, 1.0, 99.0))
-            if vmin is None:
-                vmin = lo
-            if vmax is None or vmax <= vmin:
-                vmax = hi
+        vmin, vmax = resolve_vminmax_txt(
+            cfg.crop_vmin_txt, cfg.crop_vmax_txt,
+            cropR[crop_rim] if crop_rim.any() else cropR)
 
         save_png_colormap(
             cropR,

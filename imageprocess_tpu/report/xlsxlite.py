@@ -19,6 +19,8 @@ import re
 import zipfile
 from typing import Dict, Iterable, List, Sequence
 
+import numpy as np
+
 _XML_ESCAPES = {"&": "&amp;", "<": "&lt;", ">": "&gt;", '"': "&quot;"}
 # XML 1.0 forbids control chars other than \t \n \r — one stray \x08 in a
 # cell string would make the whole workbook unreadable
@@ -52,9 +54,22 @@ def _col_ref(idx: int) -> str:
     return _make_col_refs(idx + 1)[idx]
 
 
+def _str_cell(ref: str, s: str) -> str:
+    # Excel trims inline-string whitespace on load unless told to preserve
+    # (openpyxl adds the attribute conditionally for the same reason)
+    sp = (' xml:space="preserve"'
+          if s[:1].isspace() or s[-1:].isspace() else "")
+    return f'<c r="{ref}" t="inlineStr"><is><t{sp}>{_esc(s)}</t></is></c>'
+
+
 def _cell_xml(ref: str, value) -> str:
     if value is None:
         return ""
+    if isinstance(value, np.generic):
+        # numpy scalars must unwrap BEFORE the type checks: repr of
+        # np.float64 under numpy>=2 is 'np.float64(x)' (invalid in <v>),
+        # and np.int64 would fall through and be written as a TEXT cell
+        value = value.item()
     if isinstance(value, bool):
         return f'<c r="{ref}" t="b"><v>{int(value)}</v></c>'
     if isinstance(value, (int,)) and not isinstance(value, bool):
@@ -66,7 +81,7 @@ def _cell_xml(ref: str, value) -> str:
             value = "Infinity" if value > 0 else "-Infinity"
             return f'<c r="{ref}" t="inlineStr"><is><t>{value}</t></is></c>'
         return f'<c r="{ref}"><v>{value!r}</v></c>'
-    return f'<c r="{ref}" t="inlineStr"><is><t>{_esc(str(value))}</t></is></c>'
+    return _str_cell(ref, str(value))
 
 
 def _sheet_xml(rows: Iterable[Sequence]) -> str:
@@ -92,8 +107,11 @@ def _sheet_xml(rows: Iterable[Sequence]) -> str:
             elif tv is int:
                 parts.append(f'<c r="{cr}{r}"><v>{v}</v></c>')
             elif tv is str:
-                parts.append(
-                    f'<c r="{cr}{r}" t="inlineStr"><is><t>{_esc(v)}</t></is></c>')
+                if v[:1].isspace() or v[-1:].isspace():
+                    parts.append(_str_cell(f"{cr}{r}", v))
+                else:
+                    parts.append(
+                        f'<c r="{cr}{r}" t="inlineStr"><is><t>{_esc(v)}</t></is></c>')
             else:
                 parts.append(_cell_xml(f"{cr}{r}", v))
         body.append(f'<row r="{r}">{"".join(parts)}</row>')

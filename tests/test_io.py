@@ -80,6 +80,25 @@ def test_imagej_roi_roundtrip(tmp_path):
     np.testing.assert_allclose(back[1], polys[1])
 
 
+def test_imagej_roi_out_of_range_raises_and_no_tmp(tmp_path):
+    """The .roi format is signed-16-bit: a stitched-frame polygon past
+    x=32767 must raise an actionable ValueError (not a bare struct.error),
+    and the failed zip save must not leave a .tmp behind."""
+    import os
+
+    import pytest
+
+    with pytest.raises(ValueError, match="16-bit"):
+        roiio.encode_imagej_roi(
+            np.array([[40000.0, 10.0], [40010.0, 10.0], [40010.0, 20.0]]))
+    zp = str(tmp_path / "big.zip")
+    with pytest.raises(ValueError):
+        roiio.save_imagej_roi_zip(
+            zp, [np.array([[40000.0, 10.0], [40010.0, 10.0],
+                           [40010.0, 20.0]])], "big")
+    assert not os.path.exists(zp) and not os.path.exists(zp + ".tmp")
+
+
 def test_golden_roi_json(golden_intensity_dir):
     p = os.path.join(golden_intensity_dir, "e1_P0", "roi", "S01.json")
     polys = roiio.load_roi_polygons(p)
@@ -178,3 +197,44 @@ def test_xlsxlite_control_chars_and_col_refs(tmp_path):
     assert _col_ref(0) == "A" and _col_ref(25) == "Z"
     assert _col_ref(26) == "AA" and _col_ref(701) == "ZZ"
     assert _col_ref(702) == "AAA" and _col_ref(2000) == "BXY"
+
+
+def test_xlsxlite_numpy_scalars_and_whitespace(tmp_path):
+    """numpy scalars must land as NUMBER cells (repr of np.float64 under
+    numpy>=2 is 'np.float64(x)', invalid inside <v>; np.int64 fell through
+    to the text branch), and significant leading/trailing whitespace needs
+    xml:space=preserve or Excel trims it on load."""
+    from imageprocess_tpu.report.xlsxlite import read_xlsx, write_xlsx
+
+    p = str(tmp_path / "np.xlsx")
+    write_xlsx(p, {"s": [[np.float64(1.5), np.int64(7), np.float32(2.0),
+                          np.bool_(True), "  padded  "]]})
+    row = read_xlsx(p)["s"][0]
+    assert row[0] == 1.5 and isinstance(row[0], float)
+    assert row[1] == 7 and not isinstance(row[1], str)
+    assert row[2] == 2.0
+    assert row[4] == "  padded  "
+    import zipfile
+
+    with zipfile.ZipFile(p) as zf:
+        xml = zf.read("xl/worksheets/sheet1.xml").decode()
+    assert 'xml:space="preserve"' in xml
+    assert "np.float64" not in xml
+
+
+def test_pptxlite_rejects_undeclared_picture_extension(tmp_path):
+    """The package declares content types for png/jpg/jpeg/tif/tiff only;
+    zipping any other extension would make PowerPoint reject the whole
+    deck as corrupt, so add_picture must refuse it up front."""
+    import pytest
+
+    from imageprocess_tpu.report.pptxlite import Presentation
+
+    from PIL import Image
+
+    bmp = str(tmp_path / "img.bmp")
+    Image.new("RGB", (8, 8)).save(bmp)
+    deck = Presentation()
+    slide = deck.add_slide()
+    with pytest.raises(ValueError, match="extension"):
+        slide.add_picture(bmp, 0, 0, width=914400)

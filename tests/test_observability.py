@@ -34,6 +34,23 @@ def test_progress_eta_reports():
     assert out[-1].startswith("[100.0%] 4/4 ETA 00:00")
 
 
+def test_progress_eta_uses_weighted_units():
+    """ROI-weighted callers pass step(n=len(rows)) against a weighted
+    total; the ETA rate must be in those units (a call-count rate inflated
+    the ETA by the average weight per call)."""
+    import time
+
+    out = []
+    p = Progress(100, log=out.append, window=8)
+    for _ in range(5):
+        time.sleep(0.02)
+        p.step(10)          # 10 units per ~0.02 s -> ~500 units/s
+    # 50 units remain -> true ETA ~0.1 s; the call-count rate said ~1 s
+    # per remaining 50 calls-worth. Assert the printed ETA is 00:00 (sub-
+    # second), which only holds with the weighted rate.
+    assert out[-1].split("ETA ")[1].startswith("00:00")
+
+
 def test_intensity_run_log_written(golden_intensity_dir, tmp_path):
     from imageprocess_tpu.pipelines.intensity import IntensityConfig, run_intensity
 
