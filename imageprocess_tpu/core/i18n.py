@@ -33,6 +33,9 @@ STRINGS = {
         "warn_no_map": "[스킵] 채널 ch={ch}에 해당하는 파일을 찾지 못했습니다.",
         "done_all": "[완료] 모든 크롭 작업 완료.",
         "auto_found": "[자동분할] {tag}: ROI {count}개",
+        "auto_read_failed": "  [읽기 실패] {name}: {err}",
+        "auto_blank_skip": "  [스킵] 빈 이미지: {name}",
+        "auto_seg_failed": "  [분할 에러] {name}: {err}",
         "ppt_done": "FRET_timelapse_auto.pptx 생성 완료",
         "ppt_no_pairs": "유효한 FRET/BF 페어가 없습니다.",
         "progress": "[진행] {done}/{total}",
@@ -76,6 +79,9 @@ STRINGS = {
         "drawer_mask_saved": "  마스크 저장: {path}",
         "drawer_overlay_saved": "  오버레이 저장: {path}",
         "drawer_zip_saved": "  zip 저장: {path}",
+        "drawer_mask_failed": "  [경고] 마스크 저장 실패: {err}",
+        "drawer_overlay_failed": "  [경고] 오버레이 저장 실패: {err}",
+        "drawer_zip_failed": "  [경고] ImageJ ROI ZIP 저장 실패: {err}",
         "draw_resumed": "  {count}개 ROI 재개: {path}",
         "draw_roi_added": "  ROI {n}: thr={thr}, {kind} ({nv} 정점)",
         "draw_kind_auto": "자동",
@@ -101,6 +107,9 @@ STRINGS = {
         "warn_no_map": "[SKIP] no files for channel ch={ch}.",
         "done_all": "[Done] all crops complete.",
         "auto_found": "[auto-seg] {tag}: {count} ROIs",
+        "auto_read_failed": "  [read failed] {name}: {err}",
+        "auto_blank_skip": "  [skip] blank image: {name}",
+        "auto_seg_failed": "  [segmentation error] {name}: {err}",
         "ppt_done": "FRET_timelapse_auto.pptx created",
         "ppt_no_pairs": "No valid FRET/BF pairs.",
         "progress": "[Progress] {done}/{total}",
@@ -144,6 +153,9 @@ STRINGS = {
         "drawer_mask_saved": "  mask saved: {path}",
         "drawer_overlay_saved": "  overlay saved: {path}",
         "drawer_zip_saved": "  zip saved: {path}",
+        "drawer_mask_failed": "  [warn] mask save failed: {err}",
+        "drawer_overlay_failed": "  [warn] overlay save failed: {err}",
+        "drawer_zip_failed": "  [warn] ImageJ ROI zip save failed: {err}",
         "draw_resumed": "  resumed {count} ROIs from {path}",
         "draw_roi_added": "  ROI {n}: thr={thr}, {kind} ({nv} vertices)",
         "draw_kind_auto": "auto",

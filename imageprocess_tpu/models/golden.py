@@ -21,7 +21,7 @@ def frame_training_arrays(
     """(normalized f32 HxW, probs HxW {0,1}, flows HxWx2) from one frame."""
     import jax.numpy as jnp
 
-    from ..geom.rasterize import rasterize_polygons
+    from ..geom.rasterize import rasterize_polygon_np
     from ..ops.view import stretch_view
 
     H, W = img.shape
@@ -31,9 +31,11 @@ def frame_training_arrays(
     probs = np.zeros((H, W), np.float32)
     flows = np.zeros((H, W, 2), np.float32)
     yy, xx = np.mgrid[0:H, 0:W].astype(np.float32)
-    pv = np.stack([np.asarray(
-        rasterize_polygons(jnp.asarray(np.asarray(p, np.float32)[None]),
-                           (H, W))[0]) for p in polys])
+    # host rasterizer (same MPL-rule algorithm, pixel-exact): the jitted
+    # device kernel would recompile a full-frame program per distinct
+    # ragged vertex count — minutes each on the tunneled chip
+    pv = np.stack([rasterize_polygon_np(np.asarray(p, np.float64), (H, W))
+                   for p in polys])
     for m in pv:
         if not m.any():
             continue

@@ -27,7 +27,8 @@ import numpy as np
 
 from ..core import naming, roiio, tiffio
 from ..core.i18n import t
-from ..morphology.binary import binary_dilation, binary_erosion, disk
+from ..morphology.binary import (binary_closing_skimage, binary_dilation,
+                                 binary_erosion, disk)
 from ..morphology.ccl import fill_holes, label, remove_small_objects
 from ..morphology.contours import masks_to_polygons
 from ..ops.percentile import masked_quantile
@@ -101,8 +102,7 @@ def auto_segment_step(
         se = disk(open_radius)
         bw = binary_dilation(binary_erosion(bw, se, border_true=False), se)
     if close_radius > 0:
-        se = disk(close_radius)
-        bw = binary_erosion(binary_dilation(bw, se), se, border_true=True)
+        bw = binary_closing_skimage(bw, disk(close_radius))
     bw = fill_holes(bw)
     if min_size > 0:
         bw = remove_small_objects(bw, min_size, connectivity=1)
@@ -120,7 +120,7 @@ def _unet_segment(img: np.ndarray, cfg: AutoSegConfig) -> List[np.ndarray]:
     import json
 
     from ..models.checkpoint import load_checkpoint
-    from ..models.train import TrainConfig, create_train_state
+    from ..models.unet import UNet
     from .cellseg import segment_frame_unet
 
     ckpt = os.path.abspath(cfg.checkpoint or DEFAULT_UNET_CKPT)
@@ -129,11 +129,16 @@ def _unet_segment(img: np.ndarray, cfg: AutoSegConfig) -> List[np.ndarray]:
 
         with open(os.path.join(ckpt, "config.json")) as f:
             meta = json.load(f)
-        tcfg = TrainConfig(features=tuple(meta["features"]),
-                           tile=int(meta.get("tile", 128)))
-        state = create_train_state(tcfg, jax.random.PRNGKey(0))
-        params = load_checkpoint(ckpt, like=state.params)
-        _UNET_CACHE[ckpt] = (state.apply_fn, params, tcfg.tile)
+        tile = int(meta.get("tile", 128))
+        model = UNet(features=tuple(meta["features"]))
+        # load_checkpoint only needs the params TREE STRUCTURE — eval_shape
+        # gives it without running a real forward pass or allocating the
+        # adamw moment trees a full TrainState would carry
+        template = jax.eval_shape(
+            model.init, jax.random.PRNGKey(0),
+            jnp.zeros((1, tile, tile, 1), jnp.float32))
+        params = load_checkpoint(ckpt, like=template)
+        _UNET_CACHE[ckpt] = (model.apply, params, tile)
     apply_fn, params, tile = _UNET_CACHE[ckpt]
     return segment_frame_unet(
         img, apply_fn, params, tile=tile,
@@ -200,13 +205,34 @@ def run_auto_drawer(
         k = naming.parse_tokens(base, cfg.timelapse, naming.ChannelGrammar.KEYWORD)
         if cfg.channel is not None and k.channel != cfg.channel:
             continue
-        if k.stage is None:
-            continue
+        # stage-less names fall back to the bare filename, same as the
+        # reference's _parse_tokens (ROI_auto_drawer.py:288-296) — a
+        # folder without S## tokens still segments
         tag = naming.clean_base_for_save(base, cfg.timelapse,
-                                         naming.ChannelGrammar.KEYWORD)
-        img = tiffio.read_2d(path)
-        polys = auto_segment_frame(img, cfg)
+                                         naming.ChannelGrammar.KEYWORD,
+                                         strip_trailing_number_fallback=False)
+        # per-file isolation: one corrupt TIFF or a failed inference logs
+        # and continues, it doesn't abort the remaining frames
+        # (ROI_auto_drawer.py:222-250)
+        try:
+            img = tiffio.read_2d(path)
+        except Exception as e:
+            log(t("auto_read_failed").format(name=base, err=e))
+            continue
+        if img.max() <= img.min():
+            log(t("auto_blank_skip").format(name=base))
+            continue
+        try:
+            polys = auto_segment_frame(img, cfg)
+        except Exception as e:
+            log(t("auto_seg_failed").format(name=base, err=e))
+            continue
         log(t("auto_found").format(tag=tag, count=len(polys)))
+        if not polys:
+            # the reference writes NO file for 0-cell frames
+            # (ROI_auto_drawer.py:253-264) — downstream loops use file
+            # presence to mean "annotated"
+            continue
         out = os.path.join(roi_dir, f"{tag}.json")
         gen = {
             "cellpose": f"cellpose:{cfg.model_type}",

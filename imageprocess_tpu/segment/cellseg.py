@@ -48,6 +48,11 @@ def segment_frame_unet(
         stretch_view(jnp.asarray(img, jnp.float32), jnp.int32(1000),
                      jnp.int32(99000), jnp.float32(1.0), jnp.int32(0))
     )
+    if 2 * overlap >= tile:
+        # small checkpoints (config.json tile=64 with the default
+        # overlap=32) would give stride<=0: range() then crashes or,
+        # worse, covers only corner tiles and interior cells vanish
+        overlap = tile // 4
     stride = tile - 2 * overlap
     ys = list(range(0, max(H - tile, 0) + 1, stride)) or [0]
     xs = list(range(0, max(W - tile, 0) + 1, stride)) or [0]
@@ -91,8 +96,13 @@ def segment_frame_unet(
     if flow_follow and n_ch >= 3:
         from .flows import flow_label
 
-        labels = flow_label(bw, jnp.asarray(full[:H, :W, 1:3]),
-                            max_labels=max_labels)
+        labels, over = flow_label(bw, jnp.asarray(full[:H, :W, 1:3]),
+                                  max_labels=max_labels, with_overflow=True)
     else:
-        labels = label(bw, connectivity=2, max_labels=max_labels)
+        labels, over = label(bw, connectivity=2, max_labels=max_labels,
+                             with_overflow=True)
+    if bool(over):
+        raise ValueError(
+            f"component count exceeded max_labels={max_labels} — labels "
+            "would alias; raise AutoSegConfig.max_labels")
     return masks_to_polygons(np.asarray(labels), min_poly_area)

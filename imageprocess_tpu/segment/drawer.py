@@ -90,45 +90,58 @@ def save_drawer_bundle(
                           view_params=view_params)
     log(t("drawer_json_saved").format(path=json_path))
 
-    # the committed golden mask (roi/mask/S01_mask.tif) is pixel-exact
-    # under the matplotlib edge rule — skimage.draw.polygon agrees with it
-    # on contour-derived (half-integer) vertices, NOT with classic PNPOLY
-    mask = np.zeros((H, W), np.uint8)
-    for poly in rois:
-        if len(poly) >= 3:
-            m = rasterize_polygon_np(np.asarray(poly, float), (H, W),
-                                     EdgeRule.MPL)
-            mask[m] = 255
+    # per-artifact isolation from here on: the JSON is the source of
+    # truth and its failure aborts, but a failed mask/overlay/zip logs a
+    # warning and still writes the remaining artifacts
+    # (roi_manual_drawer.py:1331-1371)
     mask_path = os.path.join(mask_dir, f"{base_S_t}_mask.tif")
-    tiffio.write_tiff8(mask_path, mask)
-    log(t("drawer_mask_saved").format(path=mask_path))
+    try:
+        # the committed golden mask (roi/mask/S01_mask.tif) is pixel-exact
+        # under the matplotlib edge rule — skimage.draw.polygon agrees with
+        # it on contour-derived (half-integer) vertices, NOT classic PNPOLY
+        mask = np.zeros((H, W), np.uint8)
+        for poly in rois:
+            if len(poly) >= 3:
+                m = rasterize_polygon_np(np.asarray(poly, float), (H, W),
+                                         EdgeRule.MPL)
+                mask[m] = 255
+        tiffio.write_tiff8(mask_path, mask)
+        log(t("drawer_mask_saved").format(path=mask_path))
+    except Exception as e:
+        log(t("drawer_mask_failed").format(err=e))
 
-    bg_rgb = apply_view_and_color(img, view_params)
-    Hs, Ws = bg_rgb.shape[:2]
-    scale = min(1.0, FAST_OVERLAY_MAXPX / max(Hs, Ws))
-    canvas = (bg_rgb * 255).astype(np.uint8)
-    pil_img = Image.fromarray(canvas)
-    if scale < 1.0:
-        pil_img = pil_img.resize((int(Ws * scale), int(Hs * scale)),
-                                 Image.BILINEAR)
-    draw = ImageDraw.Draw(pil_img)
-    font = ImageFont.load_default()
-    for i, poly in enumerate(rois, 1):
-        P = np.asarray(poly, float) * scale
-        xy = [tuple(p) for p in P]
-        if len(xy) >= 2:
-            draw.line(xy + [xy[0]], width=2, fill=(0, 255, 0))
-            draw.text((float(P[:, 0].mean()), float(P[:, 1].mean())),
-                      str(i), fill=(255, 210, 0), font=font)
     png_path = os.path.join(overlay_dir, f"{base_S_t}_overlay.png")
-    tmp = png_path + ".tmp"
-    pil_img.save(tmp, format="PNG", optimize=True)
-    os.replace(tmp, png_path)
-    log(t("drawer_overlay_saved").format(path=png_path))
+    try:
+        bg_rgb = apply_view_and_color(img, view_params)
+        Hs, Ws = bg_rgb.shape[:2]
+        scale = min(1.0, FAST_OVERLAY_MAXPX / max(Hs, Ws))
+        canvas = (bg_rgb * 255).astype(np.uint8)
+        pil_img = Image.fromarray(canvas)
+        if scale < 1.0:
+            pil_img = pil_img.resize((int(Ws * scale), int(Hs * scale)),
+                                     Image.BILINEAR)
+        draw = ImageDraw.Draw(pil_img)
+        font = ImageFont.load_default()
+        for i, poly in enumerate(rois, 1):
+            P = np.asarray(poly, float) * scale
+            xy = [tuple(p) for p in P]
+            if len(xy) >= 2:
+                draw.line(xy + [xy[0]], width=2, fill=(0, 255, 0))
+                draw.text((float(P[:, 0].mean()), float(P[:, 1].mean())),
+                          str(i), fill=(255, 210, 0), font=font)
+        tmp = png_path + ".tmp"
+        pil_img.save(tmp, format="PNG", optimize=True)
+        os.replace(tmp, png_path)
+        log(t("drawer_overlay_saved").format(path=png_path))
+    except Exception as e:
+        log(t("drawer_overlay_failed").format(err=e))
 
     zip_path = os.path.join(zip_dir, f"{base_S_t}.zip")
-    roiio.save_imagej_roi_zip(zip_path, list(rois), base_S_t)
-    log(t("drawer_zip_saved").format(path=zip_path))
+    try:
+        roiio.save_imagej_roi_zip(zip_path, list(rois), base_S_t)
+        log(t("drawer_zip_saved").format(path=zip_path))
+    except Exception as e:
+        log(t("drawer_zip_failed").format(err=e))
     return json_path, mask_path, png_path, zip_path
 
 

@@ -14,12 +14,12 @@ import numpy as np
 
 
 def _rasterize_host(poly: np.ndarray, shape: Tuple[int, int]) -> np.ndarray:
-    import jax.numpy as jnp
+    # host rasterizer (pixel-exact same MPL-rule algorithm as the device
+    # one): the jitted kernel recompiles a full-frame program per distinct
+    # vertex count, which on the tunneled chip is minutes per new shape
+    from ..geom.rasterize import rasterize_polygon_np
 
-    from ..geom.rasterize import rasterize_polygons
-
-    p = np.asarray(poly, np.float32)[None]
-    return np.asarray(rasterize_polygons(jnp.asarray(p), shape)[0])
+    return rasterize_polygon_np(np.asarray(poly, np.float64), shape)
 
 
 def match_instances(

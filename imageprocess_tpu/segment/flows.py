@@ -75,7 +75,7 @@ def follow_flows(flows: jnp.ndarray, n_iter: int = 120,
 
 
 @partial(jax.jit, static_argnames=("n_iter", "sink_radius", "max_labels",
-                                   "min_landings"))
+                                   "min_landings", "with_overflow"))
 def flow_label(
     fg: jnp.ndarray,            # (H, W) bool foreground (already cleaned)
     flows: jnp.ndarray,         # (H, W, 2) [dy, dx]
@@ -84,6 +84,7 @@ def flow_label(
     sink_radius: int = 5,
     max_labels: int = 1024,
     min_landings: int = 3,
+    with_overflow: bool = False,
 ) -> jnp.ndarray:
     """Instance labels from flow convergence: pixels that land in the same
     (dilated) sink blob share an id.  Exact ids follow the device CCL's
@@ -114,7 +115,14 @@ def flow_label(
     # labels as ONE blob even when trajectories land on neighboring pixels
     if sink_radius > 0:
         sinks = binary_dilation(sinks, disk(sink_radius))
-    sink_lab = label(sinks, connectivity=2, max_labels=max_labels)
+    sink_lab, over = label(sinks, connectivity=2, max_labels=max_labels,
+                           with_overflow=True)
 
     inst = sink_lab[ly, lx]
-    return jnp.where(fg, inst, 0)
+    out = jnp.where(fg, inst, 0)
+    if with_overflow:
+        # >max_labels sink blobs alias exactly like plain CCL — surface
+        # the flag so host callers can raise instead of emitting merged
+        # instances (segment.cellseg does)
+        return out, over
+    return out

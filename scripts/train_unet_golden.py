@@ -57,7 +57,8 @@ def main():
     for i in range(steps):
         imgs, pb, fb = sample_crops(rng, x, probs, flows, TILE, BATCH)
         state, loss = train_step(state, jnp.asarray(imgs), jnp.asarray(pb),
-                                 jnp.asarray(fb))
+                                 jnp.asarray(fb),
+                                 w_grad=cfg.grad_loss_weight)
         if i % 100 == 0 or i == steps - 1:
             print(f"step {i}: loss {float(loss):.4f} "
                   f"({time.time() - t0:.0f}s)")

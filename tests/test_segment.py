@@ -168,3 +168,89 @@ def test_segment_elongated_roi_on_wide_frame():
     # the recovered polygon must span (nearly) the full bar, not stop at a
     # 128-wide truncated window
     assert xs.min() < 60 and xs.max() > 580, (xs.min(), xs.max())
+
+
+def test_run_auto_drawer_stageless_isolation_and_empty(tmp_path):
+    """Batch-loop parity with ROI_auto_drawer.py:217-264: stage-less
+    filenames fall back to the bare name and still segment; a corrupt TIFF
+    or a blank frame logs and continues (no abort); a 0-cell frame writes
+    NO json (file presence means "annotated" downstream)."""
+    img = _blob_image()
+    tiffio.write_tiff16(str(tmp_path / "cells.TIF"),
+                        np.clip(img, 0, 65535).astype(np.uint16))
+    (tmp_path / "broken.TIF").write_bytes(b"II*\x00garbage")
+    tiffio.write_tiff16(str(tmp_path / "blank.TIF"),
+                        np.zeros((64, 64), np.uint16))
+    rng = np.random.default_rng(1)
+    noise = rng.normal(100, 5, (64, 64))  # no blob -> 0 polygons
+    tiffio.write_tiff16(str(tmp_path / "noise.TIF"),
+                        np.clip(noise, 0, 65535).astype(np.uint16))
+    logs = []
+    cfg = AutoSegConfig(thr_mode="mean_std", thr_k=3.0, min_size_px=50)
+    written = run_auto_drawer(str(tmp_path), cfg, log=logs.append)
+    assert [os.path.basename(p) for p in written] == ["cells.json"]
+    roi_dir = tmp_path / "roi"
+    assert (roi_dir / "cells.json").exists()
+    assert not (roi_dir / "noise.json").exists()
+    assert not (roi_dir / "broken.json").exists()
+    joined = "\n".join(logs)
+    assert "broken.TIF" in joined and "blank.TIF" in joined
+
+
+def test_save_drawer_bundle_artifact_isolation(tmp_path, monkeypatch):
+    """One failed artifact logs a warning and the rest still save
+    (roi_manual_drawer.py:1331-1371 wraps mask/overlay/zip separately)."""
+    img = _blob_image()
+    rois = [np.array([[70, 40], [180, 45], [175, 140], [65, 135]], float)]
+
+    def boom(*a, **k):
+        raise RuntimeError("zip exploded")
+
+    monkeypatch.setattr(roiio, "save_imagej_roi_zip", boom)
+    logs = []
+    jp, mp, pp, zp = save_drawer_bundle(str(tmp_path / "roi"), "S01", rois,
+                                        img, log=logs.append)
+    assert os.path.exists(jp) and os.path.exists(mp) and os.path.exists(pp)
+    assert not os.path.exists(zp)
+    assert any("zip" in s.lower() and "exploded" in s for s in logs)
+
+
+def test_segment_frame_unet_small_tile_covers_interior():
+    """tile <= 2*overlap (a checkpoint trained at tile=64 with the default
+    overlap=32) must clamp the overlap, not crash with a zero range step or
+    silently cover only corner tiles."""
+    from imageprocess_tpu.segment.cellseg import segment_frame_unet
+
+    H, W = 150, 150
+    img = np.full((H, W), 100.0, np.float32)
+    img[60:90, 60:90] = 4000.0  # interior blob, outside any corner tile
+
+    def apply_fn(params, tiles):
+        return (tiles - 0.5) * 20.0  # logits: >0 exactly on the blob
+
+    polys = segment_frame_unet(img, apply_fn, {}, tile=64,
+                               min_size_px=50, flow_follow=False)
+    assert len(polys) == 1
+    xs, ys = polys[0][:, 0], polys[0][:, 1]
+    assert 55 <= xs.min() <= 62 and 87 <= xs.max() <= 92
+    assert 55 <= ys.min() <= 62 and 87 <= ys.max() <= 92
+
+
+def test_segment_frame_unet_label_overflow_raises():
+    """>max_labels components alias in the size-limited CCL — the U-Net
+    path must surface that like the threshold backend does, not emit
+    silently merged instances."""
+    import pytest
+
+    from imageprocess_tpu.segment.cellseg import segment_frame_unet
+
+    img = np.full((128, 128), 100.0, np.float32)
+    for cy in (20, 60, 100):  # 3 separated blobs > max_labels=2
+        img[cy - 8:cy + 8, 20:36] = 4000.0
+
+    def apply_fn(params, tiles):
+        return (tiles - 0.5) * 20.0
+
+    with pytest.raises(ValueError, match="max_labels"):
+        segment_frame_unet(img, apply_fn, {}, tile=128, min_size_px=20,
+                           max_labels=2, flow_follow=False)
