@@ -59,6 +59,7 @@ STRINGS = {
         "fa_export": "[내보내기] {tag}: 세포 {count}개",
         "fa_fig": "[그림] {path}",
         "fa_processing": "{tag} 처리 중...",
+        "fa_load_failed": "  [에러] 이미지 로드 실패: {tag} ({err})",
         # FRET builder
         "fret_saved": "[저장 완료] xls/fret_ratio_perROI.xlsx + csv",
         "fret_no_roi": "[경고] ROI 없음 -> 지표 테이블을 생성하지 않음.",
@@ -133,6 +134,7 @@ STRINGS = {
         "fa_export": "[export] {tag}: {count} cells",
         "fa_fig": "[fig] {path}",
         "fa_processing": "Processing {tag}...",
+        "fa_load_failed": "  [Error] Failed to load image: {tag} ({err})",
         # FRET builder
         "fret_saved": "[Saved] xls/fret_ratio_perROI.xlsx + csv",
         "fret_no_roi": "[Warn] No ROI -> metric table not generated.",

@@ -178,8 +178,7 @@ def run_crop(
             log(t("err_worker").format(key=item.item[0], error=item.error))
             continue
         (s, t_code), keytag, raw_full, polys = item
-        img = raw_full.astype(np.float32, copy=False)
-        H, W = img.shape
+        H, W = raw_full.shape
         if not polys:
             log(t("crop_no_roi").format(tag=keytag))
             continue
@@ -220,14 +219,17 @@ def run_crop(
         cstart = np.zeros((nb, 2), np.int32)
         csize = np.ones((nb, 2), np.int32)
         from ..geom.polygon import pad_polygons
+        locals_ = []
         for i, (P, (y0, x0, ch_, cw_)) in enumerate(zip(sel_polys, boxes)):
             oy = min(y0, H - tile)
             ox = min(x0, W - tile)
             offs[i] = (oy, ox)
             cstart[i] = (y0 - oy, x0 - ox)
             csize[i] = (min(ch_, tile), min(cw_, tile))
-            local = P - np.array([ox, oy], float)  # [x, y] -= [ox, oy]
-            lpv[i] = pad_polygons([local.astype(np.float32)], vb)[0]
+            # [x, y] -= [ox, oy]
+            locals_.append((P - np.array([ox, oy], float)).astype(np.float32))
+        if locals_:
+            lpv[: len(locals_)] = pad_polygons(locals_, vb)
 
         norm_g, masks_t, oks = crop_view_tiled(
             jnp.asarray(raw_full), jnp.asarray(lpv), jnp.asarray(offs),

@@ -347,8 +347,16 @@ def run_fa_batch(
             log(t("cancelled"))
             break
         log(t("fa_processing").format(tag=s_tag))
-        img = tiffio.read_2d(img_path, squeeze="smallest_axis")
-        rois = _load_rois(json_path)
+        # per-file isolation: one unreadable TIFF/JSON logs and continues
+        # — the reference's load_image_safe-is-None branch
+        # (FA_Analyzer.py:978-981); the batched runner isolates the same
+        # way via LoadError
+        try:
+            img = tiffio.read_2d(img_path, squeeze="smallest_axis")
+            rois = _load_rois(json_path)
+        except Exception as e:
+            log(t("fa_load_failed").format(tag=s_tag, err=e))
+            continue
         fa_rows, th_val, bg, _ = analyze_image(img, rois, cfg)
         file_rows = _fa_file_rows(
             s_tag, ((fa["cell"], fa["area"], fa["mean_int_raw"])

@@ -237,6 +237,39 @@ def load_pair(key, dpath, apath, roi_dir, cfg: FretConfig,
     return D, A, polys or None
 
 
+def _fret_row(s, t_code, i, get, area_i, eps_f, cfg: FretConfig,
+              d_p: float, a_p: float) -> dict:
+    """One per-ROI table row; ``get(field, c)`` returns ROI *i*'s scalar
+    for stat *field* of channel slot ``c`` (0=ratio, 1=donor, 2=yFRET).
+    The ONE place the FRET row schema lives — the serial
+    (:func:`process_pair`) and batched emit paths both build through it,
+    so rows mixed in one report can never drift apart."""
+    return {
+        "roi": i + 1,
+        "area_px": int(area_i),
+        "ratio_mean": float(get("mean", 0)),
+        "ratio_median": float(get("median", 0)),
+        "ratio_std": float(get("std", 0)),
+        "ratio_p5": float(get("p5", 0)),
+        "ratio_p95": float(get("p95", 0)),
+        "donor_mean": float(get("mean", 1)),
+        "donor_median": float(get("median", 1)),
+        "yfret_mean": float(get("mean", 2)),
+        "yfret_median": float(get("median", 2)),
+        "stage": s,
+        "time": t_code if cfg.timelapse else None,
+        "eps": eps_f,
+        "p": cfg.percentile,
+        "donor_p": d_p,
+        "fret_p": a_p,
+        "ratio_mode": cfg.ratio_mode,
+        "bg_scope": cfg.bg_scope,
+        "bg_mode": cfg.bg_mode,
+        "clip_neg": cfg.clip_neg,
+        "eps_p": cfg.eps_percentile,
+    }
+
+
 def process_pair(key, dpath, apath, roi_dir, cfg: FretConfig, out_dirs,
                  log=print, loaded=None):
     """One (stage, time) FRET pair -> per-ROI rows + TIF/PNG outputs."""
@@ -259,8 +292,8 @@ def process_pair(key, dpath, apath, roi_dir, cfg: FretConfig, out_dirs,
     pv = np.zeros((nb, vb, 2), np.float32)
     valid = np.zeros(nb, bool)
     if polys:
-        for i, p in enumerate(polys):
-            pv[i] = pad_polygons([np.asarray(p, np.float32)], vb)[0]
+        pv[: len(polys)] = pad_polygons(
+            [np.asarray(p, np.float32) for p in polys], vb)
         valid[: len(polys)] = True
 
     flip = cfg.ratio_mode != "FRET/Donor"
@@ -295,33 +328,11 @@ def process_pair(key, dpath, apath, roi_dir, cfg: FretConfig, out_dirs,
     R_np = np.asarray(R_full) if render_on else None
     union_np = np.asarray(union) if (polys and render_on) else None
 
-    rows: List[dict] = []
-    if polys:
-        for i in range(len(polys)):
-            rows.append({
-                "roi": i + 1,
-                "area_px": int(area[i]),
-                "ratio_mean": float(stats["mean"][0, i]),
-                "ratio_median": float(stats["median"][0, i]),
-                "ratio_std": float(stats["std"][0, i]),
-                "ratio_p5": float(stats["p5"][0, i]),
-                "ratio_p95": float(stats["p95"][0, i]),
-                "donor_mean": float(stats["mean"][1, i]),
-                "donor_median": float(stats["median"][1, i]),
-                "yfret_mean": float(stats["mean"][2, i]),
-                "yfret_median": float(stats["median"][2, i]),
-                "stage": s,
-                "time": t_code if cfg.timelapse else None,
-                "eps": eps_f,
-                "p": cfg.percentile,
-                "donor_p": d_p,
-                "fret_p": a_p,
-                "ratio_mode": cfg.ratio_mode,
-                "bg_scope": cfg.bg_scope,
-                "bg_mode": cfg.bg_mode,
-                "clip_neg": cfg.clip_neg,
-                "eps_p": cfg.eps_percentile,
-            })
+    rows: List[dict] = [
+        _fret_row(s, t_code, i, lambda f, c, i=i: stats[f][c, i],
+                  area[i], eps_f, cfg, d_p, a_p)
+        for i in range(len(polys or ()))
+    ]
 
     if cfg.do_tif or cfg.do_png:
         render.save_fret_images(
@@ -623,30 +634,10 @@ def run_fret_batched(
                 chunk):
             s, t_code = kv[0]
             for i in range(len(polys)):
-                rows_all.append({
-                    "roi": i + 1,
-                    "area_px": int(areas[bi, i]),
-                    "ratio_mean": float(stats["mean"][bi, 0, i]),
-                    "ratio_median": float(stats["median"][bi, 0, i]),
-                    "ratio_std": float(stats["std"][bi, 0, i]),
-                    "ratio_p5": float(stats["p5"][bi, 0, i]),
-                    "ratio_p95": float(stats["p95"][bi, 0, i]),
-                    "donor_mean": float(stats["mean"][bi, 1, i]),
-                    "donor_median": float(stats["median"][bi, 1, i]),
-                    "yfret_mean": float(stats["mean"][bi, 2, i]),
-                    "yfret_median": float(stats["median"][bi, 2, i]),
-                    "stage": s,
-                    "time": t_code if cfg.timelapse else None,
-                    "eps": eps_f,
-                    "p": cfg.percentile,
-                    "donor_p": d_p,
-                    "fret_p": a_p,
-                    "ratio_mode": cfg.ratio_mode,
-                    "bg_scope": cfg.bg_scope,
-                    "bg_mode": cfg.bg_mode,
-                    "clip_neg": cfg.clip_neg,
-                    "eps_p": cfg.eps_percentile,
-                })
+                rows_all.append(_fret_row(
+                    s, t_code, i,
+                    lambda f, c, bi=bi, i=i: stats[f][bi, c, i],
+                    areas[bi, i], eps_f, cfg, d_p, a_p))
         for kv, (D, _A, _polys), _sc, _pre in chunk:
             # D/A are views into one (2, H, W) decode buffer: dead past
             # this point, recycle its pages (put() ignores a None base

@@ -212,8 +212,9 @@ def _device_inputs(
         nb = _bucket(n)
         vb = _bucket(max(len(p) for p in polys), 32)
         pv = np.zeros((nb, vb, 2), np.float32)
-        for i, p in enumerate(polys):
-            pv[i] = pad_polygons([np.asarray(p, np.float32)], vb)[0]
+        # one batched call: a loop of single-element pad_polygons calls
+        # cost ~30 ms/chunk of pack wall on the 1-core host (roistats)
+        pv[:n] = pad_polygons([np.asarray(p, np.float32) for p in polys], vb)
         valid = np.zeros(nb, bool)
         valid[:n] = True
         return pv, valid, None, n
@@ -449,7 +450,11 @@ def run_intensity_batched(
     )
     from ..report.excel import save_intensity_excel
 
-    if cfg.bg_scope != "full":
+    if (cfg.bg_scope != "full" or cfg.do_tif or cfg.do_png
+            or cfg.save_raw_crop_tif):
+        # image outputs need the full frame on host — the tables-only
+        # minimum-transfer path would silently drop them (run_fret_batched
+        # and run_nesprin2_batched gate the same way)
         return run_intensity(folder, cfg, out_root=out_root, log=log,
                              prefetch_workers=prefetch_workers,
                              cancel=cancel)
@@ -916,14 +921,16 @@ def run_intensity(
         logger = RunLogger(os.path.join(out_root, "logs"), echo=log)
 
     prog = None
-    if progress:
+    key_weight = {}  # failed keys must step their FULL weight or the bar
+    if progress:     # never reaches 100% and the ETA goes stale
         total = 0
         for key, chmap in keymap.items():
             any_path = next(iter(chmap.values()))
             base = naming.find_roi_basepath(
                 roi_dir, os.path.basename(any_path), cfg.timelapse, cfg.grammar
             )
-            total += max(1, roiio.count_rois(base))
+            key_weight[key] = max(1, roiio.count_rois(base))
+            total += key_weight[key]
         prog = Progress(total, log=logger)
 
     items = list(keymap.items())
@@ -952,7 +959,7 @@ def run_intensity(
             if isinstance(item, LoadError):
                 logger(t("err_worker").format(key=item.item[0], error=item.error))
                 if prog is not None:
-                    prog.step(1)
+                    prog.step(key_weight.get(item.item[0], 1))
                 continue
             key, chmap, loaded = item
             if cancel is not None and cancel():
@@ -970,7 +977,7 @@ def run_intensity(
                 logger(line)
             if pending is None:
                 if prog is not None:
-                    prog.step(1, label=str(key[0]))
+                    prog.step(key_weight.get(key, 1), label=str(key[0]))
                 continue
             if in_flight is not None:
                 drain(in_flight)

@@ -389,8 +389,8 @@ def process_pair_nesprin2(key, dpath, apath, roi_dir, cfg: Nesprin2Config,
     nb = _bucket(len(polys))
     vb = _bucket(max(len(p) for p in polys), 32)
     pv = np.zeros((nb, vb, 2), np.float32)
-    for i, p in enumerate(polys):
-        pv[i] = pad_polygons([np.asarray(p, np.float32)], vb)[0]
+    pv[: len(polys)] = pad_polygons(
+        [np.asarray(p, np.float32) for p in polys], vb)
     valid = np.zeros(nb, bool)
     valid[: len(polys)] = True
 
@@ -437,34 +437,17 @@ def process_pair_nesprin2(key, dpath, apath, roi_dir, cfg: Nesprin2Config,
     areas = np.asarray(areas)
     eps_f = float(eps)
 
-    rows = []
-    for i in range(len(polys)):
-        main_mean = float(stats["mean"][i])
-        alt_mean = float(alt_means[i])
-        rows.append({
-            "stage": s,
-            "time": t_code if cfg.timelapse else None,
-            "roi": i + 1,
-            "area_px": int(areas[i]),
-            "ratio_mean": main_mean,
-            "ratio_median": float(stats["median"][i]),
-            "ratio_std": float(stats["std"][i]),
-            "ratio_p5": float(stats["p5"][i]),
-            "ratio_p95": float(stats["p95"][i]),
-            "ratio_FoverD_mean": alt_mean if flip else main_mean,
-            "ratio_DoverF_mean": main_mean if flip else alt_mean,
-            "donor_mean": float(donor_means[i]),
-            "fret_mean": float(fret_means[i]),
-            "eps": eps_f, "p": cfg.percentile,
-            "donor_p": d_p, "fret_p": a_p,
-            "ratio_mode": cfg.ratio_mode,
-            "bg_scope": cfg.bg_scope, "bg_mode": cfg.bg_mode,
-            "clip_neg": cfg.clip_neg,
-            "sat_filter_on": cfg.sat_filter_on,
-            "sat_threshold": cfg.sat_threshold,
-            "clip_ratio_on": cfg.clip_ratio_on,
-            "clip_ratio_max": cfg.clip_ratio_max,
-        })
+    serial_cols = {
+        "mean": stats["mean"], "median": stats["median"],
+        "std": stats["std"], "p5": stats["p5"], "p95": stats["p95"],
+        "alt_mean": alt_means, "donor_mean": donor_means,
+        "fret_mean": fret_means, "area": areas,
+    }
+    rows = [
+        _n2_row(s, t_code, i, lambda f, i=i: serial_cols[f][i], eps_f,
+                cfg, flip, d_p, a_p)
+        for i in range(len(polys))
+    ]
 
     if cfg.do_tif or cfg.do_png:
         Dc = np.asarray(Dcorr)
@@ -497,26 +480,29 @@ def _n2_pairs(folder: str, cfg: Nesprin2Config, log):
     return pairs
 
 
-def _n2_row(s, t_code, i, cols, eps_f, bi, cfg: Nesprin2Config,
+def _n2_row(s, t_code, i, get, eps_f, cfg: Nesprin2Config,
             flip: bool, d_p: float, a_p: float) -> dict:
-    """One per-ROI table row from the batched step's unpacked columns —
-    the same schema process_pair_nesprin2 emits."""
-    main_mean = float(cols["mean"][bi, i])
-    alt_mean = float(cols["alt_mean"][bi, i])
+    """One per-ROI table row; ``get(field)`` returns ROI *i*'s scalar for
+    mean/median/std/p5/p95/alt_mean/donor_mean/fret_mean/area.  The ONE
+    place the nesprin2 row schema lives — both the serial
+    (process_pair_nesprin2) and batched emit paths build through it, so
+    rows mixed in one report can never drift apart."""
+    main_mean = float(get("mean"))
+    alt_mean = float(get("alt_mean"))
     return {
         "stage": s,
         "time": t_code if cfg.timelapse else None,
         "roi": i + 1,
-        "area_px": int(cols["area"][bi, i]),
+        "area_px": int(get("area")),
         "ratio_mean": main_mean,
-        "ratio_median": float(cols["median"][bi, i]),
-        "ratio_std": float(cols["std"][bi, i]),
-        "ratio_p5": float(cols["p5"][bi, i]),
-        "ratio_p95": float(cols["p95"][bi, i]),
+        "ratio_median": float(get("median")),
+        "ratio_std": float(get("std")),
+        "ratio_p5": float(get("p5")),
+        "ratio_p95": float(get("p95")),
         "ratio_FoverD_mean": alt_mean if flip else main_mean,
         "ratio_DoverF_mean": main_mean if flip else alt_mean,
-        "donor_mean": float(cols["donor_mean"][bi, i]),
-        "fret_mean": float(cols["fret_mean"][bi, i]),
+        "donor_mean": float(get("donor_mean")),
+        "fret_mean": float(get("fret_mean")),
         "eps": eps_f, "p": cfg.percentile,
         "donor_p": d_p, "fret_p": a_p,
         "ratio_mode": cfg.ratio_mode,
@@ -595,9 +581,8 @@ def run_nesprin2_batched(
                         and len(polys) <= nb_used
                         and max(len(p) for p in polys) <= vb_used):
                     pv = np.zeros((nb_used, vb_used, 2), np.float32)
-                    for i, poly in enumerate(polys):
-                        pv[i] = pad_polygons(
-                            [np.asarray(poly, np.float32)], vb_used)[0]
+                    pv[: len(polys)] = pad_polygons(
+                        [np.asarray(p, np.float32) for p in polys], vb_used)
                     valid = np.zeros(nb_used, bool)
                     valid[:len(polys)] = True
                     offs = tile_offsets(polys, H, W, t_used, margin=margin)
@@ -689,8 +674,9 @@ def run_nesprin2_batched(
             s, t_code = kv[0]
             eps_f = float(eps_arr[bi])
             for i in range(len(polys)):
-                rows_all.append(_n2_row(s, t_code, i, cols, eps_f, bi, cfg,
-                                        flip, d_p, a_p))
+                rows_all.append(_n2_row(
+                    s, t_code, i, lambda f, bi=bi, i=i: cols[f][bi, i],
+                    eps_f, cfg, flip, d_p, a_p))
 
     def _err_key(it):
         # LoadError.item is the raw (key, dpath, apath) loader item on a

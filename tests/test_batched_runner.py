@@ -452,3 +452,23 @@ def test_stream_batches_cancel_drops_undispatched():
     assert cancelled is True
     assert dispatched == [[0, 1, 2]]   # the buffered [3, 4] never dispatch
     assert emitted == [0, 1, 2]        # in-flight chunk drained
+
+
+def test_batched_image_outputs_fall_back_to_serial(timelapse_folder, tmp_path):
+    """--batched with --png must still produce the PNGs: the tables-only
+    minimum-transfer path can't render, so the runner falls back to the
+    serial path (the same gate run_fret_batched/run_nesprin2_batched
+    have) instead of silently dropping requested outputs."""
+    import glob
+
+    cfg = IntensityConfig(channels=(1, 2), timelapse=True, do_xls=False,
+                          do_png=True)
+    logs = []
+    rows = run_intensity_batched(str(timelapse_folder), cfg,
+                                 out_root=str(tmp_path / "b"),
+                                 log=logs.append, batch_size=3)
+    assert len(rows) == 16
+    assert not any(str(line).startswith(("[batch]", "[배치]"))
+                   for line in logs)
+    pngs = glob.glob(str(tmp_path / "b" / "**" / "*.png"), recursive=True)
+    assert pngs, "requested PNG outputs were not written"

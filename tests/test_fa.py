@@ -220,3 +220,26 @@ def test_analyze_with_cell_overrides():
     n_a = sum(1 for r in rows_a if r["cell"] == 2)
     n_b = sum(1 for r in rows_b if r["cell"] == 2)
     assert n_b <= n_a
+
+
+def test_fa_batch_isolates_corrupt_file(tmp_path):
+    """One unreadable TIFF logs and continues (FA_Analyzer.py:978-981);
+    the remaining stages still produce CSVs and the master report runs."""
+    img, rois = _synthetic_cell_image(0)
+    img_dir = tmp_path / "imgs"
+    roi_dir = tmp_path / "roi"
+    img_dir.mkdir()
+    roi_dir.mkdir()
+    (img_dir / "S01_0.tif").write_bytes(b"II*\x00not a real tiff")
+    tiffio.write_tiff16(str(img_dir / "S02_0.tif"), img.astype(np.uint16))
+    for tag in ("S01", "S02"):
+        roiio.save_roi_bundle(str(roi_dir / f"{tag}.json"), tag, img.shape,
+                              rois)
+    logs = []
+    cfg = FaConfig(channel=0, alpha=2.0, min_area_um=0.5, max_area_um=5.0)
+    results = run_fa_batch(str(img_dir), str(roi_dir), str(tmp_path / "out"),
+                           cfg, log=logs.append)
+    assert set(results) == {"S02"}
+    assert any("S01" in s and ("Failed" in s or "실패" in s) for s in logs)
+    assert (tmp_path / "out" / "individual_results"
+            / "S02_results.csv").exists()
