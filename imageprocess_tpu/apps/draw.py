@@ -71,6 +71,7 @@ class ROIAnnotator:
         self._ax = None
         self._im = None
         self._selector = None
+        self._roi_artists = []   # outline/label artists _redraw owns
 
     # --- data ---------------------------------------------------------------
 
@@ -231,6 +232,8 @@ class ROIAnnotator:
             self._redraw()
 
         def start_polygon():
+            if self._selector is not None:
+                return  # a live selector would stack: both callbacks fire
             self._selector = PolygonSelector(self._ax, on_select)
 
         self._start_polygon = start_polygon
@@ -254,6 +257,8 @@ class ROIAnnotator:
                 self.delete_index(i)
                 self._redraw()
         elif event.key == "r" and event.xdata is not None:
+            if self._selector is not None:
+                return  # don't stack a second live selector
             i = self.roi_index_at(event.xdata, event.ydata)
             if i is not None:
                 from matplotlib.widgets import PolygonSelector
@@ -294,15 +299,19 @@ class ROIAnnotator:
 
     def _redraw(self):  # pragma: no cover - needs a display
         self._im.set_data(self.rendered())
-        for ln in list(self._ax.lines):
-            ln.remove()
-        for txt in list(self._ax.texts):  # stale ROI-number labels
-            txt.remove()
+        # remove only OUR outline/label artists: a blanket ax.lines sweep
+        # would also delete an active PolygonSelector's in-progress polygon
+        for art in self._roi_artists:
+            art.remove()
+        self._roi_artists = []
         for i, poly in enumerate(self.rois, 1):
             P = np.asarray(poly)
-            self._ax.plot(np.r_[P[:, 0], P[0, 0]], np.r_[P[:, 1], P[0, 1]],
-                          color="lime", lw=1.5)
-            self._ax.text(P[:, 0].mean(), P[:, 1].mean(), str(i), color="yellow")
+            (ln,) = self._ax.plot(
+                np.r_[P[:, 0], P[0, 0]], np.r_[P[:, 1], P[0, 1]],
+                color="lime", lw=1.5)
+            txt = self._ax.text(P[:, 0].mean(), P[:, 1].mean(), str(i),
+                                color="yellow")
+            self._roi_artists += [ln, txt]
         self._ax.set_title(self._title())
         self._fig.canvas.draw_idle()
 

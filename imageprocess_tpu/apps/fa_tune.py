@@ -127,7 +127,10 @@ class FATuner:
                 "Subtract_BG_Setting": eff["subtract_bg"],
             })
         path = os.path.join(indiv, f"{self.s_tag}_results.csv")
-        pd.DataFrame(out_rows)[FA_CSV_COLS].to_csv(path, index=False)
+        # columns= keeps the schema when zero FAs survive the settings
+        # (pd.DataFrame([]) has no columns and the [FA_CSV_COLS] selection
+        # would KeyError, losing the tuned settings)
+        pd.DataFrame(out_rows, columns=FA_CSV_COLS).to_csv(path, index=False)
         self.log(t("tune_saved").format(path=path))
         return path
 
@@ -149,10 +152,13 @@ class FATuner:
             sax = fig.add_axes([0.15, 0.16 - row * 0.04, 0.6, 0.03])
             sliders[name] = Slider(sax, name, lo, hi, valinit=val)
 
+        # display range once: the image never changes, and re-sorting a
+        # megapixel frame on every slider tick makes dragging sluggish
+        vlo, vhi = np.percentile(self.img, [1, 99])
+
         def redraw():
             ax.clear()
-            lo, hi = np.percentile(self.img, [1, 99])
-            ax.imshow(self.img, cmap="gray", vmin=lo, vmax=hi)
+            ax.imshow(self.img, cmap="gray", vmin=vlo, vmax=vhi)
             for i, poly in enumerate(self.rois):
                 color = "cyan" if i == self.selected else "yellow"
                 P = np.asarray(poly)

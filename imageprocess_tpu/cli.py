@@ -319,24 +319,30 @@ def _mesh_for(args, log):
     return True, make_mesh(args.devices)
 
 
+def _parse_ch_map(specs, value_type, flag: str, shape: str) -> dict:
+    """CH=VALUE pair lists (--colors, --per-channel-p): friendly SystemExit
+    on a malformed spec instead of a raw int()/float() traceback."""
+    out = {}
+    for spec in specs:
+        ch, eq, val = spec.partition("=")
+        try:
+            if not eq:
+                raise ValueError
+            out[int(ch)] = value_type(val)
+        except ValueError:
+            raise SystemExit(f"{flag} expects {shape} pairs (got {spec!r})")
+    return out
+
+
 def _dispatch(args, log) -> int:
     if args.cmd == "intensity":
         from .pipelines.intensity import IntensityConfig, run_intensity
 
         from .report.render import PanelPngOptions
 
-        colors = {}
-        for spec in args.colors:
-            ch, _, color = spec.partition("=")
-            colors[int(ch)] = color
-        per_p = {}
-        for spec in args.per_channel_p:
-            ch, eq, pv = spec.partition("=")
-            try:
-                per_p[int(ch)] = float(pv)
-            except ValueError:
-                raise SystemExit(
-                    f"--per-channel-p expects CH=P pairs (got {spec!r})")
+        colors = _parse_ch_map(args.colors, str, "--colors", "CH=COLOR")
+        per_p = _parse_ch_map(args.per_channel_p, float, "--per-channel-p",
+                              "CH=P")
         panel = PanelPngOptions(
             cmap_on=args.cmap is not None, cmap=args.cmap or "jet",
             colorbar=args.colorbar, scalebar_um=args.scalebar_um,
@@ -384,7 +390,10 @@ def _dispatch(args, log) -> int:
             out_root = args.out
             if out_root is not None and len(folders) > 1:
                 out_root = os.path.join(out_root, os.path.basename(folder))
-            if args.batched:
+            if args.batched or args.devices > 1:
+                # --devices implies --batched (same as nesprin2/fa);
+                # silently running the serial single-device path would
+                # drop the user's sharding request
                 from .core.runlog import RunLogger
                 from .pipelines.intensity import run_intensity_batched
 
@@ -476,9 +485,12 @@ def _dispatch(args, log) -> int:
             use_spectral=args.spectral, alpha=args.alpha, beta=args.beta,
             g_factor=args.g_factor,
             sat_filter_on=args.sat_threshold is not None,
-            sat_threshold=args.sat_threshold or 65535.0,
+            # `or` would turn an explicit 0 into the default
+            sat_threshold=(args.sat_threshold
+                           if args.sat_threshold is not None else 65535.0),
             clip_ratio_on=args.clip_ratio_max is not None,
-            clip_ratio_max=args.clip_ratio_max or 10.0,
+            clip_ratio_max=(args.clip_ratio_max
+                            if args.clip_ratio_max is not None else 10.0),
             do_tif=args.tif, do_png=args.png, do_xls=not args.no_xls,
             save_panel=args.panel,
             subset_stage=args.subset_stage, subset_time=args.subset_time,

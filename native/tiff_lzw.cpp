@@ -451,6 +451,12 @@ int decode_page(const Reader& r, const TiffPage& pg, uint8_t* out,
                 uint32_t* hist = nullptr, long long hist_stride = 0) {
     size_t bytes_per_px = (pg.bits / 8) * pg.samples;
     size_t row_bytes = (size_t)pg.width * bytes_per_px;
+    // overflow-checked total: a crafted width*height*spp near 2^64 would
+    // wrap `need` below the caller's allocation and defeat the size check
+    if (pg.height != 0 && row_bytes != 0 &&
+        row_bytes > SIZE_MAX / pg.height) {
+        *err = "page dimensions overflow"; return -5;
+    }
     size_t need = row_bytes * pg.height;
     if ((long long)need > out_bytes) { *err = "output buffer too small"; return -5; }
 
@@ -474,10 +480,15 @@ int decode_page(const Reader& r, const TiffPage& pg, uint8_t* out,
             h = local_hist.data();
         }
         for (size_t s = tid; s < n_strips; s += n_threads) {
-            uint32_t row0 = (uint32_t)(s * pg.rows_per_strip);
-            if (row0 >= pg.height) continue;
+            // 64-bit strip geometry: with a crafted rows_per_strip near
+            // 2^32, 32-bit `s * rows_per_strip` truncation and
+            // `row0 + rows` wrap-around both defeat the height clamp and
+            // turn the strip decode into an out-of-bounds write
+            uint64_t row0_64 = (uint64_t)s * pg.rows_per_strip;
+            if (row0_64 >= pg.height) continue;
+            uint32_t row0 = (uint32_t)row0_64;
             uint32_t rows = pg.rows_per_strip;
-            if (row0 + rows > pg.height) rows = pg.height - row0;
+            if (row0_64 + rows > pg.height) rows = pg.height - row0;
             size_t strip_bytes = row_bytes * rows;
             uint8_t* dst = out + row_bytes * row0;
             uint32_t off = pg.strip_offsets[s];

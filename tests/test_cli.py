@@ -228,3 +228,21 @@ def test_cli_batched_devices_mesh(golden_intensity_dir, tmp_path):
     a = df.sort_values("roi")["ch2_mean"].to_numpy()
     b = gold.sort_values("roi")["ch2_mean"].to_numpy()
     assert (abs(a - b) <= 1e-4 * abs(b)).all()
+
+
+def test_cli_malformed_ch_map_is_friendly(tmp_path):
+    """Malformed --colors/--per-channel-p specs exit with a usage message,
+    not a raw ValueError traceback."""
+    import pytest
+
+    from imageprocess_tpu.cli import main
+
+    (tmp_path / "S01_1.TIF").write_bytes(b"")
+    for argv in (
+        ["intensity", str(tmp_path), "--colors", "Green"],
+        ["intensity", str(tmp_path), "--colors", "x=Red"],
+        ["intensity", str(tmp_path), "--per-channel-p", "2"],
+    ):
+        with pytest.raises(SystemExit) as e:
+            main(argv)
+        assert "pairs" in str(e.value)

@@ -58,3 +58,28 @@ def test_fa_tuner_flow(tmp_path):
     t2 = FATuner(str(folder / "S01_0.tif"), str(folder / "roi" / "S01.json"),
                  "S01", str(out), cfg, log=lambda *_: None)
     assert t2.cell_settings.get(0, {}).get("alpha") == 8.0
+
+
+def test_fa_tuner_save_with_zero_fas(tmp_path):
+    """Raising alpha until no FAs survive must still write a schema-stable
+    CSV (pd.DataFrame([]) has no columns; the FA_CSV_COLS selection used
+    to KeyError and the tuned settings were lost)."""
+    from imageprocess_tpu.pipelines.fa import FA_CSV_COLS
+
+    rng = np.random.default_rng(3)
+    H, W = 120, 140
+    img = rng.normal(500, 5, (H, W))  # featureless: mu+alpha*sigma finds 0
+    tiffio.write_tiff16(str(tmp_path / "S01_0.tif"),
+                        img.clip(0, 65535).astype(np.uint16))
+    (tmp_path / "roi").mkdir()
+    polys = [np.array([[20, 20], [120, 25], [115, 100], [15, 95]], float)]
+    roiio.save_roi_bundle(str(tmp_path / "roi" / "S01.json"), "S01",
+                          (H, W), polys)
+    cfg = FaConfig(channel=0, alpha=8.0, min_area_um=0.3, max_area_um=10.0)
+    t = FATuner(str(tmp_path / "S01_0.tif"),
+                str(tmp_path / "roi" / "S01.json"),
+                "S01", str(tmp_path / "out"), cfg, log=lambda *_: None)
+    assert t.fa_count() == 0
+    path = t.save()
+    df = pd.read_csv(path)
+    assert list(df.columns) == list(FA_CSV_COLS) and len(df) == 0

@@ -386,3 +386,54 @@ def test_fuzzed_strip_payloads_fail_cleanly(tmp_path, rng):
         got = decode_tiff(p)  # None (rejected) or an (h, w) array — both fine
         if got is not None:
             assert got.shape == (h, w)
+
+
+def test_multi_strip_rows_per_strip_truncation_guard(tmp_path):
+    """Crafted RowsPerStrip near 2^31: 32-bit `s * rows_per_strip` once
+    truncated strip 2's start row to 2 (0x100000002 -> 2), memcpy-ing
+    attacker strip bytes over valid rows (and, at scale, past the buffer
+    via the `row0 + rows` uint32 wrap).  64-bit geometry must skip every
+    strip whose true start row is past the image."""
+    import struct
+
+    h, w = 8, 4
+    good = np.arange(h * w, dtype="<u2").reshape(h, w)
+    evil = np.full((h, w), 0xBEEF, "<u2")
+    data, garbage = good.tobytes(), evil.tobytes()
+    e = "<"
+    data_off = 8
+    garbage_off = data_off + len(data)
+    arrays_off = garbage_off + len(garbage)
+    # out-of-line arrays: 3 strip offsets (strips 1,2 -> garbage), 3 counts
+    offsets = [data_off, garbage_off, garbage_off]
+    counts = [len(data)] * 3
+    ifd_off = arrays_off + 24
+    entries = [
+        (256, 3, 1, w), (257, 3, 1, h), (258, 3, 1, 16),
+        (259, 3, 1, 1), (262, 3, 1, 1),
+        (273, 4, 3, arrays_off),            # StripOffsets -> array
+        (277, 3, 1, 1),
+        (278, 4, 1, 0x80000001),            # RowsPerStrip: LONG near 2^31
+        (279, 4, 3, arrays_off + 12),       # StripByteCounts -> array
+    ]
+    buf = bytearray()
+    buf += b"II" + struct.pack(e + "HI", 42, ifd_off)
+    buf += data + garbage
+    for v in offsets + counts:
+        buf += struct.pack(e + "I", v)
+    buf += struct.pack(e + "H", len(entries))
+    for tag, typ, cnt, val in entries:
+        if typ == 3:
+            buf += struct.pack(e + "HHIHH", tag, typ, cnt, val, 0)
+        else:
+            buf += struct.pack(e + "HHII", tag, typ, cnt, val)
+    buf += struct.pack(e + "I", 0)
+    p = str(tmp_path / "evil_rps.tif")
+    open(p, "wb").write(bytes(buf))
+
+    got = decode_tiff(p)
+    if got is None:
+        pytest.skip("native decoder unavailable")
+    # strip 0 covers the full image (rows clamp to h); strips 1-2 start
+    # past row h in 64-bit math and must contribute nothing
+    np.testing.assert_array_equal(got, good)
