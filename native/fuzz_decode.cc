@@ -2,30 +2,46 @@
 //   g++ -O1 -g -fsanitize=address,undefined -o fuzz_decode fuzz_decode.cc -lpthread
 //   ./fuzz_decode [iterations]
 // Feeds (a) random bytes, (b) structurally valid TIFFs with random LZW
-// strip payloads, and (c) bit-flipped real encodings through decode_one.
+// strip payloads — including multi-strip layouts and adversarial
+// RowsPerStrip values (0, near-2^32) probing the strip-geometry
+// arithmetic — and (c) bit-flipped real encodings through decode_one.
 // Every call must return cleanly (ok or error) — no OOB, no UB, no hang.
 #include "tiff_lzw.cpp"
 
 #include <cstdio>
 #include <random>
 
-static std::vector<uint8_t> make_tiff(std::mt19937& g, uint32_t h, uint32_t w,
-                                      uint16_t comp, uint16_t pred,
-                                      const std::vector<uint8_t>& strip) {
+static std::vector<uint8_t> make_tiff(uint32_t h, uint32_t w, uint16_t comp,
+                                      uint16_t pred,
+                                      const std::vector<std::vector<uint8_t>>& strips,
+                                      uint32_t rps) {
     std::vector<uint8_t> b;
     auto p16 = [&](uint16_t v) { b.push_back(v & 0xff); b.push_back(v >> 8); };
     auto p32 = [&](uint32_t v) { for (int i = 0; i < 4; ++i) b.push_back((v >> (8*i)) & 0xff); };
     b.push_back('I'); b.push_back('I'); p16(42);
-    uint32_t data_off = 8, ifd_off = data_off + (uint32_t)strip.size();
-    p32(ifd_off);
-    b.insert(b.end(), strip.begin(), strip.end());
+    p32(0);  // IFD offset, patched below
+    uint32_t n = (uint32_t)strips.size();
+    std::vector<uint32_t> offs, cnts;
+    for (auto& s : strips) {
+        offs.push_back((uint32_t)b.size());
+        cnts.push_back((uint32_t)s.size());
+        b.insert(b.end(), s.begin(), s.end());
+    }
+    uint32_t arr_off = (uint32_t)b.size();
+    if (n > 1) {  // out-of-line offset/count arrays
+        for (uint32_t v : offs) p32(v);
+        for (uint32_t v : cnts) p32(v);
+    }
+    uint32_t ifd_off = (uint32_t)b.size();
     struct E { uint16_t tag, typ; uint32_t cnt, val; };
     E es[] = {{256,3,1,w},{257,3,1,h},{258,3,1,16},{259,3,1,comp},{262,3,1,1},
-              {273,4,1,data_off},{277,3,1,1},{278,4,1,h},
-              {279,4,1,(uint32_t)strip.size()},{317,3,1,pred}};
+              {273,4,n, n == 1 ? offs[0] : arr_off},{277,3,1,1},
+              {278,4,1,rps},
+              {279,4,n, n == 1 ? cnts[0] : arr_off + 4 * n},{317,3,1,pred}};
     p16(10);
     for (auto& e : es) { p16(e.tag); p16(e.typ); p32(e.cnt); p32(e.val); }
     p32(0);
+    for (int i = 0; i < 4; ++i) b[4 + i] = (ifd_off >> (8 * i)) & 0xff;
     return b;
 }
 
@@ -40,13 +56,28 @@ int main(int argc, char** argv) {
     if (fd < 0) { std::perror("mkstemps"); return 2; }
     for (int it = 0; it < iters; ++it) {
         uint32_t h = 1 + g() % 64, w = 1 + g() % 96;
-        std::vector<uint8_t> strip(g() % 4096);
-        for (auto& c : strip) c = (uint8_t)g();
+        uint32_t n_strips = 1 + g() % 4;
+        std::vector<std::vector<uint8_t>> strips(n_strips);
+        for (auto& strip : strips) {
+            strip.resize(g() % 2048);
+            for (auto& c : strip) c = (uint8_t)g();
+        }
+        // RowsPerStrip sweep: sane, fractional, zero, and the near-2^32
+        // values whose 32-bit row0/row0+rows arithmetic once wrapped
+        // past the height clamp (decode_page strip geometry)
+        uint32_t rps;
+        switch (g() % 5) {
+            case 0: rps = h; break;
+            case 1: rps = 1 + g() % h; break;
+            case 2: rps = 0; break;
+            case 3: rps = 0x80000000u | (uint32_t)g(); break;
+            default: rps = 0xFFFFFF00u + (g() % 512); break;
+        }
         uint16_t comp = (it % 3 == 0) ? 1 : 5;  // none / LZW
         uint16_t pred = (it % 2) ? 2 : 1;
         auto tif = (it % 7 == 0)
-                       ? std::vector<uint8_t>(strip)        // pure garbage file
-                       : make_tiff(g, h, w, comp, pred, strip);
+                       ? std::vector<uint8_t>(strips[0])    // pure garbage file
+                       : make_tiff(h, w, comp, pred, strips, rps);
         if (::ftruncate(fd, 0) != 0 || ::lseek(fd, 0, SEEK_SET) < 0 ||
             ::write(fd, tif.data(), tif.size()) != (ssize_t)tif.size()) {
             std::perror("write case");
