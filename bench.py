@@ -274,6 +274,10 @@ def main():
         "decode_mpix_s": round(decode_mpix, 1),
         # second workload: ratiometric FRET tables on the same stack
         "fret_e2e_mpix_s": round(fret_mpix, 2),
+        # shared-box context: external load on this 1-core host scales all
+        # host-bound numbers down ~1/(1+load); readings with load >0.2
+        # under-report the quiet-box throughput (CLAUDE.md noise note)
+        "host_load": round(os.getloadavg()[0], 2),
     }))
 
 
