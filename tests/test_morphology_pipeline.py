@@ -86,3 +86,23 @@ def test_morphology_degenerate_polygon():
     rows = morphology_rows([poly], (64, 64), px_um=0.2)
     assert rows[0]["area_px"] == 0
     assert np.isnan(rows[0]["circularity"])
+
+
+def test_single_pixel_roi_is_graceful():
+    """A polygon whose mask is ONE pixel: the reference crashes here
+    (np.cov of one observation -> NaN -> the non-finite branch's 4-float
+    return is unpacked as (cy, cx) -> TypeError, MOR_by_ROI.py:201-209);
+    the rebuild keeps the batch running with degenerate-but-defined
+    metrics (documented divergence, PARITY.md)."""
+    import numpy as np
+
+    from imageprocess_tpu.pipelines.morphology import morphology_rows
+
+    poly = np.array([[5.7, 5.7], [6.3, 5.7], [6.0, 6.4]])
+    rows = morphology_rows([poly], (16, 16), px_um=0.25)
+    (r,) = rows
+    assert r["area_px"] == 1.0
+    assert r["major_um"] == 0.0 and r["minor_um"] == 0.0
+    assert np.isnan(r["aspect_ratio"]) and np.isnan(r["roundness"])
+    assert abs(r["centroid_x"] - 6.0) < 1e-6
+    assert abs(r["centroid_y"] - 6.0) < 1e-6
