@@ -197,6 +197,8 @@ def _fret_e2e_mpix_s() -> float:
 
 
 def main():
+    # sample external load BEFORE our own threads contribute to it
+    load_at_start = os.getloadavg()[0]
     if not os.path.exists(os.path.join(DATA_DIR, f"S{N_STAGES:02d}_{CHANNELS[-1]}.TIF")):
         shutil.rmtree(DATA_DIR, ignore_errors=True)
         _make_dataset()
@@ -229,18 +231,24 @@ def main():
     one_run()
     warm = time.perf_counter() - t0
 
-    # time as many full runs as fit the budget (first compile can eat
-    # minutes on a cold cache; steady-state is what we're measuring).
-    # ALWAYS take >=3 steady reps: best-of-1 after a slow compile once
-    # recorded a 3x-low number purely from shared-box noise.
+    # time-budgeted best-of (first compile can eat minutes on a cold
+    # cache; steady-state capability is what we're measuring).  ALWAYS
+    # take >=3 steady reps, then keep sampling until the wall budget is
+    # spent: shared-box noise arrives in multi-second bursts, so 8
+    # back-to-back reps can ALL land inside one burst — spreading samples
+    # over ~45 s gives best-of a real chance at a quiet window.
     best = 0.0
     mpix = N_STAGES * len(CHANNELS) * H * W / 1e6
-    reps = 8 if warm < 10 else (5 if warm < 30 else 3)
-    for _ in range(reps):
+    budget_s = float(os.environ.get(
+        "IP_BENCH_BUDGET_S", "45" if warm < 10 else ("20" if warm < 30 else "0")))
+    reps = 0
+    t_loop = time.perf_counter()
+    while reps < 3 or (time.perf_counter() - t_loop < budget_s and reps < 60):
         t0 = time.perf_counter()
         rows = one_run()
         dt = time.perf_counter() - t0
         best = max(best, mpix / dt)
+        reps += 1
     if len(rows) != N_STAGES * 18:
         print(f"[bench] unexpected intensity row count {len(rows)}",
               file=sys.stderr)
@@ -274,10 +282,11 @@ def main():
         "decode_mpix_s": round(decode_mpix, 1),
         # second workload: ratiometric FRET tables on the same stack
         "fret_e2e_mpix_s": round(fret_mpix, 2),
-        # shared-box context: external load on this 1-core host scales all
-        # host-bound numbers down ~1/(1+load); readings with load >0.2
-        # under-report the quiet-box throughput (CLAUDE.md noise note)
-        "host_load": round(os.getloadavg()[0], 2),
+        # shared-box context, sampled BEFORE the bench's own threads run:
+        # external load on this 1-core host scales all host-bound numbers
+        # down ~1/(1+load); readings with load >0.2 under-report the
+        # quiet-box throughput (CLAUDE.md noise note)
+        "host_load": round(load_at_start, 2),
     }))
 
 
