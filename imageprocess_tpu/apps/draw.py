@@ -227,8 +227,7 @@ class ROIAnnotator:
 
         def on_select(verts):
             self.add_rough_polygon(verts)
-            self._selector.disconnect_events()
-            self._selector = None
+            self._teardown_selector()
             self._redraw()
 
         def start_polygon():
@@ -239,6 +238,21 @@ class ROIAnnotator:
         self._start_polygon = start_polygon
         plt.show()
         self.save()
+
+    def _teardown_selector(self):  # pragma: no cover - needs a display
+        """Disconnect AND remove the finished selector's own artists —
+        _redraw no longer sweeps ax.lines, so without this the completed
+        selector's polygon/vertex markers would stay overlaid forever."""
+        sel, self._selector = self._selector, None
+        if sel is None:
+            return
+        sel.disconnect_events()
+        try:
+            sel.set_visible(False)
+            for art in getattr(sel, "artists", ()):
+                art.remove()
+        except Exception:
+            pass  # matplotlib-version-dependent internals; hidden is enough
 
     def _title(self):
         return (f"{self.base} ch{self.channel} — p: draw, d: delete last, "
@@ -265,8 +279,7 @@ class ROIAnnotator:
 
                 def on_select(verts, i=i):
                     self.replace_index(i, verts)
-                    self._selector.disconnect_events()
-                    self._selector = None
+                    self._teardown_selector()
                     self._redraw()
 
                 self._selector = PolygonSelector(self._ax, on_select)

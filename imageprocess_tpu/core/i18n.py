@@ -89,6 +89,7 @@ STRINGS = {
         "draw_kind_rough": "러프",
         "draw_roi_redrawn": "  ROI {i} 다시 그림 ({nv} 정점)",
         "n2_images_serial": "[안내] 이미지 출력이 켜져 있어 쌍별 직렬 러너로 진행합니다",
+        "int_images_serial": "[안내] 이미지 출력/배경 범위 설정으로 직렬 러너로 진행합니다 (메시 미사용)",
         "cli_experiment": "=== 실험: {folder}",
         "cli_devices_error": "[오류] --devices {n} > 사용 가능 장치 {avail}개",
     },
@@ -164,6 +165,7 @@ STRINGS = {
         "draw_kind_rough": "rough",
         "draw_roi_redrawn": "  ROI {i} redrawn ({nv} vertices)",
         "n2_images_serial": "[note] image outputs requested — using the per-pair serial runner",
+        "int_images_serial": "[note] image outputs / bg scope need the serial runner — mesh not used",
         "cli_experiment": "=== experiment: {folder}",
         "cli_devices_error": "[error] --devices {n} > {avail} available",
     },

@@ -454,7 +454,9 @@ def run_intensity_batched(
             or cfg.save_raw_crop_tif):
         # image outputs need the full frame on host — the tables-only
         # minimum-transfer path would silently drop them (run_fret_batched
-        # and run_nesprin2_batched gate the same way)
+        # and run_nesprin2_batched gate the same way).  Say so: a --devices
+        # mesh is also dropped here and the user must see why
+        log(t("int_images_serial"))
         return run_intensity(folder, cfg, out_root=out_root, log=log,
                              prefetch_workers=prefetch_workers,
                              cancel=cancel)

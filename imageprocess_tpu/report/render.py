@@ -309,14 +309,18 @@ class PanelPngOptions:
         return vmin, vmax
 
 
-def resolve_vminmax_txt(cmin_txt: str, cmax_txt: str, vals: np.ndarray,
+def resolve_vminmax_txt(cmin_txt: str, cmax_txt: str, vals,
                         p_lo: float = 1.0, p_hi: float = 99.0):
     """Tolerant cmin/cmax resolution shared by the FRET and Nesprin2 crop
     exporters: malformed or missing text falls back to the percentile
     auto-range of *vals*, and an explicit-but-inverted pair keeps vmin and
     re-derives vmax (fret_ratio_builder.py:371-426 semantics).  The panel
     writer's PanelPngOptions.vminmax intentionally differs: it RAISES on
-    malformed text (get_vminmax, Fluor_INT.py:956-966)."""
+    malformed text (get_vminmax, Fluor_INT.py:956-966).
+
+    *vals* may be an array or a ZERO-ARG CALLABLE returning one — callers
+    pass a thunk so the per-ROI masked gather is skipped entirely when
+    explicit valid cmin/cmax make the auto-range dead."""
     try:
         vmin = float(cmin_txt) if cmin_txt != "" else None
     except ValueError:
@@ -326,7 +330,8 @@ def resolve_vminmax_txt(cmin_txt: str, cmax_txt: str, vals: np.ndarray,
     except ValueError:
         vmax = None
     if vmin is None or vmax is None or vmax <= vmin:
-        lo, hi = _auto_minmax_np(vals, p_lo, p_hi)
+        lo, hi = _auto_minmax_np(vals() if callable(vals) else vals,
+                                 p_lo, p_hi)
         if vmin is None:
             vmin = lo
         if vmax is None or vmax <= vmin:
@@ -429,7 +434,7 @@ def save_fret_images(stid, suffix, R_full, union, polys, cfg, dirs) -> None:
         out_path = os.path.join(dirs["PNG_CROP"], f"{stid}_roi{i}_{suffix}.png")
         if cfg.apply_cmap:
             vmin, vmax = resolve_vminmax_txt(cfg.cmin_txt, cfg.cmax_txt,
-                                             crop[mask])
+                                             lambda: crop[mask])
             save_png_colormap(
                 crop, out_path, vmin=vmin, vmax=vmax, cmap=cfg.cmap_name,
                 mask=mask if cfg.mask_outside else None,
@@ -558,7 +563,7 @@ def save_nesprin2_images(tag, suffix, R_full, rim, I, polys, cfg, dirs, eps,
 
         vmin, vmax = resolve_vminmax_txt(
             cfg.crop_vmin_txt, cfg.crop_vmax_txt,
-            cropR[crop_rim] if crop_rim.any() else cropR)
+            lambda: cropR[crop_rim] if crop_rim.any() else cropR)
 
         save_png_colormap(
             cropR,

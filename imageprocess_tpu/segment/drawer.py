@@ -130,8 +130,13 @@ def save_drawer_bundle(
                 draw.text((float(P[:, 0].mean()), float(P[:, 1].mean())),
                           str(i), fill=(255, 210, 0), font=font)
         tmp = png_path + ".tmp"
-        pil_img.save(tmp, format="PNG", optimize=True)
-        os.replace(tmp, png_path)
+        try:
+            pil_img.save(tmp, format="PNG", optimize=True)
+            os.replace(tmp, png_path)
+        except BaseException:
+            if os.path.exists(tmp):
+                os.remove(tmp)  # atomic-write contract: never leave a .tmp
+            raise
         log(t("drawer_overlay_saved").format(path=png_path))
     except Exception as e:
         log(t("drawer_overlay_failed").format(err=e))

@@ -458,7 +458,11 @@ int decode_page(const Reader& r, const TiffPage& pg, uint8_t* out,
         *err = "page dimensions overflow"; return -5;
     }
     size_t need = row_bytes * pg.height;
-    if ((long long)need > out_bytes) { *err = "output buffer too small"; return -5; }
+    // unsigned compare: need in [2^63, 2^64) would cast to a NEGATIVE
+    // long long and sail past a signed check
+    if (out_bytes < 0 || need > (unsigned long long)out_bytes) {
+        *err = "output buffer too small"; return -5;
+    }
 
     size_t n_strips = pg.strip_offsets.size();
     std::atomic<int> rc{0};

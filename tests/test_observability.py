@@ -34,20 +34,23 @@ def test_progress_eta_reports():
     assert out[-1].startswith("[100.0%] 4/4 ETA 00:00")
 
 
-def test_progress_eta_uses_weighted_units():
+def test_progress_eta_uses_weighted_units(monkeypatch):
     """ROI-weighted callers pass step(n=len(rows)) against a weighted
     total; the ETA rate must be in those units (a call-count rate inflated
-    the ETA by the average weight per call)."""
-    import time
+    the ETA by the average weight per call).  Injected clock: a real
+    sleep-based version was flaky under this box's multi-second noise
+    bursts."""
+    from imageprocess_tpu.core import runlog as rl
 
+    clock = {"t": 1000.0}
+    monkeypatch.setattr(rl.time, "time", lambda: clock["t"])
     out = []
     p = Progress(100, log=out.append, window=8)
     for _ in range(5):
-        time.sleep(0.02)
-        p.step(10)          # 10 units per ~0.02 s -> ~500 units/s
-    # 50 units remain -> true ETA ~0.1 s; the call-count rate said ~1 s
-    # per remaining 50 calls-worth. Assert the printed ETA is 00:00 (sub-
-    # second), which only holds with the weighted rate.
+        clock["t"] += 0.02
+        p.step(10)          # 10 units per 0.02 s -> 500 units/s exactly
+    # 50 units remain -> weighted ETA 0.1 s (prints 00:00); the call-count
+    # rate said 1 s for the remaining 50 calls-worth (00:01)
     assert out[-1].split("ETA ")[1].startswith("00:00")
 
 
