@@ -136,3 +136,48 @@ def test_annotator_no_empty_bundle_litter(tmp_path):
     ann = _setup(tmp_path)
     ann.save()
     assert not os.path.exists(str(tmp_path / "roi" / "S01.json"))
+
+
+def test_annotator_ui_selector_lifecycle(tmp_path, monkeypatch):
+    """Headless (Agg) drive of the matplotlib UI path: repeated 'p' must
+    not stack selectors, completing a polygon must tear the selector's
+    artists off the axes (regression: the _roi_artists-only redraw left
+    the finished selector's polygon overlaid forever), and _redraw must
+    keep exactly one outline+label pair per ROI."""
+    import matplotlib
+
+    matplotlib.use("Agg", force=True)
+    import matplotlib.pyplot as plt
+
+    monkeypatch.setattr(plt, "show", lambda *a, **k: None)
+    ann = _setup(tmp_path)
+    ann.show()  # builds fig/ax; show() itself is a no-op under the patch
+    assert ann._fig is not None and ann._ax is not None
+
+    class Ev:
+        key = "p"
+        xdata = ydata = None
+
+    ann._on_key(Ev())
+    sel = ann._selector
+    assert sel is not None
+    ann._on_key(Ev())             # second 'p' must NOT stack a new one
+    assert ann._selector is sel
+
+    n_lines_live = len(ann._ax.lines)
+    sel.onselect([(40, 30), (130, 35), (125, 100), (35, 95)])
+    assert ann._selector is None and len(ann.rois) == 1
+    # the finished selector's own artists are gone or hidden; ours remain
+    stale = [ln for ln in ann._ax.lines
+             if ln not in ann._roi_artists and ln.get_visible()]
+    assert not stale, f"stale selector artists: {stale}"
+    assert len(ann._roi_artists) == 2  # one outline + one label
+
+    # redraw after a view toggle keeps exactly one outline per ROI
+    class EvI:
+        key = "i"
+        xdata = ydata = None
+
+    ann._on_key(EvI())
+    assert len([a for a in ann._roi_artists if a in ann._ax.lines]) == 1
+    plt.close(ann._fig)
