@@ -16,9 +16,14 @@ import re
 import zipfile
 from typing import List, Optional, Tuple
 
-# extensions the saved package declares Default content types for — every
-# add_picture path must carry one (validated there)
-_PICTURE_EXTENSIONS = {"png", "jpg", "jpeg", "tif", "tiff"}
+# picture ext -> MIME: the ONE source for both the package's Default
+# content-type declarations (save()) and add_picture's extension check —
+# a mismatch either rejects a supported format or ships a .pptx
+# PowerPoint calls corrupt
+_PICTURE_MIME = {"png": "image/png", "jpg": "image/jpeg",
+                 "jpeg": "image/jpeg", "tif": "image/tiff",
+                 "tiff": "image/tiff"}
+_PICTURE_EXTENSIONS = set(_PICTURE_MIME)
 
 EMU_PER_INCH = 914400
 EMU_PER_CM = 360000
@@ -111,11 +116,8 @@ class Presentation:
               '<Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types">'
               '<Default Extension="rels" ContentType="application/vnd.openxmlformats-package.relationships+xml"/>'
               '<Default Extension="xml" ContentType="application/xml"/>'
-              '<Default Extension="png" ContentType="image/png"/>'
-              '<Default Extension="jpg" ContentType="image/jpeg"/>'
-              '<Default Extension="jpeg" ContentType="image/jpeg"/>'
-              '<Default Extension="tif" ContentType="image/tiff"/>'
-              '<Default Extension="tiff" ContentType="image/tiff"/>'
+              + "".join(f'<Default Extension="{e}" ContentType="{m}"/>'
+                        for e, m in sorted(_PICTURE_MIME.items())) +
               '<Override PartName="/ppt/presentation.xml" ContentType="application/vnd.openxmlformats-officedocument.presentationml.presentation.main+xml"/>'
               '<Override PartName="/ppt/slideMasters/slideMaster1.xml" ContentType="application/vnd.openxmlformats-officedocument.presentationml.slideMaster+xml"/>'
               '<Override PartName="/ppt/slideLayouts/slideLayout1.xml" ContentType="application/vnd.openxmlformats-officedocument.presentationml.slideLayout+xml"/>'

@@ -54,11 +54,14 @@ def _col_ref(idx: int) -> str:
     return _make_col_refs(idx + 1)[idx]
 
 
-def _str_cell(ref: str, s: str) -> str:
+def _needs_preserve(s: str) -> bool:
     # Excel trims inline-string whitespace on load unless told to preserve
     # (openpyxl adds the attribute conditionally for the same reason)
-    sp = (' xml:space="preserve"'
-          if s[:1].isspace() or s[-1:].isspace() else "")
+    return s[:1].isspace() or s[-1:].isspace()
+
+
+def _str_cell(ref: str, s: str) -> str:
+    sp = ' xml:space="preserve"' if _needs_preserve(s) else ""
     return f'<c r="{ref}" t="inlineStr"><is><t{sp}>{_esc(s)}</t></is></c>'
 
 
@@ -107,9 +110,9 @@ def _sheet_xml(rows: Iterable[Sequence]) -> str:
             elif tv is int:
                 parts.append(f'<c r="{cr}{r}"><v>{v}</v></c>')
             elif tv is str:
-                if v[:1].isspace() or v[-1:].isspace():
+                if _needs_preserve(v):  # rare: route through _str_cell
                     parts.append(_str_cell(f"{cr}{r}", v))
-                else:
+                else:  # inline template: the hot no-preserve fast path
                     parts.append(
                         f'<c r="{cr}{r}" t="inlineStr"><is><t>{_esc(v)}</t></is></c>')
             else:

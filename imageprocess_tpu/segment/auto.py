@@ -114,14 +114,15 @@ def auto_segment_step(
 _UNET_CACHE = {}
 
 
-def _unet_segment(img: np.ndarray, cfg: AutoSegConfig) -> List[np.ndarray]:
-    """Learned path: bundled (or user) U-Net checkpoint -> tiled inference
-    (segment.cellseg) -> polygons."""
+def _unet_model(cfg: AutoSegConfig):
+    """(apply_fn, params, tile) for the configured checkpoint, cached.
+    Called up front by run_auto_drawer so a bad checkpoint path fails the
+    RUN with an actionable error instead of being swallowed N times by
+    the per-file isolation."""
     import json
 
     from ..models.checkpoint import load_checkpoint
     from ..models.unet import UNet
-    from .cellseg import segment_frame_unet
 
     ckpt = os.path.abspath(cfg.checkpoint or DEFAULT_UNET_CKPT)
     if ckpt not in _UNET_CACHE:
@@ -139,7 +140,15 @@ def _unet_segment(img: np.ndarray, cfg: AutoSegConfig) -> List[np.ndarray]:
             jnp.zeros((1, tile, tile, 1), jnp.float32))
         params = load_checkpoint(ckpt, like=template)
         _UNET_CACHE[ckpt] = (model.apply, params, tile)
-    apply_fn, params, tile = _UNET_CACHE[ckpt]
+    return _UNET_CACHE[ckpt]
+
+
+def _unet_segment(img: np.ndarray, cfg: AutoSegConfig) -> List[np.ndarray]:
+    """Learned path: bundled (or user) U-Net checkpoint -> tiled inference
+    (segment.cellseg) -> polygons."""
+    from .cellseg import segment_frame_unet
+
+    apply_fn, params, tile = _unet_model(cfg)
     return segment_frame_unet(
         img, apply_fn, params, tile=tile,
         prob_threshold=cfg.prob_threshold, min_size_px=cfg.min_size_px,
@@ -198,6 +207,19 @@ def run_auto_drawer(
     and write ``roi/S##[_t##].json`` bundles.  Returns written paths."""
     roi_dir = roi_dir or os.path.join(img_dir, "roi")
     os.makedirs(roi_dir, exist_ok=True)
+    # fail FAST on configuration errors (bad checkpoint path, missing
+    # cellpose package): the per-file isolation below is for data errors
+    # and would otherwise swallow the same setup failure once per frame,
+    # ending a misconfigured run "successfully" with zero output
+    if cfg.backend == "unet":
+        _unet_model(cfg)
+    elif cfg.backend == "cellpose":
+        try:
+            import cellpose  # noqa: F401
+        except ImportError as e:
+            raise RuntimeError(
+                "cellpose is not installed; use backend='threshold'"
+            ) from e
     files = naming.list_tifs(img_dir)
     written = []
     for path in files:

@@ -109,6 +109,7 @@ def save_drawer_bundle(
         log(t("drawer_mask_saved").format(path=mask_path))
     except Exception as e:
         log(t("drawer_mask_failed").format(err=e))
+        mask_path = None  # don't point callers at a missing/stale file
 
     png_path = os.path.join(overlay_dir, f"{base_S_t}_overlay.png")
     try:
@@ -140,6 +141,7 @@ def save_drawer_bundle(
         log(t("drawer_overlay_saved").format(path=png_path))
     except Exception as e:
         log(t("drawer_overlay_failed").format(err=e))
+        png_path = None
 
     zip_path = os.path.join(zip_dir, f"{base_S_t}.zip")
     try:
@@ -147,6 +149,7 @@ def save_drawer_bundle(
         log(t("drawer_zip_saved").format(path=zip_path))
     except Exception as e:
         log(t("drawer_zip_failed").format(err=e))
+        zip_path = None
     return json_path, mask_path, png_path, zip_path
 
 

@@ -211,7 +211,7 @@ def test_save_drawer_bundle_artifact_isolation(tmp_path, monkeypatch):
     jp, mp, pp, zp = save_drawer_bundle(str(tmp_path / "roi"), "S01", rois,
                                         img, log=logs.append)
     assert os.path.exists(jp) and os.path.exists(mp) and os.path.exists(pp)
-    assert not os.path.exists(zp)
+    assert zp is None  # failed artifacts return None, not a missing path
     assert any("zip" in s.lower() and "exploded" in s for s in logs)
 
 
@@ -254,3 +254,19 @@ def test_segment_frame_unet_label_overflow_raises():
     with pytest.raises(ValueError, match="max_labels"):
         segment_frame_unet(img, apply_fn, {}, tile=128, min_size_px=20,
                            max_labels=2, flow_follow=False)
+
+
+def test_run_auto_drawer_bad_checkpoint_fails_fast(tmp_path):
+    """Configuration errors (bad --checkpoint path) abort the RUN with an
+    actionable error, instead of being swallowed once per frame by the
+    per-file isolation and ending 'successfully' with zero output."""
+    import pytest
+
+    img = _blob_image()
+    tiffio.write_tiff16(str(tmp_path / "S01_1.TIF"),
+                        np.clip(img, 0, 65535).astype(np.uint16))
+    cfg = AutoSegConfig(backend="unet",
+                        checkpoint=str(tmp_path / "no_such_ckpt"))
+    with pytest.raises(Exception) as e:
+        run_auto_drawer(str(tmp_path), cfg, log=lambda *_: None)
+    assert "no_such_ckpt" in str(e.value)
