@@ -246,3 +246,34 @@ def test_cli_malformed_ch_map_is_friendly(tmp_path):
         with pytest.raises(SystemExit) as e:
             main(argv)
         assert "pairs" in str(e.value)
+
+
+def test_cli_intensity_devices_implies_batched(golden_intensity_dir, tmp_path,
+                                               capsys):
+    """`--devices N` without `--batched` must run the sharded batched
+    runner (like nesprin2/fa), not silently drop the sharding request on
+    the serial path."""
+    from imageprocess_tpu.cli import main
+
+    folder = os.path.join(golden_intensity_dir, "e1_P0")
+    rc = main(["intensity", folder, "--channels", "2", "3", "--devices", "2",
+               "--out", str(tmp_path / "o"), "--lang", "en"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "[batch]" in out or "[배치]" in out
+    assert (tmp_path / "o" / "xls" / "fluor_intensity_perROI.csv").exists()
+
+
+def test_cli_intensity_png_batched_says_serial(golden_intensity_dir, tmp_path,
+                                               capsys):
+    """--batched with --png falls back to the serial runner AND says so
+    (the mesh/sharding request is dropped there)."""
+    from imageprocess_tpu.cli import main
+
+    folder = os.path.join(golden_intensity_dir, "e1_P0")
+    rc = main(["intensity", folder, "--channels", "2", "--batched", "--png",
+               "--out", str(tmp_path / "o2"), "--lang", "en"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "serial runner" in out or "직렬 러너" in out
+    assert "[batch]" not in out
