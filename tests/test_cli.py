@@ -277,3 +277,19 @@ def test_cli_intensity_png_batched_says_serial(golden_intensity_dir, tmp_path,
     out = capsys.readouterr().out
     assert "serial runner" in out or "직렬 러너" in out
     assert "[batch]" not in out
+
+
+def test_cli_docs_are_fresh(monkeypatch):
+    """docs/CLI.md is generated from the argparse tree; a flag change
+    without regenerating (python scripts/gen_cli_docs.py) fails here."""
+    import importlib.util
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = importlib.util.spec_from_file_location(
+        "gen_cli_docs", os.path.join(root, "scripts", "gen_cli_docs.py"))
+    mod = importlib.util.module_from_spec(spec)
+    # argparse wraps help to $COLUMNS: pin it so the comparison is stable
+    monkeypatch.setenv("COLUMNS", "80")
+    spec.loader.exec_module(mod)
+    with open(os.path.join(root, "docs", "CLI.md")) as f:
+        assert f.read() == mod.render()
