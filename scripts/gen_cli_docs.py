@@ -9,13 +9,15 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
+from imageprocess_tpu.core.i18n import set_lang  # noqa: E402
 from imageprocess_tpu.cli import build_parser  # noqa: E402
 
 
 def render() -> str:
     """The full CLI.md content (tests compare this against the committed
     file to catch drift)."""
-    ap = build_parser()
+    set_lang("ko")  # pin: help strings are i18n'd and the committed file
+    ap = build_parser()  # is rendered in the default (Korean) catalog
     out = ["# CLI reference",
            "",
            "Auto-generated from the argparse tree by"

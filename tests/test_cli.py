@@ -289,6 +289,7 @@ def test_cli_docs_are_fresh(monkeypatch):
         "gen_cli_docs", os.path.join(root, "scripts", "gen_cli_docs.py"))
     mod = importlib.util.module_from_spec(spec)
     # argparse wraps help to $COLUMNS: pin it so the comparison is stable
+    # (render() itself pins the i18n language, which other tests mutate)
     monkeypatch.setenv("COLUMNS", "80")
     spec.loader.exec_module(mod)
     with open(os.path.join(root, "docs", "CLI.md")) as f:
