@@ -222,6 +222,7 @@ def test_analyze_with_cell_overrides():
     assert n_b <= n_a
 
 
+@pytest.mark.filterwarnings("ignore:Corrupt EXIF data")
 def test_fa_batch_isolates_corrupt_file(tmp_path):
     """One unreadable TIFF logs and continues (FA_Analyzer.py:978-981);
     the remaining stages still produce CSVs and the master report runs."""

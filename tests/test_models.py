@@ -64,6 +64,7 @@ def test_sharded_train_step(tiny_cfg):
     assert int(state2.step) == 1 and np.isfinite(float(loss))
 
 
+@pytest.mark.filterwarnings("ignore:Sharding info not provided")
 def test_checkpoint_roundtrip(tiny_state, tmp_path):
     from imageprocess_tpu.models.checkpoint import load_checkpoint, save_checkpoint
 

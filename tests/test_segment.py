@@ -170,6 +170,7 @@ def test_segment_elongated_roi_on_wide_frame():
     assert xs.min() < 60 and xs.max() > 580, (xs.min(), xs.max())
 
 
+@pytest.mark.filterwarnings("ignore:Corrupt EXIF data")
 def test_run_auto_drawer_stageless_isolation_and_empty(tmp_path):
     """Batch-loop parity with ROI_auto_drawer.py:217-264: stage-less
     filenames fall back to the bare name and still segment; a corrupt TIFF
