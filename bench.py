@@ -8,12 +8,29 @@ Prints ONE JSON line:
 Baseline: the reference's only measured number — 0.8 Mpix/s end-to-end for
 the same workload shape on the author's CPU (BASELINE.md: 8 s for 1 stage,
 18 ROIs, 2 channels of 2048x1536 u16 LZW, XLS on).
+
+Architecture (hardened after a transient TPU-tunnel outage zeroed a round's
+only driver-verified number, and a separate wedge made backend init HANG):
+
+  supervisor (this process, never imports jax, cannot hang)
+      └── child subprocess (IP_BENCH_CHILD=1): runs the real bench with a
+          watchdog thread — a hung backend init or a mid-run wedge still
+          emits the one JSON line (with partial sub-metrics + phase) and
+          exits, instead of blocking forever.
+
+The supervisor retries retryable init failures with backoff (total budget
+IP_BENCH_INIT_BUDGET_S, default 480 s), then falls back to the CPU backend
+(clearly labelled "backend": "cpu_fallback" with the axon error attached) so
+a tunnel outage yields an honest degraded number instead of 0.0.  Every
+failure JSON carries "error" AND "phase" so a zero is attributable.
 """
 
 import json
 import os
 import shutil
+import subprocess
 import sys
+import threading
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
@@ -29,6 +46,79 @@ DATA_DIR = os.environ.get("IP_BENCH_DATA", f"/tmp/ip_bench_data_{N_STAGES}")
 GOLDEN_ROI = (
     "/root/reference/Testsamples/1Flu_Intensity(BCC P0 and P1)/ANA/e1_P0/roi/S01.json"
 )
+
+BASELINE_MPIX_S = 0.8  # Mpix/s, BASELINE.md reference log
+
+# Mutable bench state shared with the watchdog thread: the current phase
+# (for attributable failure JSON) and every sub-metric completed so far
+# (so a mid-run wedge still reports the work that finished).
+PHASE = {"name": "start"}
+RESULTS = {}
+
+# retryable-init exit code contract between child and supervisor
+RC_INIT_FAILED = 3
+
+
+def _json_line(value: float, **extra) -> str:
+    d = {
+        "metric": "intensity_e2e_throughput",
+        "value": round(value, 2),
+        "unit": "Mpix/s",
+        "vs_baseline": round(value / BASELINE_MPIX_S, 2),
+        "rois_per_s": round(RESULTS.get("rois_per_s", 0.0), 1),
+        # chip efficiency with decode excluded (the 1-core host decode wall
+        # caps e2e; this is the device's own Mpix/s at bench shapes)
+        "device_mpix_s": round(RESULTS.get("device_mpix_s", 0.0), 1),
+        # host decode ceiling (native batch LZW decode, same dataset)
+        "decode_mpix_s": round(RESULTS.get("decode_mpix_s", 0.0), 1),
+        # second workload: ratiometric FRET tables on the same stack
+        "fret_e2e_mpix_s": round(RESULTS.get("fret_e2e_mpix_s", 0.0), 2),
+        # shared-box context, sampled BEFORE the bench's own threads run:
+        # external load on this 1-core host scales all host-bound numbers
+        # down ~1/(1+load); readings with load >0.2 under-report the
+        # quiet-box throughput (CLAUDE.md noise note)
+        "host_load": RESULTS.get("host_load", 0.0),
+    }
+    d.update(extra)
+    return json.dumps(d)
+
+
+class Watchdog:
+    """Deadline monitor on a daemon thread.  A wedged TPU tunnel blocks the
+    main thread inside a C extension (socket wait releases the GIL), so a
+    plain thread CAN still run, emit the contract JSON line, and hard-exit.
+    """
+
+    def __init__(self, emit, exit_fn=os._exit, tick_s: float = 1.0):
+        self._emit = emit
+        self._exit = exit_fn
+        self._tick = tick_s
+        self._deadline = None
+        self._rc = 0
+        self._done = threading.Event()
+        self._thread = threading.Thread(target=self._run, daemon=True)
+        self._thread.start()
+
+    def arm(self, seconds: float, rc: int) -> None:
+        self._rc = rc
+        self._deadline = time.monotonic() + seconds
+
+    def disarm(self) -> None:
+        self._deadline = None
+
+    def done(self) -> None:
+        self._done.set()
+
+    def _run(self) -> None:
+        while not self._done.wait(self._tick):
+            d = self._deadline
+            if d is not None and time.monotonic() > d:
+                try:
+                    self._emit()
+                except Exception:  # noqa: BLE001 — exit regardless
+                    pass
+                self._exit(self._rc)
+                return  # only reached with an injected exit_fn (tests)
 
 
 def _make_dataset():
@@ -73,7 +163,7 @@ def _make_dataset():
         )
 
 
-def _device_only_mpix_s(reps: int = 20) -> float:
+def _device_only_mpix_s(reps: int | None = None) -> float:
     """Chip-efficiency metric: time the batched tiled intensity program on a
     pre-decoded, device-resident batch (decode and host I/O excluded).
     Separates device throughput from the single-core host decode wall."""
@@ -90,6 +180,8 @@ def _device_only_mpix_s(reps: int = 20) -> float:
     )
     from imageprocess_tpu.parallel.runner import batched_intensity_step_tiled
 
+    if reps is None:
+        reps = int(os.environ.get("IP_BENCH_DEVICE_REPS", "20"))
     paths = sorted(glob.glob(os.path.join(DATA_DIR, "S*.TIF")))
     frames = decode_tiff_batch(paths)
     if frames is None:
@@ -179,7 +271,8 @@ def _fret_e2e_mpix_s() -> float:
     mpix = N_STAGES * 2 * H * W / 1e6
     best = 0.0
     n_rows = 0
-    for rep in range(6):
+    reps = int(os.environ.get("IP_BENCH_FRET_REPS", "6"))
+    for rep in range(reps):
         _sh.rmtree(out_root, ignore_errors=True)
         t0 = time.perf_counter()
         rows = run_fret_batched(DATA_DIR, cfg, out_root=out_root,
@@ -196,9 +289,62 @@ def _fret_e2e_mpix_s() -> float:
     return best
 
 
-def main():
+# ---------------------------------------------------------------------------
+# child: the real bench, under a watchdog
+# ---------------------------------------------------------------------------
+
+def _child_main() -> int:
+    backend = os.environ.get("IP_BENCH_BACKEND", "axon")
     # sample external load BEFORE our own threads contribute to it
-    load_at_start = os.getloadavg()[0]
+    RESULTS["host_load"] = round(os.getloadavg()[0], 2)
+
+    selftest = os.environ.get("IP_BENCH_SELFTEST", "")
+    if selftest:  # fast plumbing paths for tests/test_bench_harness.py
+        attempt = int(os.environ.get("IP_BENCH_ATTEMPT", "1"))
+        if selftest == "ok" or (selftest == "fail_once" and attempt > 1):
+            RESULTS["decode_mpix_s"] = 123.0
+            print(_json_line(1.0, backend=backend), flush=True)
+            return 0
+        print(_json_line(0.0, error="selftest: simulated init failure",
+                         phase="init", backend=backend), flush=True)
+        return RC_INIT_FAILED
+
+    wd = Watchdog(emit=lambda: print(
+        _json_line(RESULTS.get("value", 0.0),
+                   error=f"watchdog: hung in phase {PHASE['name']}",
+                   phase=PHASE["name"], backend=backend),
+        flush=True))
+
+    # Backend init under a hard watchdog: the observed failure modes are a
+    # fast UNAVAILABLE raise AND a multi-minute hang inside jax.devices().
+    PHASE["name"] = "init"
+    init_timeout = float(os.environ.get("IP_BENCH_INIT_TIMEOUT_S", "240"))
+    wd.arm(init_timeout, rc=RC_INIT_FAILED)
+    try:
+        import jax
+
+        if backend == "cpu":
+            # the JAX_PLATFORMS env var is ignored by the axon plugin
+            # (CLAUDE.md); the config update is the only reliable switch
+            jax.config.update("jax_platforms", "cpu")
+        devs = jax.devices()
+        if backend == "axon" and devs[0].platform not in ("axon", "tpu"):
+            raise RuntimeError(
+                f"wanted the axon backend, got {devs[0].platform!r}")
+        import jax.numpy as jnp
+
+        float(jnp.zeros(()) + 1.0)  # one tiny dispatch: init really works
+    except Exception as e:  # noqa: BLE001 — attributable, retryable
+        wd.done()
+        print(_json_line(0.0, error=str(e)[:200], phase="init",
+                         backend=backend), flush=True)
+        return RC_INIT_FAILED
+
+    # whole-run deadline: emit partial results before the supervisor's kill
+    deadline = float(os.environ.get("IP_BENCH_CHILD_DEADLINE_S", "1470"))
+    wd.arm(max(60.0, deadline - (time.monotonic() - _T0)), rc=4)
+
+    PHASE["name"] = "dataset"
     if not os.path.exists(os.path.join(DATA_DIR, f"S{N_STAGES:02d}_{CHANNELS[-1]}.TIF")):
         shutil.rmtree(DATA_DIR, ignore_errors=True)
         _make_dataset()
@@ -227,6 +373,7 @@ def main():
         )
 
     # warm-up: compile + cache
+    PHASE["name"] = "warmup_compile"
     t0 = time.perf_counter()
     one_run()
     warm = time.perf_counter() - t0
@@ -237,6 +384,7 @@ def main():
     # spent: shared-box noise arrives in multi-second bursts, so 8
     # back-to-back reps can ALL land inside one burst — spreading samples
     # over ~45 s gives best-of a real chance at a quiet window.
+    PHASE["name"] = "e2e_reps"
     best = 0.0
     mpix = N_STAGES * len(CHANNELS) * H * W / 1e6
     budget_s = float(os.environ.get(
@@ -249,56 +397,169 @@ def main():
         dt = time.perf_counter() - t0
         best = max(best, mpix / dt)
         reps += 1
+        # record progressively: a watchdog trip mid-loop still reports the
+        # best completed rep
+        RESULTS["value"] = best
+        RESULTS["rois_per_s"] = len(rows) * best / mpix
     if len(rows) != N_STAGES * 18:
         print(f"[bench] unexpected intensity row count {len(rows)}",
               file=sys.stderr)
         best = 0.0
+        RESULTS["value"] = 0.0
+        RESULTS["rois_per_s"] = 0.0
 
     def _safe(fn, label):
         # a transient tunnel/backend outage in one sub-metric must not
         # cost the whole bench its one JSON line
+        PHASE["name"] = label
         try:
             return fn()
         except Exception as e:  # noqa: BLE001
             print(f"[bench] {label} failed: {e}", file=sys.stderr)
             return 0.0
 
-    device_mpix = _safe(_device_only_mpix_s, "device_mpix_s")
-    decode_mpix = _safe(_decode_only_mpix_s, "decode_mpix_s")
-    fret_mpix = _safe(_fret_e2e_mpix_s, "fret_e2e_mpix_s")
+    RESULTS["device_mpix_s"] = _safe(_device_only_mpix_s, "device_mpix_s")
+    RESULTS["decode_mpix_s"] = _safe(_decode_only_mpix_s, "decode_mpix_s")
+    RESULTS["fret_e2e_mpix_s"] = _safe(_fret_e2e_mpix_s, "fret_e2e_mpix_s")
 
-    baseline = 0.8  # Mpix/s, BASELINE.md reference log
-    rois_per_s = len(rows) * best / mpix  # same wall time, ROI-count units
-    print(json.dumps({
-        "metric": "intensity_e2e_throughput",
-        "value": round(best, 2),
-        "unit": "Mpix/s",
-        "vs_baseline": round(best / baseline, 2),
-        "rois_per_s": round(rois_per_s, 1),
-        # chip efficiency with decode excluded (the 1-core host decode wall
-        # caps e2e; this is the device's own Mpix/s at bench shapes)
-        "device_mpix_s": round(device_mpix, 1),
-        # host decode ceiling (native batch LZW decode, same dataset)
-        "decode_mpix_s": round(decode_mpix, 1),
-        # second workload: ratiometric FRET tables on the same stack
-        "fret_e2e_mpix_s": round(fret_mpix, 2),
-        # shared-box context, sampled BEFORE the bench's own threads run:
-        # external load on this 1-core host scales all host-bound numbers
-        # down ~1/(1+load); readings with load >0.2 under-report the
-        # quiet-box throughput (CLAUDE.md noise note)
-        "host_load": round(load_at_start, 2),
-    }))
+    PHASE["name"] = "emit"
+    wd.done()
+    print(_json_line(best, backend=backend), flush=True)
+    return 0
 
+
+# ---------------------------------------------------------------------------
+# supervisor: retry/backoff + CPU fallback, never imports jax, cannot hang
+# ---------------------------------------------------------------------------
+
+def _parse_last_json(text: str):
+    for line in reversed((text or "").splitlines()):
+        line = line.strip()
+        if line.startswith("{"):
+            try:
+                return json.loads(line)
+            except ValueError:
+                continue
+    return None
+
+
+def _run_child(env_overrides: dict, timeout: float):
+    """Run bench.py as a child process; return (rc, parsed_json_or_None).
+    rc is RC_INIT_FAILED for retryable init failures, -1 for a timeout kill.
+    """
+    env = dict(os.environ)
+    env.update(env_overrides)
+    env["IP_BENCH_CHILD"] = "1"
+    try:
+        p = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env, capture_output=True, text=True, timeout=timeout,
+        )
+        out, err, rc = p.stdout, p.stderr, p.returncode
+    except subprocess.TimeoutExpired as e:
+        out = e.stdout.decode() if isinstance(e.stdout, bytes) else (e.stdout or "")
+        err = e.stderr.decode() if isinstance(e.stderr, bytes) else (e.stderr or "")
+        err += f"\n[bench] supervisor killed child after {timeout:.0f}s"
+        rc = -1
+    if err:
+        sys.stderr.write(err if err.endswith("\n") else err + "\n")
+    return rc, _parse_last_json(out)
+
+
+def _quality(js) -> tuple:
+    """Rank candidate JSON results: nonzero headline first, then most
+    nonzero sub-metrics (a watchdog partial beats a bare init error)."""
+    if not js:
+        return (-1, -1)
+    subs = sum(1 for k in ("device_mpix_s", "decode_mpix_s", "fret_e2e_mpix_s",
+                           "rois_per_s") if js.get(k, 0) > 0)
+    return (1 if js.get("value", 0) > 0 else 0, subs)
+
+
+def _supervise(run_child=_run_child) -> int:
+    t0 = time.monotonic()
+    total_budget = float(os.environ.get("IP_BENCH_TOTAL_BUDGET_S", "2400"))
+    init_retry_budget = float(os.environ.get("IP_BENCH_INIT_BUDGET_S", "480"))
+    child_timeout = float(os.environ.get("IP_BENCH_CHILD_TIMEOUT_S", "1500"))
+    attempts = 0
+    delay = float(os.environ.get("IP_BENCH_RETRY_DELAY_S", "5"))
+    best = None
+
+    def remaining():
+        return total_budget - (time.monotonic() - t0)
+
+    # Phase A: the real backend, retrying retryable init failures with
+    # backoff until the init budget is spent
+    while remaining() > 60:
+        attempts += 1
+        to = min(child_timeout, remaining())
+        rc, js = run_child({
+            "IP_BENCH_BACKEND": "axon",
+            "IP_BENCH_ATTEMPT": str(attempts),
+            "IP_BENCH_CHILD_DEADLINE_S": str(max(60.0, to - 30.0)),
+        }, timeout=to)
+        if _quality(js) > _quality(best):
+            best = js
+        if js and js.get("value", 0) > 0:
+            js["attempts"] = attempts
+            js.setdefault("backend", "axon")
+            print(json.dumps(js), flush=True)
+            return 0
+        if rc == RC_INIT_FAILED and (time.monotonic() - t0) < init_retry_budget:
+            time.sleep(min(delay, max(0.0, remaining())))
+            delay = min(delay * 2, 60.0)
+            continue
+        break  # non-retryable failure, timeout kill, or init budget spent
+
+    # Phase B: CPU-backend fallback — an honest degraded e2e number (decode
+    # is host-side anyway) clearly labelled, instead of a 0.0 scoreboard
+    axon_err = (best or {}).get("error", "no JSON from axon child")
+    if remaining() > 120 and os.environ.get("IP_BENCH_CPU_FALLBACK", "1") == "1":
+        attempts += 1
+        to = remaining() - 10
+        rc, js = run_child({
+            "IP_BENCH_BACKEND": "cpu",
+            "IP_BENCH_ATTEMPT": str(attempts),
+            "IP_BENCH_CHILD_DEADLINE_S": str(max(60.0, to - 30.0)),
+            "IP_BENCH_BUDGET_S": "10",
+            "IP_BENCH_DEVICE_REPS": "3",
+            "IP_BENCH_FRET_REPS": "2",
+        }, timeout=to)
+        if js and js.get("value", 0) > 0:
+            js["attempts"] = attempts
+            js["backend"] = "cpu_fallback"
+            js["error"] = f"axon unavailable: {axon_err}"[:220]
+            js["phase"] = "cpu_fallback"
+            print(json.dumps(js), flush=True)
+            return 0
+        if _quality(js) > _quality(best):
+            best = js
+
+    # Final: emit the best (zero-value) JSON we have, attributably
+    if best is not None:
+        best.setdefault("error", "bench failed with no error detail")
+        best.setdefault("phase", "unknown")
+        best["attempts"] = attempts
+        print(json.dumps(best), flush=True)
+    else:
+        print(_json_line(0.0, error="no child produced JSON", phase="supervisor",
+                         attempts=attempts), flush=True)
+    return 0
+
+
+_T0 = time.monotonic()
 
 if __name__ == "__main__":
-    try:
-        main()
-    except Exception as e:  # noqa: BLE001 — the driver contract is ONE
-        # JSON line no matter what (e.g. a tunnel outage mid-run)
-        print(f"[bench] fatal: {e}", file=sys.stderr)
-        print(json.dumps({
-            "metric": "intensity_e2e_throughput", "value": 0.0,
-            "unit": "Mpix/s", "vs_baseline": 0.0, "rois_per_s": 0.0,
-            "device_mpix_s": 0.0, "decode_mpix_s": 0.0,
-            "fret_e2e_mpix_s": 0.0, "error": str(e)[:200],
-        }))
+    if os.environ.get("IP_BENCH_CHILD") == "1":
+        try:
+            sys.exit(_child_main())
+        except Exception as e:  # noqa: BLE001 — the contract is ONE JSON
+            # line no matter what (e.g. a tunnel outage mid-run)
+            print(f"[bench] fatal: {e}", file=sys.stderr)
+            print(_json_line(RESULTS.get("value", 0.0), error=str(e)[:200],
+                             phase=PHASE["name"],
+                             backend=os.environ.get("IP_BENCH_BACKEND", "axon")),
+                  flush=True)
+            sys.exit(0)
+    else:
+        sys.exit(_supervise())
