@@ -172,18 +172,21 @@ bool parse_page(const Reader& r, int page, TiffPage* out, std::string* err) {
 // short strings; overlap-safe byte loop only when regions overlap)
 // instead of a per-byte backward chain walk.
 //
-// Two hot-loop design points (measured on the 2048x1536 u16 LZW corpus,
-// ~3M codes/frame at ~17 cycles/code before, ~12 after):
+// Hot-loop design points (measured on the 2048x1536 u16 LZW corpus,
+// ~3M codes/frame, ~17 cycles/code in the naive chain walk, ~12 in the
+// packed-offset r3 design, ~9-10 in this one):
 //  - the bit reader is ABSOLUTE-POSITION: each code comes from one
 //    unaligned 64-bit load + bswap + shift at bit offset `bitpos`,
 //    replacing the data-dependent refill branch of a shift-register
 //    reader (taken every 2-3 codes, poorly predicted);
-//  - literal codes lazily record their first emission position, after
-//    which literal and string emission share ONE history-copy path —
-//    the literal-vs-string branch was ~50/50 data-dependent, and its
-//    mispredictions dominated the per-code cost.  The 256 literal slots
-//    are re-armed per call (2 KB of stores, negligible vs the smallest
-//    12 KB strips in the corpus).
+//  - the table stores SOURCE POINTERS, and the 256 literal slots point
+//    permanently at a static identity byte array — literal and string
+//    emission are ONE unconditional path (the r3 design's lazy literal
+//    first-emission branch and its per-call 2 KB re-arm are gone, as is
+//    the KwKwK select: code == next_code always hits the entry stored on
+//    the line above, so tab[code] is correct unconditionally);
+//  - lengths live in a separate u16 table rather than packed bits, so
+//    emit-side extraction is two independent L1 loads with no unpack ALU.
 //
 // A stream is valid only if it fills dst exactly: a short stream means a
 // truncated/corrupt strip and must fail (so callers surface it as a
@@ -191,19 +194,32 @@ bool parse_page(const Reader& r, int page, TiffPage* out, std::string* err) {
 bool lzw_decode(const uint8_t* src, size_t src_len, uint8_t* dst,
                 size_t dst_len, std::string* err) {
     constexpr int kClear = 256, kEoi = 257, kFirstFree = 258, kMaxCode = 4096;
-    constexpr uint32_t kUnset = 0xFFFFFFFFu;
-    // One packed (pos << 32 | len) slot per code: the emit path loads one
-    // 64-bit word instead of two 32-bit tables, and entry creation is one
-    // store.  Dynamic entries [kFirstFree, next_code) are NOT cleared
-    // between strips: stale slots are unreachable because a code is only
-    // emitted when code <= next_code and every live slot is (re)written at
-    // creation earlier in the SAME call.  Literal slots ARE re-armed to
-    // kUnset so their history positions never leak across dst buffers.
-    static thread_local std::vector<uint64_t> tab;
-    if (tab.size() != (size_t)kMaxCode) tab.assign(kMaxCode, 0);
-    uint64_t* const tabp = tab.data();
-    for (int i = 0; i < 256; ++i)
-        tabp[i] = ((uint64_t)kUnset << 32) | 1;
+    // Identity byte array backing literal emissions; padded to 256+16 so
+    // the fixed 16-byte block copy may start at any literal value.
+    static const struct Lit {
+        uint8_t b[256 + 16];
+        Lit() {
+            for (int i = 0; i < 256 + 16; ++i) b[i] = (uint8_t)i;
+        }
+    } kLit;
+    // Dynamic entries [kFirstFree, next_code) are NOT cleared between
+    // strips: stale slots are unreachable because a code is only emitted
+    // when code <= next_code and every live slot is (re)written at
+    // creation earlier in the SAME call after the last Clear.  Literal
+    // slots are written once at table creation and never change.  The
+    // tables carry one extra dummy slot (kMaxCode) so entry creation can
+    // store unconditionally: when the table is full, next_code parks at
+    // kMaxCode and the store lands in the never-read spare slot instead
+    // of costing a bounds branch per code.
+    static thread_local std::vector<const uint8_t*> tab_ptr;
+    static thread_local std::vector<uint16_t> tab_len;
+    if (tab_ptr.size() != (size_t)kMaxCode + 1) {
+        tab_ptr.assign(kMaxCode + 1, kLit.b);
+        tab_len.assign(kMaxCode + 1, 1);
+        for (int i = 0; i < 256; ++i) tab_ptr[i] = kLit.b + i;
+    }
+    const uint8_t** const tp = tab_ptr.data();
+    uint16_t* const tl = tab_len.data();
 
     int next_code = kFirstFree, code_bits = 9;
     uint32_t code_mask = (1u << 9) - 1;
@@ -215,37 +231,94 @@ bool lzw_decode(const uint8_t* src, size_t src_len, uint8_t* dst,
     // the end; the tail runs through the careful path.
     const size_t safe_end = dst_len >= 16 ? dst_len - 16 : 0;
 
-    // Careful emit for the tail region: clips at dst_len.  Also arms an
-    // unset literal (a literal can meet its first emission here on tiny
-    // strips).
-    auto emit_careful = [&](int code) {
-        uint64_t e = tabp[code];
-        uint32_t l = (uint32_t)e;
-        uint32_t p = (uint32_t)(e >> 32);
-        if (p == kUnset) {  // literal not yet seen this call
-            if (di < dst_len) {
-                dst[di] = (uint8_t)code;
-                tabp[code] = ((uint64_t)di << 32) | 1;
-            }
-            ++di;
-            return;
-        }
+    // Careful emit for the tail region: clips at dst_len.
+    auto emit_careful = [&](const uint8_t* p, uint32_t l) {
         if (di + l > dst_len) l = (uint32_t)(dst_len - di);
-        const uint8_t* s = dst + p;
         uint8_t* d = dst + di;
-        if (p + l <= di) {
-            std::memcpy(d, s, l);
+        if ((uintptr_t)(p + l) <= (uintptr_t)d) {
+            std::memcpy(d, p, l);
         } else {  // overlapping (run-length-style) copy
-            for (uint32_t i = 0; i < l; ++i) d[i] = s[i];
+            for (uint32_t i = 0; i < l; ++i) d[i] = p[i];
         }
         di += l;
+    };
+
+    // One decoded code: table update + emit.  Returns 0 to continue, 1 on
+    // a clean stop (EoI or dst full), -1 on a corrupt stream.
+    auto step = [&](int code) __attribute__((always_inline)) -> int {
+        if (__builtin_expect(code >= kClear && code <= kEoi, 0)) {
+            if (code == kEoi) return 1;
+            next_code = kFirstFree;  // kClear
+            code_bits = 9;
+            code_mask = (1u << 9) - 1;
+            prev_len = 0;
+            return 0;
+        }
+        if (__builtin_expect(prev_len == 0, 0)) {  // first code after restart
+            if (code >= 256) { *err = "bad first LZW code"; return -1; }
+            if (di < dst_len) dst[di] = (uint8_t)code;
+            ++di;
+            prev_len = 1;
+        } else {
+            int new_entry = next_code;
+            if (__builtin_expect(code > new_entry, 0)) {
+                *err = "bad LZW code";
+                return -1;
+            }
+            // new entry = prev string + first char of current emission;
+            // both live contiguously starting at prev string's last
+            // emission, i.e. at (di - prev_len) once we emit at di.
+            // Unconditional store: a full table parks next_code at
+            // kMaxCode, the dummy slot.
+            tp[new_entry] = dst + (di - prev_len);
+            tl[new_entry] = (uint16_t)(prev_len + 1);
+            // KwKwK (code == new_entry) needs no special case: the code
+            // mask caps code at 4095 < kMaxCode, so the store above just
+            // armed tab[code], and the overlap-safe paths below reproduce
+            // the about-to-be-written byte correctly.
+            const uint8_t* p = tp[code];
+            uint32_t l = tl[code];
+            if (__builtin_expect(
+                    di + l <= safe_end && l <= 16 &&
+                        (uintptr_t)(dst + di) - (uintptr_t)p >= 16, 1)) {
+                // unified literal/string fast path: one fixed-size block
+                // copy.  The UNSIGNED difference test makes the path
+                // layout-independent: history pointers always sit below
+                // dst+di so it reads "source ends >=16 before dest"
+                // (overlap-free block copy), while literal pointers into
+                // the static identity array wrap around to a huge value
+                // and always qualify — the identity array is padded for a
+                // 16-byte read and can never overlap a heap dst.
+                std::memcpy(dst + di, p, 16);
+                di += l;
+            } else if (di + l <= safe_end) {  // long or overlapping string
+                uint8_t* d = dst + di;
+                if ((uintptr_t)(p + l) <= (uintptr_t)d) {
+                    std::memcpy(d, p, l);
+                } else {
+                    for (uint32_t i = 0; i < l; ++i) d[i] = p[i];
+                }
+                di += l;
+            } else {
+                emit_careful(p, l);
+            }
+            prev_len = l;
+            next_code += (next_code < kMaxCode);  // park when full
+            // TIFF early change: bump width one code early
+            if (next_code == (1 << code_bits) - 1 && code_bits < 12) {
+                ++code_bits;
+                code_mask = (1u << code_bits) - 1;
+            }
+        }
+        return __builtin_expect(di >= dst_len, 0) ? 1 : 0;
     };
 
     while (true) {
         if (__builtin_expect(bitpos + code_bits > total_bits, 0)) break;
         size_t byte = bitpos >> 3;
         uint64_t w;
-        if (__builtin_expect(byte + 8 <= src_len, 1)) {
+        bool full_window = byte + 8 <= src_len;
+        if (__builtin_expect(full_window, 1)) {
             std::memcpy(&w, src + byte, 8);
             w = __builtin_bswap64(w);
         } else {  // last <8 bytes of the stream
@@ -253,78 +326,30 @@ bool lzw_decode(const uint8_t* src, size_t src_len, uint8_t* dst,
             for (size_t i = 0; i < 8; ++i)
                 w = (w << 8) | (byte + i < src_len ? src[byte + i] : 0);
         }
-        int code = (int)((w >> (64 - (bitpos & 7) - code_bits)) & code_mask);
-        bitpos += code_bits;
-
-        if (__builtin_expect(code >= kClear && code <= kEoi, 0)) {
-            if (code == kEoi) break;
-            next_code = kFirstFree;  // kClear
-            code_bits = 9;
-            code_mask = (1u << 9) - 1;
-            prev_len = 0;
-            continue;
+        int sh = (int)(bitpos & 7);
+        int cb = code_bits;
+        int code = (int)((w >> (64 - sh - cb)) & code_mask);
+        bitpos += cb;
+        int rc = step(code);
+        if (__builtin_expect(rc != 0, 0)) {
+            if (rc < 0) return false;
+            break;
         }
-        if (__builtin_expect(prev_len == 0, 0)) {  // first code after restart
-            if (code >= 256) { *err = "bad first LZW code"; return false; }
-            if (di < dst_len) dst[di] = (uint8_t)code;
-            tabp[code] = ((uint64_t)di << 32) | 1;
-            ++di;
-            prev_len = 1;
-        } else {
-            int new_entry = next_code;
-            if (__builtin_expect(code > new_entry, 0)) {
-                *err = "bad LZW code";
-                return false;
-            }
-            // new entry = prev string + first char of current emission;
-            // both live contiguously starting at prev string's last
-            // emission, i.e. at (di - prev_len) once we emit at di.
-            size_t prev_start = di - prev_len;
-            if (new_entry < kMaxCode)
-                tabp[new_entry] =
-                    ((uint64_t)prev_start << 32) | (prev_len + 1);
-            // KwKwK case (code == new_entry): string = prev + prev[0]; it
-            // starts at prev_start and is about to be emitted at di, so the
-            // overlap-safe path reproduces it correctly.
-            int ec = (code == new_entry && new_entry < kMaxCode) ? new_entry
-                                                                 : code;
-            uint64_t e = tabp[ec];
-            uint32_t l = (uint32_t)e;
-            uint32_t p = (uint32_t)(e >> 32);
-            if (__builtin_expect(di + l <= safe_end && p + 16 <= di &&
-                                     l <= 16 && p != kUnset, 1)) {
-                // unified literal/string fast path: one fixed-size block
-                // copy from history (literals have l=1 and a valid pos
-                // after their first emission)
-                std::memcpy(dst + di, dst + p, 16);
-                di += l;
-            } else if (p == kUnset) {  // literal's first emission this call
-                if (di < dst_len) {
-                    dst[di] = (uint8_t)ec;
-                    tabp[ec] = ((uint64_t)di << 32) | 1;
-                }
-                ++di;
-            } else if (di + l <= safe_end) {  // long string
-                const uint8_t* s = dst + p;
-                uint8_t* d = dst + di;
-                if (p + l <= di) {
-                    std::memcpy(d, s, l);
-                } else {
-                    for (uint32_t i = 0; i < l; ++i) d[i] = s[i];
-                }
-                di += l;
-            } else {
-                emit_careful(ec);
-            }
-            prev_len = l;
-            ++next_code;
-            // TIFF early change: bump width one code early
-            if (next_code == (1 << code_bits) - 1 && code_bits < 12) {
-                ++code_bits;
-                code_mask = (1u << code_bits) - 1;
+        // Second code from the SAME 64-bit window: one load + bswap per
+        // pair instead of per code (sh <= 7 and cb <= 12, so two codes
+        // always fit in 64 bits).  Skipped on the rare width change
+        // (early-change bump or Clear reset) and at the stream tail.
+        if (__builtin_expect(
+                code_bits == cb && full_window &&
+                    bitpos + cb <= total_bits, 1)) {
+            code = (int)((w >> (64 - sh - 2 * cb)) & code_mask);
+            bitpos += cb;
+            rc = step(code);
+            if (__builtin_expect(rc != 0, 0)) {
+                if (rc < 0) return false;
+                break;
             }
         }
-        if (__builtin_expect(di >= dst_len, 0)) break;
     }
     if (di != dst_len) {
         *err = "short LZW stream (truncated or corrupt strip)";
