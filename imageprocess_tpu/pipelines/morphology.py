@@ -46,6 +46,11 @@ class MorConfig:
     scale_bar_um: Optional[float] = None
     do_xls: bool = True
     grammar: ChannelGrammar = ChannelGrammar.END_ANCHORED
+    # crop-PNG canvas geometry: False (default) caps the crop blow-up at 2x
+    # (same content, ~4x less PNG encode — the measured wall of the
+    # image-output run); True reproduces the reference's fixed 1100-px-wide
+    # figure export exactly (MOR_by_ROI.py:480,496).  PARITY.md divergences.
+    mpl_canvas: bool = False
 
 
 @partial(jax.jit, static_argnames=("tile",))

@@ -244,7 +244,26 @@ def save_png_colormap(
     bar_font=10,
 ):
     """Black-background borderless PNG with optional mask transparency,
-    scalebar and inset colorbar (visual parity with Fluor_INT.py:642-675)."""
+    scalebar and inset colorbar (visual parity with Fluor_INT.py:642-675).
+
+    Without a colorbar there is no text layout to do, and the whole figure
+    is one letterboxed image + (optionally) a scalebar stamp — that case
+    renders through the direct-PIL compositor (report.pilcomp), which is
+    pixel-equal at identity scale (tests/test_pilcomp.py) and skips
+    matplotlib's megapixel Agg draw entirely.  The colorbar path keeps
+    matplotlib for its tick/label layout."""
+    shown_arr = np.asarray(img2d)
+    if not show_colorbar:
+        from . import pilcomp
+
+        rgba = colormap_rgba_u8(shown_arr, cmap, vmin, vmax, mask=mask)
+        spec = None
+        if scalebar_um is not None and px_um is not None and scalebar_um > 0:
+            Hs, Ws = shown_arr.shape[:2]
+            spec = scalebar_spec(Ws, Hs, scalebar_um, px_um, bar_anchor)
+        pilcomp.save_borderless_png(rgba, out_path, dpi=dpi, out_px=out_px,
+                                    scalebar_spec=spec, sb_font_pt=bar_font)
+        return
     fig, ax = plt.subplots()
     ax.set_facecolor("black")
     fig.patch.set_facecolor("black")
@@ -342,44 +361,34 @@ def resolve_vminmax_txt(cmin_txt: str, cmax_txt: str, vals,
 def save_png_image(img, out_path, dpi=300, out_px=None, scalebar_um=None,
                    px_um=None):
     """The cropper's normalized-view PNG writer: gray [0,1] for 2-D input,
-    RGB for 3-D (src/roi_channel_cropper.py:321-345)."""
-    fig, ax = plt.subplots()
-    ax.set_facecolor("black")
-    fig.patch.set_facecolor("black")
+    RGB for 3-D (src/roi_channel_cropper.py:321-345).  Borderless — always
+    the direct-PIL compositor path."""
+    from . import pilcomp
+
     if img.ndim == 2:
-        ax.imshow(colormap_rgba_u8(img, "gray", 0.0, 1.0))
+        rgba = colormap_rgba_u8(img, "gray", 0.0, 1.0)
     else:
-        rgb = np.clip(np.asarray(img, np.float32), 0, 1)
-        ax.imshow((rgb * 255.0 + 0.5).astype(np.uint8))
-    ax.set_axis_off()
+        rgb = (np.clip(np.asarray(img, np.float32), 0, 1)
+               * 255.0 + 0.5).astype(np.uint8)
+        rgba = np.dstack([rgb, np.full(rgb.shape[:2], 255, np.uint8)])
     H, W = img.shape[:2]
+    spec = None
     if scalebar_um is not None and px_um is not None:
         bar_px = int(round(float(scalebar_um) / float(px_um)))
         bar_px = max(2, min(bar_px, int(0.8 * W)))
-        draw_scalebar(ax, W, H, bar_px, bar_px * float(px_um))
-    _fill_frame(fig, ax)
-    if out_px:
-        fig.set_size_inches(out_px[0] / dpi, out_px[1] / dpi)
-    os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
-    fig.savefig(out_path, dpi=dpi, facecolor=fig.get_facecolor(),
-                **_PNG_KW)
-    plt.close(fig)
+        spec = scalebar_spec(W, H, bar_px * float(px_um),
+                             float(px_um))
+    pilcomp.save_borderless_png(rgba, out_path, dpi=dpi, out_px=out_px,
+                                scalebar_spec=spec)
 
 
 def save_png_gray(img2d, out_path, vmin=None, vmax=None, dpi=300, out_px=None):
-    """Gray black-background PNG (fret_ratio_builder.py:371-380)."""
-    fig, ax = plt.subplots()
-    ax.set_facecolor("black")
-    fig.patch.set_facecolor("black")
-    ax.imshow(colormap_rgba_u8(img2d, "gray", vmin, vmax))
-    ax.set_axis_off()
-    _fill_frame(fig, ax)
-    if out_px:
-        fig.set_size_inches(out_px[0] / dpi, out_px[1] / dpi)
-    os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
-    fig.savefig(out_path, dpi=dpi, facecolor=fig.get_facecolor(),
-                **_PNG_KW)
-    plt.close(fig)
+    """Gray black-background PNG (fret_ratio_builder.py:371-380).
+    Borderless — always the direct-PIL compositor path."""
+    from . import pilcomp
+
+    pilcomp.save_borderless_png(colormap_rgba_u8(img2d, "gray", vmin, vmax),
+                                out_path, dpi=dpi, out_px=out_px)
 
 
 def save_fret_images(stid, suffix, R_full, union, polys, cfg, dirs) -> None:
@@ -665,26 +674,31 @@ def save_fa_crop_colormap(img_crop, mask, roi_poly_crop, out_path,
 def save_morphology_images(img, polys, mets, tag, cfg,
                            png_full_dir, png_crop_dir) -> None:
     """MOR_by_ROI overlay PNGs: full frame with numbered cyan outlines +
-    per-ROI crops with title metrics (src/MOR_by_ROI.py:436-505)."""
+    per-ROI crops with title metrics (src/MOR_by_ROI.py:436-505).
+
+    Rendered through the direct-PIL compositor: the megapixel overlay and
+    the per-cell crop figures were the measured wall of the image-output
+    morphology workload (2.12 s/stage with matplotlib doing the draws,
+    docs/DESIGN.md), and every element here — gray LUT image, polygon
+    outlines, numbered labels, title strip, scalebar — is a flat stamp
+    with no layout dependencies."""
+    from . import pilcomp
+
     H, W = img.shape
     if cfg.save_full:
-        fig, ax = plt.subplots(figsize=(8, 8 * H / W))
-        ax.imshow(colormap_rgba_u8(img, "gray"))
-        ax.set_axis_off()
+        # matplotlib-era geometry: figsize (8, 8*H/W) at dpi 200
+        rgba = colormap_rgba_u8(img, "gray")
+        canvas, box = pilcomp.compose_borderless(
+            rgba, (1600, int(round(1600 * H / W))), dpi=200)
         for i, poly in enumerate(polys, 1):
             P = np.asarray(poly)
-            ax.plot(np.r_[P[:, 0], P[0, 0]], np.r_[P[:, 1], P[0, 1]],
-                    lw=1.5, color="cyan")
-            ax.text(P[:, 0].mean(), P[:, 1].mean(), str(i), fontsize=10,
-                    ha="center", va="center", color="w",
-                    bbox=dict(facecolor="black", alpha=0.3, pad=1,
-                              edgecolor="none"))
-        os.makedirs(png_full_dir, exist_ok=True)
-        _fill_frame(fig, ax)
-        fig.savefig(os.path.join(
-            png_full_dir, f"{tag}_overlay_ch{cfg.sel_ch}.png"), dpi=200,
-            **_PNG_KW)
-        plt.close(fig)
+            pilcomp.stamp_polyline(canvas, box, W, H, P, dpi=200)
+            pilcomp.stamp_text(canvas, box, W, H,
+                               (float(P[:, 0].mean()), float(P[:, 1].mean())),
+                               str(i), font_pt=10, dpi=200,
+                               box_rgba=(0, 0, 0, 77))  # black alpha 0.3
+        pilcomp.save_canvas_png(canvas, os.path.join(
+            png_full_dir, f"{tag}_overlay_ch{cfg.sel_ch}.png"))
 
     if not cfg.save_crop:
         return
@@ -698,32 +712,26 @@ def save_morphology_images(img, polys, mets, tag, cfg,
         P2[:, 1] -= y0
         if cfg.mask_outside:
             crop = crop * rasterize_polygon_np(P2, crop.shape).astype(crop.dtype)
-        fig, ax = plt.subplots(figsize=(5, 5 * crop.shape[0] / crop.shape[1]))
-        ax.set_axis_off()
-        ax.plot(np.r_[P2[:, 0], P2[0, 0]], np.r_[P2[:, 1], P2[0, 1]],
-                lw=1.5, color="cyan")
-        ax.set_title(
-            f"{tag}  ROI#{i}  ch{cfg.sel_ch}  "
-            f"AR={met['aspect_ratio']:.2f}  Circ={met['circularity']:.3f}",
-            fontsize=9,
-        )
+        ch_, cw_ = crop.shape
+        title = (f"{tag}  ROI#{i}  ch{cfg.sel_ch}  "
+                 f"AR={met['aspect_ratio']:.2f}  "
+                 f"Circ={met['circularity']:.3f}")
+        # matplotlib-era geometry: figsize (5, 5*h/w) at dpi 220; by
+        # default small crops cap at 2x blow-up (MorConfig.mpl_canvas)
+        canvas, box = pilcomp.compose_titled(
+            colormap_rgba_u8(crop, "gray"), 1100, title, font_pt=9, dpi=220,
+            max_upscale=None if getattr(cfg, "mpl_canvas", False) else 2.0)
+        pilcomp.stamp_polyline(canvas, box, cw_, ch_, P2, dpi=220)
         if cfg.add_scalebar and cfg.scale_bar_um is not None:
-            ch_, cw_ = crop.shape
             bar_px = int(round(float(cfg.scale_bar_um) / cfg.px_um))
             max_bar = int(0.8 * cw_)
             if bar_px > max_bar and max_bar > 1:
                 bar_px = max_bar
             bar_px = max(bar_px, 2)
-            draw_scalebar(ax, cw_, ch_, bar_px, bar_px * cfg.px_um)
-        # tight_layout triggers a full draw — run it BEFORE the image
-        # artist exists (layout depends only on the title/decorations),
-        # then add the image, so the megapixel draw happens exactly once
-        fig.tight_layout(pad=0.1)
-        ax.imshow(colormap_rgba_u8(crop, "gray"))
-        fig.savefig(os.path.join(png_crop_dir,
-                                 f"{tag}_roi{i}_ch{cfg.sel_ch}.png"),
-                    dpi=220, **_PNG_KW)
-        plt.close(fig)
+            spec = scalebar_spec(cw_, ch_, bar_px * cfg.px_um, cfg.px_um)
+            pilcomp.stamp_scalebar(canvas, box, cw_, ch_, spec, dpi=220)
+        pilcomp.save_canvas_png(canvas, os.path.join(
+            png_crop_dir, f"{tag}_roi{i}_ch{cfg.sel_ch}.png"))
 
 
 def save_intensity_images(extras: dict, cfg, out_root: str) -> None:
