@@ -94,6 +94,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--no-crop", action="store_true")
     p.add_argument("--mask-outside", action="store_true")
     p.add_argument("--scalebar-um", type=float, default=None)
+    p.add_argument("--mpl-canvas", action="store_true",
+                   help="exact reference crop-PNG geometry (fixed 1100-px "
+                        "canvas) instead of the default 2x upscale cap")
     _add_common(p)
 
     p = sub.add_parser("fret", help="two-channel ratiometric FRET (fret_ratio_builder)")
@@ -425,7 +428,7 @@ def _dispatch(args, log) -> int:
             timelapse=args.timelapse, save_full=not args.no_full,
             save_crop=not args.no_crop, mask_outside=args.mask_outside,
             add_scalebar=args.scalebar_um is not None,
-            scale_bar_um=args.scalebar_um,
+            scale_bar_um=args.scalebar_um, mpl_canvas=args.mpl_canvas,
         )
         run_morphology(args.folder, cfg, out_root=args.out, log=log)
         return 0

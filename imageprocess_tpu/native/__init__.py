@@ -272,6 +272,69 @@ def percentile_from_hist(hist: np.ndarray, p1000: int) -> float:
     return float(lo) + g * float(hi - lo)
 
 
+def hist_mode_from_hist(hist: np.ndarray, p1000: int) -> float:
+    """The reference's "hist-mode" background (Fluor_INT.py:475-483) from a
+    u16 counting histogram of the strided subsample, bit-identical to the
+    device op (ops.background.histogram_mode_value) on integral frames.
+
+    Identical-rounding argument: lo/hi are exact integers in float32; the
+    per-value bin is ``f32((v - lo) / span) * 2048`` where the multiply by
+    2048 is an exact exponent shift, so the single f32 division is the only
+    rounding and IEEE-754 division agrees between numpy and XLA; the CDF is
+    an exact integer cumsum cast to f32 then one f32 division.  This lets
+    hist-mode runs ride the decoder's fused histogram pass instead of
+    shipping full frames over the link (tests/test_batched_runner.py
+    asserts host==device on golden frames)."""
+    counts = np.asarray(hist, np.int64)
+    nz = np.flatnonzero(counts)
+    if nz.size == 0:
+        return 0.0
+    lo = np.float32(nz[0])
+    hi = np.float32(nz[-1])
+    span = np.float32(hi - lo) if hi > lo else np.float32(1.0)
+    vals = nz.astype(np.float32)
+    idx = ((vals - lo) / span * np.float32(2048.0)).astype(np.int32)
+    np.clip(idx, 0, 2047, out=idx)
+    h2 = np.zeros(2048, np.int64)
+    np.add.at(h2, idx, counts[nz])
+    total = h2.sum()
+    cdf = np.cumsum(h2).astype(np.float32) / np.float32(total)
+    target = np.float32(p1000) / np.float32(100000.0)
+    reach = cdf >= target
+    if not reach.any():
+        return float(hi)
+    first = int(np.argmax(reach))
+    bin_w = span / np.float32(2048.0)
+    mid = lo + (np.float32(first) + np.float32(0.5)) * bin_w
+    return float(mid)
+
+
+def hist_mode_from_values(vals: np.ndarray, p1000: int) -> float:
+    """hist_mode_from_hist for a raw (already strided) value array — the
+    fallback when the native decoder's fused histogram is unavailable or
+    the frames are not integral.  float32 arithmetic mirrors the device op
+    operation-for-operation."""
+    v = np.asarray(vals, np.float32)
+    v = v[np.isfinite(v)]
+    if v.size == 0:
+        return 0.0
+    lo = v.min()
+    hi = v.max()
+    span = np.float32(hi - lo) if hi > lo else np.float32(1.0)
+    idx = ((v - lo) / span * np.float32(2048.0)).astype(np.int32)
+    np.clip(idx, 0, 2047, out=idx)
+    h2 = np.zeros(2048, np.int64)
+    np.add.at(h2, idx, 1)
+    cdf = np.cumsum(h2).astype(np.float32) / np.float32(v.size)
+    target = np.float32(p1000) / np.float32(100000.0)
+    reach = cdf >= target
+    if not reach.any():
+        return float(hi)
+    first = int(np.argmax(reach))
+    bin_w = span / np.float32(2048.0)
+    return float(lo + (np.float32(first) + np.float32(0.5)) * bin_w)
+
+
 def decode_tiff(path: str, page: int = 0) -> Optional[np.ndarray]:
     lib = _load()
     if lib is None:

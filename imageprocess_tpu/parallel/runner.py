@@ -14,6 +14,7 @@ compute (replacing ``as_completed`` result draining).
 from __future__ import annotations
 
 import concurrent.futures as cf
+from collections import deque
 from functools import partial
 from typing import Callable, Iterator, List, Optional, Sequence
 
@@ -234,13 +235,21 @@ class EmitFetchError(Exception):
 
 
 def stream_batches(loader, batch_size: int, classify, dispatch, emit,
-                   serial, on_error, cancel=None) -> bool:
-    """The one-batch-in-flight streaming protocol shared by the batched
-    runners (intensity, fret): consume a PrefetchLoader, keep ONE dispatched
-    batch pending so host decode of chunk k+1 overlaps device compute of
-    chunk k, and preserve key order across serial fallbacks (buffered
-    entries flush, then the in-flight batch drains, before a serial key's
-    rows are emitted — the reference reports are key-ordered).
+                   serial, on_error, cancel=None, in_flight: int = 2) -> bool:
+    """The batches-in-flight streaming protocol shared by the batched
+    runners (intensity, fret): consume a PrefetchLoader, keep up to
+    *in_flight* dispatched batches pending so host decode of chunk k+1
+    overlaps device compute of chunk k, and preserve key order across
+    serial fallbacks (buffered entries flush, then every in-flight batch
+    drains, before a serial key's rows are emitted — the reference reports
+    are key-ordered).
+
+    Two in flight (the default) additionally hides the result FETCH: with
+    one, emit(k) runs right after dispatch(k+1) and can block on k's
+    remaining device compute plus the tunnel round trip; with two, k's
+    packed result has had a whole extra pack+dispatch cycle for its
+    copy_to_host_async to land, so emit(k) is a local read.  Results are
+    emitted strictly in dispatch order either way.
 
     - batch_size: target chunk length — an int, or a zero-arg callable
       re-read before each chunk boundary (chunk-size auto-scaling)
@@ -271,8 +280,9 @@ def stream_batches(loader, batch_size: int, classify, dispatch, emit,
     """
     size = batch_size if callable(batch_size) else (lambda: batch_size)
     buf = []
-    pending = None          # opaque record from dispatch
-    pending_entries = None  # its entries, for serial recovery on emit failure
+    pending = deque()  # (opaque dispatch record, its entries) FIFO; the
+    #                    entries ride along for serial recovery on emit
+    #                    failure
 
     def serial_safe(entry):
         try:
@@ -280,12 +290,8 @@ def stream_batches(loader, batch_size: int, classify, dispatch, emit,
         except Exception as e:  # noqa: BLE001 — log-and-skip per key
             on_error(LoadError(entry, e))
 
-    def drain():
-        nonlocal pending, pending_entries
-        if pending is None:
-            return
-        rec, entries = pending, pending_entries
-        pending = pending_entries = None
+    def drain_one():
+        rec, entries = pending.popleft()
         try:
             emit(rec)
         except EmitFetchError:  # result fetch failed pre-emit: redo
@@ -295,26 +301,30 @@ def stream_batches(loader, batch_size: int, classify, dispatch, emit,
             for e in entries:     # re-running would duplicate rows /
                 on_error(LoadError(e, exc))  # double-put pool buffers
 
+    def drain_all():
+        while pending:
+            drain_one()
+
     def flush():
-        nonlocal pending, pending_entries
         if not buf:
             return
         entries = list(buf)  # copy: buf.clear() must not empty the
-        buf.clear()          # chunk held by the in-flight record
+        buf.clear()          # chunk held by an in-flight record
         try:
             rec = dispatch(entries)
         except Exception:  # noqa: BLE001 — dispatch failed: go serial
-            drain()
+            drain_all()
             for e in entries:
                 serial_safe(e)
             return
-        drain()
         if rec is None:
+            drain_all()  # order: earlier chunks' rows before these keys'
             for e in entries:
                 serial_safe(e)
         else:
-            pending = rec
-            pending_entries = entries
+            pending.append((rec, entries))
+            while len(pending) > max(1, in_flight):
+                drain_one()
 
     cancelled = False
     for item in loader:
@@ -329,7 +339,7 @@ def stream_batches(loader, batch_size: int, classify, dispatch, emit,
             continue
         if kind == "serial":
             flush()
-            drain()
+            drain_all()
             serial_safe(entry)
             continue
         buf.append(entry)
@@ -339,7 +349,7 @@ def stream_batches(loader, batch_size: int, classify, dispatch, emit,
         buf.clear()
     else:
         flush()
-    drain()
+    drain_all()
     return cancelled
 
 

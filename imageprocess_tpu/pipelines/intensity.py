@@ -468,11 +468,13 @@ def run_intensity_batched(
     out_root = out_root or os.path.join(folder, "RES")
 
     # Minimum-transfer path: background is a scalar per channel, so compute
-    # it on host (exact native u16 counting percentile) and ship ONLY each
-    # ROI's tile — ~10x fewer bytes over the host->device link, which is
-    # the e2e bottleneck.  hist-mode keeps the full-frame device program
-    # (its float32 binning must stay bit-identical to the device op).
-    use_tiles = cfg.bg_mode in ("percentile", "none")
+    # it on host and ship ONLY each ROI's tile — ~10x fewer bytes over the
+    # host->device link, which is the e2e bottleneck.  percentile mode uses
+    # the exact native u16 counting percentile; hist-mode replays the
+    # reference's 2048-bin float32 binning from the same u16 histogram with
+    # bit-identical arithmetic (native.hist_mode_from_hist; host==device
+    # asserted in tests/test_batched_runner.py).
+    use_tiles = cfg.bg_mode in ("percentile", "hist-mode", "none")
 
     if use_tiles:
         tile_step = (sharded_batched_tile_stats(mesh, clip_neg=cfg.clip_neg)
@@ -486,7 +488,10 @@ def run_intensity_batched(
         Fluor_INT.py:461-492).  When the decoder already accumulated the
         strided histograms (*hists*), the percentile is a 65536-bin lookup
         — no frame scan at all."""
-        from ..native import percentile_from_hist, u16_percentile_strided
+        from ..native import (
+            hist_mode_from_hist, hist_mode_from_values, percentile_from_hist,
+            u16_percentile_strided,
+        )
 
         C = imgs.shape[0]
         bgs = np.zeros(C, np.float32)
@@ -494,7 +499,13 @@ def run_intensity_batched(
             return bgs
         for ci, ch in enumerate(chs):
             p1000 = p1000_of(cfg.per_channel_p.get(ch, cfg.percentile))
-            if hists is not None:
+            if cfg.bg_mode == "hist-mode":
+                if hists is not None:
+                    bgs[ci] = hist_mode_from_hist(hists[ci], p1000)
+                else:
+                    vals = imgs[ci].ravel()[::max(1, cfg.bg_stride)]
+                    bgs[ci] = hist_mode_from_values(vals, p1000)
+            elif hists is not None:
                 bgs[ci] = percentile_from_hist(hists[ci], p1000)
             elif imgs.dtype == np.uint16:
                 bgs[ci] = u16_percentile_strided(imgs[ci], cfg.bg_stride, p1000)
@@ -539,9 +550,9 @@ def run_intensity_batched(
         # homogeneous within an experiment).
         key = kv[0]
         t0 = time.perf_counter() if tm is not None else 0.0
-        # percentile backgrounds ride the decoder's own histogram pass
-        # (fused: no second frame scan); other modes take the plain path
-        fuse_hist = use_tiles and cfg.bg_mode == "percentile"
+        # percentile AND hist-mode backgrounds ride the decoder's own
+        # histogram pass (fused: no second frame scan); "none" skips it
+        fuse_hist = use_tiles and cfg.bg_mode in ("percentile", "hist-mode")
         if fuse_hist:
             stid, payload, hists = load_key(
                 key, kv[1], roi_dir, cfg,

@@ -1,6 +1,8 @@
 """Batched multi-frame intensity runner: row parity with the serial runner,
 single-device and sharded over the 8-device CPU mesh."""
 
+import os
+
 import numpy as np
 import pytest
 
@@ -194,10 +196,12 @@ def test_batched_mixed_shapes_fall_back_per_key(tmp_path):
             abs(sd[r["stage"]]["ch1_mean"]), 1e-9)
 
 
-def test_batched_histmode_full_frame_path(timelapse_folder, tmp_path):
-    """bg_mode=hist-mode can't take the host-BG tile path (its f32 binning
-    must stay bit-identical to the device op) — the batched runner keeps
-    the full-frame program and still matches the serial rows."""
+def test_batched_histmode_tile_path(timelapse_folder, tmp_path):
+    """bg_mode=hist-mode rides the minimum-transfer tile path: the host
+    replays the reference's 2048-bin f32 binning from the strided u16
+    histogram with bit-identical arithmetic (native.hist_mode_from_hist),
+    so the batched rows must match the serial (device-op) rows with the
+    BACKGROUND EXACTLY EQUAL, not merely close."""
     cfg = IntensityConfig(channels=(1, 2), timelapse=True, do_xls=False,
                           bg_mode="hist-mode")
     serial = run_intensity(str(timelapse_folder), cfg,
@@ -210,8 +214,36 @@ def test_batched_histmode_full_frame_path(timelapse_folder, tmp_path):
     for r in batched:
         ref = sd[_key(r)]
         assert r["area_px"] == ref["area_px"]
-        for f in ("ch1_mean", "ch1_bg", "ch2_median"):
+        for f in ("ch1_bg", "ch2_bg"):
+            assert r[f] == ref[f], (f, r[f], ref[f])
+        for f in ("ch1_mean", "ch2_median"):
             assert abs(r[f] - ref[f]) <= 1e-5 * max(abs(ref[f]), 1e-9), f
+
+
+def test_hist_mode_host_matches_device_on_golden(golden_intensity_dir):
+    """The host hist-mode replicas (from the decoder's u16 histogram AND
+    from raw strided values) must be bit-identical to the device op
+    (ops.background.histogram_mode_value) on real golden frames."""
+    import jax.numpy as jnp
+
+    from imageprocess_tpu.core import tiffio
+    from imageprocess_tpu.native import (
+        hist_mode_from_hist, hist_mode_from_values,
+    )
+    from imageprocess_tpu.ops.background import bg_value
+
+    img = np.asarray(tiffio.read_2d(
+        os.path.join(golden_intensity_dir, "e1_P0", "S01_2.TIF"), dtype=None))
+    assert img.dtype == np.uint16
+    for stride, p1000 in ((4, 1000), (1, 1000), (4, 50000), (3, 99000)):
+        vals = img.ravel()[::stride]
+        hist = np.bincount(vals, minlength=65536)
+        host_h = hist_mode_from_hist(hist, p1000)
+        host_v = hist_mode_from_values(vals, p1000)
+        dev = float(bg_value(jnp.asarray(img), p1000, None, "hist-mode",
+                             stride))
+        assert host_h == dev, (stride, p1000, host_h, dev)
+        assert host_v == dev, (stride, p1000, host_v, dev)
 
 
 def test_batched_uses_prefetch_uploaded_tiles(timelapse_folder, tmp_path,
