@@ -310,6 +310,8 @@ def stream_batches(loader, batch_size: int, classify, dispatch, emit,
             return
         entries = list(buf)  # copy: buf.clear() must not empty the
         buf.clear()          # chunk held by an in-flight record
+        while len(pending) >= max(1, in_flight):
+            drain_one()  # at capacity: oldest result is long since ready
         try:
             rec = dispatch(entries)
         except Exception:  # noqa: BLE001 — dispatch failed: go serial
@@ -323,8 +325,6 @@ def stream_batches(loader, batch_size: int, classify, dispatch, emit,
                 serial_safe(e)
         else:
             pending.append((rec, entries))
-            while len(pending) > max(1, in_flight):
-                drain_one()
 
     cancelled = False
     for item in loader:

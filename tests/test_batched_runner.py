@@ -131,6 +131,44 @@ def test_stream_batches_callable_size():
     assert max(len(c) for c in chunks) > 2
 
 
+def test_stream_batches_two_in_flight_ordered():
+    """The default protocol keeps at most TWO dispatched chunks pending
+    (emit(k) is deferred until k+1 has dispatched, hiding the result
+    fetch), emits strictly in dispatch order, and drains every pending
+    chunk before any serial key or at end-of-stream."""
+    from imageprocess_tpu.parallel.runner import stream_batches
+
+    events = []
+    outstanding = {"now": 0, "max": 0}
+
+    def dispatch(entries):
+        outstanding["now"] += 1
+        outstanding["max"] = max(outstanding["max"], outstanding["now"])
+        events.append(("d", list(entries)))
+        return list(entries)
+
+    def emit(rec):
+        outstanding["now"] -= 1
+        events.append(("e", rec))
+
+    items = [("batch", i) for i in range(8)] + [("serial", 99)] + \
+            [("batch", i) for i in range(8, 12)]
+    stream_batches(
+        [v for _, v in items], 2,
+        classify=lambda x: ("serial", x) if x == 99 else ("batch", x),
+        dispatch=dispatch, emit=emit,
+        serial=lambda e: events.append(("s", e)),
+        on_error=lambda e: None,
+    )
+    assert outstanding["now"] == 0
+    assert outstanding["max"] == 2      # two in flight, never three
+    emitted = [rec for kind, rec in events if kind == "e"]
+    assert emitted == [[0, 1], [2, 3], [4, 5], [6, 7], [8, 9], [10, 11]]
+    # the serial key ran only after every earlier chunk had emitted
+    s_at = events.index(("s", 99))
+    assert [k for k, _ in events[:s_at]].count("e") == 4
+
+
 def test_batched_single_full_chunk(timelapse_folder, tmp_path):
     """batch_size == number of keys: exactly one in-flight batch whose
     finalize happens after the loader is drained (regression: the in-flight
