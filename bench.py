@@ -317,8 +317,13 @@ def _child_main() -> int:
 
     # Backend init under a hard watchdog: the observed failure modes are a
     # fast UNAVAILABLE raise AND a multi-minute hang inside jax.devices().
+    # The arm time is clamped below the supervisor's kill deadline so a
+    # hung init still emits its attributable JSON before the kill lands.
     PHASE["name"] = "init"
-    init_timeout = float(os.environ.get("IP_BENCH_INIT_TIMEOUT_S", "240"))
+    deadline = float(os.environ.get("IP_BENCH_CHILD_DEADLINE_S", "1470"))
+    init_timeout = min(
+        float(os.environ.get("IP_BENCH_INIT_TIMEOUT_S", "240")),
+        max(10.0, deadline - (time.monotonic() - _T0) - 10.0))
     wd.arm(init_timeout, rc=RC_INIT_FAILED)
     try:
         import jax
@@ -341,7 +346,6 @@ def _child_main() -> int:
         return RC_INIT_FAILED
 
     # whole-run deadline: emit partial results before the supervisor's kill
-    deadline = float(os.environ.get("IP_BENCH_CHILD_DEADLINE_S", "1470"))
     wd.arm(max(60.0, deadline - (time.monotonic() - _T0)), rc=4)
 
     PHASE["name"] = "dataset"
@@ -401,9 +405,13 @@ def _child_main() -> int:
         # best completed rep
         RESULTS["value"] = best
         RESULTS["rois_per_s"] = len(rows) * best / mpix
+    err_note = None
     if len(rows) != N_STAGES * 18:
-        print(f"[bench] unexpected intensity row count {len(rows)}",
-              file=sys.stderr)
+        # zero the headline AND say why in the JSON itself — an
+        # unattributed 0.0 from a healthy backend would otherwise be
+        # misreported by the supervisor as an axon outage
+        err_note = f"intensity row count {len(rows)} != {N_STAGES * 18}"
+        print(f"[bench] {err_note}", file=sys.stderr)
         best = 0.0
         RESULTS["value"] = 0.0
         RESULTS["rois_per_s"] = 0.0
@@ -424,7 +432,8 @@ def _child_main() -> int:
 
     PHASE["name"] = "emit"
     wd.done()
-    print(_json_line(best, backend=backend), flush=True)
+    extra = ({"error": err_note, "phase": "e2e_rows"} if err_note else {})
+    print(_json_line(best, backend=backend, **extra), flush=True)
     return 0
 
 
@@ -513,7 +522,11 @@ def _supervise(run_child=_run_child) -> int:
 
     # Phase B: CPU-backend fallback — an honest degraded e2e number (decode
     # is host-side anyway) clearly labelled, instead of a 0.0 scoreboard
-    axon_err = (best or {}).get("error", "no JSON from axon child")
+    if best is None:
+        axon_err = "no JSON from axon child"
+    else:  # e.g. rc=0 with value 0.0: the child must have said why
+        axon_err = best.get("error",
+                            "axon child returned zero without an error field")
     if remaining() > 120 and os.environ.get("IP_BENCH_CPU_FALLBACK", "1") == "1":
         attempts += 1
         to = remaining() - 10

@@ -310,8 +310,15 @@ def stream_batches(loader, batch_size: int, classify, dispatch, emit,
             return
         entries = list(buf)  # copy: buf.clear() must not empty the
         buf.clear()          # chunk held by an in-flight record
-        while len(pending) >= max(1, in_flight):
-            drain_one()  # at capacity: oldest result is long since ready
+        cap = max(1, in_flight)
+        if cap > 1:
+            # at capacity, drain the oldest BEFORE dispatching: its result
+            # has had >= one full cycle to copy back, and peak memory stays
+            # at `cap` chunks of live entries (each chunk's decode frames
+            # ride in its entries until emit recycles them to the pool —
+            # the cost of two-in-flight is one extra chunk of frames)
+            while len(pending) >= cap:
+                drain_one()
         try:
             rec = dispatch(entries)
         except Exception:  # noqa: BLE001 — dispatch failed: go serial
@@ -325,6 +332,11 @@ def stream_batches(loader, batch_size: int, classify, dispatch, emit,
                 serial_safe(e)
         else:
             pending.append((rec, entries))
+            if cap == 1:
+                # one in flight keeps the r3 ordering — dispatch k+1 first,
+                # THEN the blocking fetch of k, so they still overlap
+                while len(pending) > 1:
+                    drain_one()
 
     cancelled = False
     for item in loader:

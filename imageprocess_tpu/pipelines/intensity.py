@@ -443,9 +443,8 @@ def run_intensity_batched(
         choose_tile, gather_tiles, pad_local_polys, tile_offsets,
     )
     from ..parallel.runner import (
-        EmitFetchError, PrefetchLoader, batched_intensity_step_tiled,
-        batched_tile_stats_step, make_autoscaler, round_batch_to_mesh,
-        sharded_batched_intensity_tiled, sharded_batched_tile_stats,
+        EmitFetchError, PrefetchLoader, batched_tile_stats_step,
+        make_autoscaler, round_batch_to_mesh, sharded_batched_tile_stats,
         stream_batches,
     )
     from ..report.excel import save_intensity_excel
@@ -467,20 +466,19 @@ def run_intensity_batched(
     roi_dir = os.path.join(folder, "roi")
     out_root = out_root or os.path.join(folder, "RES")
 
-    # Minimum-transfer path: background is a scalar per channel, so compute
-    # it on host and ship ONLY each ROI's tile — ~10x fewer bytes over the
-    # host->device link, which is the e2e bottleneck.  percentile mode uses
-    # the exact native u16 counting percentile; hist-mode replays the
-    # reference's 2048-bin float32 binning from the same u16 histogram with
-    # bit-identical arithmetic (native.hist_mode_from_hist; host==device
-    # asserted in tests/test_batched_runner.py).
-    use_tiles = cfg.bg_mode in ("percentile", "hist-mode", "none")
-
-    if use_tiles:
-        tile_step = (sharded_batched_tile_stats(mesh, clip_neg=cfg.clip_neg)
-                     if mesh is not None
-                     else partial(batched_tile_stats_step,
-                                  clip_neg=cfg.clip_neg))
+    # Minimum-transfer path (every bg mode): background is a scalar per
+    # channel, so compute it on host and ship ONLY each ROI's tile — ~10x
+    # fewer bytes over the host->device link, which is the e2e bottleneck.
+    # percentile mode uses the exact native u16 counting percentile;
+    # hist-mode replays the reference's 2048-bin float32 binning from the
+    # same u16 histogram with bit-identical arithmetic
+    # (native.hist_mode_from_hist; host==device asserted in
+    # tests/test_batched_runner.py); "none" and unrecognized modes get 0.0
+    # exactly like the device op (ops.background.bg_value).
+    tile_step = (sharded_batched_tile_stats(mesh, clip_neg=cfg.clip_neg)
+                 if mesh is not None
+                 else partial(batched_tile_stats_step,
+                              clip_neg=cfg.clip_neg))
 
     def _host_bg(imgs: np.ndarray, chs, hists=None) -> np.ndarray:
         """Per-channel background, host-side (exact np.percentile of the
@@ -495,8 +493,8 @@ def run_intensity_batched(
 
         C = imgs.shape[0]
         bgs = np.zeros(C, np.float32)
-        if cfg.bg_mode == "none":
-            return bgs
+        if cfg.bg_mode not in ("percentile", "hist-mode"):
+            return bgs  # "none" and unknown modes: 0.0, like bg_value
         for ci, ch in enumerate(chs):
             p1000 = p1000_of(cfg.per_channel_p.get(ch, cfg.percentile))
             if cfg.bg_mode == "hist-mode":
@@ -552,7 +550,7 @@ def run_intensity_batched(
         t0 = time.perf_counter() if tm is not None else 0.0
         # percentile AND hist-mode backgrounds ride the decoder's own
         # histogram pass (fused: no second frame scan); "none" skips it
-        fuse_hist = use_tiles and cfg.bg_mode in ("percentile", "hist-mode")
+        fuse_hist = cfg.bg_mode in ("percentile", "hist-mode")
         if fuse_hist:
             stid, payload, hists = load_key(
                 key, kv[1], roi_dir, cfg,
@@ -565,7 +563,7 @@ def run_intensity_batched(
             _tm_add("ld_decode", time.perf_counter() - t0)
         bgs = None
         pre = None
-        if use_tiles and not isinstance(payload, str):
+        if not isinstance(payload, str):
             chs, imgs, polys, _ = payload
             t0 = time.perf_counter() if tm is not None else 0.0
             bgs = _host_bg(imgs, chs, hists)
@@ -629,21 +627,6 @@ def run_intensity_batched(
 
     _cur_bs, _maybe_grow_chunk = make_autoscaler(loader, batch_size)
 
-    step_cache: Dict[int, object] = {}
-
-    def step_for(tile: int):
-        if tile not in step_cache:
-            if mesh is not None:
-                step_cache[tile] = sharded_batched_intensity_tiled(
-                    mesh, tile=tile, bg_mode=cfg.bg_mode,
-                    clip_neg=cfg.clip_neg, bg_stride=cfg.bg_stride)
-            else:
-                step_cache[tile] = partial(
-                    batched_intensity_step_tiled, tile=tile,
-                    bg_mode=cfg.bg_mode, clip_neg=cfg.clip_neg,
-                    bg_stride=cfg.bg_stride)
-        return step_cache[tile]
-
     rows_all: List[dict] = []
     n_done = 0
 
@@ -696,19 +679,19 @@ def run_intensity_batched(
         # used and jit tile sizes stay stable; clamp to this chunk's frame
         # (the hint may come from a different-shaped first key)
         tile = min(max(tile, tile_hint.get("tile", tile)), min(H, W))
-        # tile path: N padding is pure wire waste (padded tiles are real
-        # zero bytes on the link), so use the loader's session-stable hint
-        # when every key fits it (ONE compiled shape across chunks); the
-        # full-frame path and outlier chunks keep the coarser bucket
+        # N padding is pure wire waste (padded tiles are real zero bytes on
+        # the link), so use the loader's session-stable hints when every
+        # key fits them (ONE compiled shape across chunks); outlier chunks
+        # keep the coarser bucket
         max_n = max(len(c[2][2]) for c in chunk)
         nb_hint = tile_hint.get("nb")
-        if use_tiles and nb_hint is not None and max_n <= nb_hint:
+        if nb_hint is not None and max_n <= nb_hint:
             nb = nb_hint
         else:
             nb = _bucket(max_n, 8)
         max_v = max(len(poly) for poly in all_p)
         vb_hint = tile_hint.get("vb")
-        if use_tiles and vb_hint is not None and max_v <= vb_hint:
+        if vb_hint is not None and max_v <= vb_hint:
             vb = vb_hint  # session-stable: loader pre-padded to this
         else:
             vb = _bucket(max_v, 32)
@@ -717,58 +700,43 @@ def run_intensity_batched(
         C = chunk[0][2][1].shape[0]
         lp_b = np.zeros((pad_b, nb, vb, 2), np.float32)
         val_b = np.zeros((pad_b, nb), bool)
-        if use_tiles:
-            bgs_b = np.zeros((pad_b, C), np.float32)
-            per_key = []      # (tiles — device or host exact-N, or None)
-            for bi, (key, _, (chs, imgs, polys, _), bgs_pre, pre) in enumerate(
-                    chunk):
-                if pre is not None and pre[0] == tile:
-                    tiles_i, offs = pre[1], pre[2]
-                else:  # hint missed (first keys raced / ROI outgrew it)
-                    offs = tile_offsets(polys, H, W, tile)
-                    tiles_i = None
-                per_key.append((tiles_i, imgs, polys, offs))
-                lp = valid = None
-                if (pre is not None and pre[0] == tile and len(pre) >= 5
-                        and pre[3] is not None
-                        and pre[3].shape == (nb, vb, 2)):
-                    lp, valid = pre[3], pre[4]  # loader pre-padded
-                else:
-                    lp, _, valid = pad_local_polys(polys, offs, nb, vb)
-                lp_b[bi], val_b[bi] = lp, valid
-                bgs_b[bi] = bgs_pre if bgs_pre is not None else _host_bg(
-                    imgs, chs)
-            # fast path: every key's tiles were already uploaded by its
-            # prefetch thread with the right (N, tile) shape — stack them on
-            # device (enqueue only, no host pixel bytes on the link now)
-            if pad_b == len(chunk) and all(
-                    t_i is not None and not isinstance(t_i, np.ndarray)
-                    and t_i.shape[0] == nb for t_i, *_ in per_key):
-                tiles_b = jnp.stack([t_i for t_i, *_ in per_key])
+        bgs_b = np.zeros((pad_b, C), np.float32)
+        per_key = []      # (tiles — device or host exact-N, or None)
+        for bi, (key, _, (chs, imgs, polys, _), bgs_pre, pre) in enumerate(
+                chunk):
+            if pre is not None and pre[0] == tile:
+                tiles_i, offs = pre[1], pre[2]
+            else:  # hint missed (first keys raced / ROI outgrew it)
+                offs = tile_offsets(polys, H, W, tile)
+                tiles_i = None
+            per_key.append((tiles_i, imgs, polys, offs))
+            lp = valid = None
+            if (pre is not None and pre[0] == tile and len(pre) >= 5
+                    and pre[3] is not None
+                    and pre[3].shape == (nb, vb, 2)):
+                lp, valid = pre[3], pre[4]  # loader pre-padded
             else:
-                tiles_b = np.zeros((pad_b, nb, C, tile, tile),
-                                   chunk[0][2][1].dtype)
-                for bi, (t_i, imgs, polys, offs) in enumerate(per_key):
-                    if isinstance(t_i, np.ndarray):
-                        tiles_b[bi, :t_i.shape[0]] = t_i
-                    else:  # device array of the wrong shape, or no pre
-                        tiles_b[bi] = gather_tiles(imgs, offs, nb, tile)
-            stats, areas = _timed_step(tile_step, tiles_b, lp_b, val_b, bgs_b)
-            return chunk, _pack(stats, areas), None, bgs_b
-        imgs_b = np.zeros((pad_b,) + chunk[0][2][1].shape,
-                          chunk[0][2][1].dtype)
-        off_b = np.zeros((pad_b, nb, 2), np.int32)
-        p_b = np.zeros((pad_b, C), np.int32)
-        for bi, (key, _, (chs, imgs, polys, _), *_) in enumerate(chunk):
-            imgs_b[bi] = imgs
-            offs = tile_offsets(polys, H, W, tile)
-            lp, off_pad, valid = pad_local_polys(polys, offs, nb, vb)
-            lp_b[bi], off_b[bi], val_b[bi] = lp, off_pad, valid
-            p_b[bi] = [p1000_of(cfg.per_channel_p.get(ch, cfg.percentile))
-                       for ch in chs]
-        stats, areas, bgs = _timed_step(step_for(tile), imgs_b, lp_b, off_b,
-                                        val_b, p_b)
-        return chunk, _pack(stats, areas), bgs, None
+                lp, _, valid = pad_local_polys(polys, offs, nb, vb)
+            lp_b[bi], val_b[bi] = lp, valid
+            bgs_b[bi] = bgs_pre if bgs_pre is not None else _host_bg(
+                imgs, chs)
+        # fast path: every key's tiles were already uploaded by its
+        # prefetch thread with the right (N, tile) shape — stack them on
+        # device (enqueue only, no host pixel bytes on the link now)
+        if pad_b == len(chunk) and all(
+                t_i is not None and not isinstance(t_i, np.ndarray)
+                and t_i.shape[0] == nb for t_i, *_ in per_key):
+            tiles_b = jnp.stack([t_i for t_i, *_ in per_key])
+        else:
+            tiles_b = np.zeros((pad_b, nb, C, tile, tile),
+                               chunk[0][2][1].dtype)
+            for bi, (t_i, imgs, polys, offs) in enumerate(per_key):
+                if isinstance(t_i, np.ndarray):
+                    tiles_b[bi, :t_i.shape[0]] = t_i
+                else:  # device array of the wrong shape, or no pre
+                    tiles_b[bi] = gather_tiles(imgs, offs, nb, tile)
+        stats, areas = _timed_step(tile_step, tiles_b, lp_b, val_b, bgs_b)
+        return chunk, _pack(stats, areas), bgs_b
 
     def _pack(stats, areas):
         """One (B, 10, C, N) device array instead of ten separate fetches:
@@ -791,12 +759,10 @@ def run_intensity_batched(
     def finalize(rec):
         """Fetch a dispatched batch's results and emit rows."""
         nonlocal n_done
-        chunk, packed, bgs_dev, bgs_host = rec
+        chunk, packed, bgs = rec
         t0 = time.perf_counter() if tm is not None else 0.0
         try:  # ONE device->host round trip; no side effects yet, so a
             packed = np.asarray(packed)  # failure is safe to retry serially
-            bgs = (bgs_host if bgs_host is not None
-                   else np.asarray(bgs_dev))
         except Exception as e:  # noqa: BLE001
             raise EmitFetchError(str(e)) from e
         if tm is not None:

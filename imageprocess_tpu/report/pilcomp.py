@@ -39,9 +39,6 @@ from PIL import Image, ImageDraw, ImageFont
 # savers never override it, so canvas = (6.4, 4.8) * dpi
 _DEFAULT_FIGSIZE = (6.4, 4.8)
 
-# PNG deflate level mirroring render._PNG_KW (encode speed over ~10% size)
-_PNG_COMPRESS = 3
-
 _FONT_CACHE: dict = {}
 
 
@@ -117,13 +114,7 @@ def stamp_scalebar(
     """Paint a ScalebarSpec (render.scalebar_spec, data coordinates) onto
     the composed canvas: white bar + white label over a 40%-alpha black box
     (render._paint_scalebar visual contract, Fluor_INT.py:588-613)."""
-    ox, oy, dw, dh = box
-    sx, sy = dw / img_w, dh / img_h
-
-    def to_canvas(x, y):
-        # imshow data coords: pixel centers at integers, extent -0.5..N-0.5
-        return ox + (x + 0.5) * sx, oy + (y + 0.5) * sy
-
+    to_canvas = _mapper(box, img_w, img_h)
     overlay = Image.new("RGBA", canvas.size, (0, 0, 0, 0))
     dr = ImageDraw.Draw(overlay)
 
