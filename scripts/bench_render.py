@@ -1,0 +1,49 @@
+#!/usr/bin/env python
+"""Reproduce the image-output render benchmark (docs/DESIGN.md).
+
+Runs the morphology workload with image outputs ON over a golden experiment
+folder (1 stage, 18 ROIs, 3.1 Mpix frame) and reports best-of wall per
+stage for both crop-canvas geometries:
+
+    PYTHONPATH=. python scripts/bench_render.py [folder]
+
+History: 4.69 s/stage (r2, matplotlib float path) -> 2.12 (r3,
+pre-colormapped u8 imshow) -> 0.75 capped / 1.67 reference-geometry (r4,
+direct-PIL compositor + numpy-SUB-filter PNG writer, report/pilcomp.py).
+Shared-box noise swings single readings ±25-30%: best-of-4 on a quiet box.
+"""
+
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, ".")
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+from imageprocess_tpu.pipelines.morphology import MorConfig, run_morphology
+
+FOLDER = (sys.argv[1] if len(sys.argv) > 1 else
+          "/root/reference/Testsamples/1Flu_Intensity(BCC P0 and P1)"
+          "/ANA/e1_P0")
+
+
+def best_of(cfg, reps=4):
+    run_morphology(FOLDER, cfg, out_root=tempfile.mkdtemp(),
+                   log=lambda *_: None)  # warm: jit compile
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        run_morphology(FOLDER, cfg, out_root=tempfile.mkdtemp(),
+                       log=lambda *_: None)
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+for label, cfg in (("capped (default)", MorConfig(sel_ch=2)),
+                   ("reference 1100-px", MorConfig(sel_ch=2,
+                                                   mpl_canvas=True))):
+    print(f"morphology-with-images, {label}: "
+          f"{best_of(cfg):.2f} s/stage (best of 4)")
