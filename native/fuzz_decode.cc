@@ -9,12 +9,14 @@
 #include "tiff_lzw.cpp"
 
 #include <cstdio>
+#include <map>
 #include <random>
+#include <string>
 
 static std::vector<uint8_t> make_tiff(uint32_t h, uint32_t w, uint16_t comp,
                                       uint16_t pred,
                                       const std::vector<std::vector<uint8_t>>& strips,
-                                      uint32_t rps) {
+                                      uint32_t rps, uint16_t bits = 16) {
     std::vector<uint8_t> b;
     auto p16 = [&](uint16_t v) { b.push_back(v & 0xff); b.push_back(v >> 8); };
     auto p32 = [&](uint32_t v) { for (int i = 0; i < 4; ++i) b.push_back((v >> (8*i)) & 0xff); };
@@ -34,7 +36,7 @@ static std::vector<uint8_t> make_tiff(uint32_t h, uint32_t w, uint16_t comp,
     }
     uint32_t ifd_off = (uint32_t)b.size();
     struct E { uint16_t tag, typ; uint32_t cnt, val; };
-    E es[] = {{256,3,1,w},{257,3,1,h},{258,3,1,16},{259,3,1,comp},{262,3,1,1},
+    E es[] = {{256,3,1,w},{257,3,1,h},{258,3,1,bits},{259,3,1,comp},{262,3,1,1},
               {273,4,n, n == 1 ? offs[0] : arr_off},{277,3,1,1},
               {278,4,1,rps},
               {279,4,n, n == 1 ? cnts[0] : arr_off + 4 * n},{317,3,1,pred}};
@@ -43,6 +45,95 @@ static std::vector<uint8_t> make_tiff(uint32_t h, uint32_t w, uint16_t comp,
     p32(0);
     for (int i = 0; i < 4; ++i) b[4 + i] = (ifd_off >> (8 * i)) & 0xff;
     return b;
+}
+
+// Minimal TIFF-variant LZW encoder (MSB-first bit packing, early change):
+// reference-quality is irrelevant here, only valid streams matter — used to
+// craft streams that decode to MORE bytes than the declared image so the
+// decoder's clip-at-dst_len path is exercised mid-long-string.
+static std::vector<uint8_t> lzw_encode(const std::vector<uint8_t>& data) {
+    std::vector<uint8_t> out;
+    uint64_t acc = 0;
+    int nbits = 0;
+    int code_bits = 9;
+    auto put = [&](int code) {
+        acc = (acc << code_bits) | (uint64_t)code;
+        nbits += code_bits;
+        while (nbits >= 8) {
+            out.push_back((uint8_t)(acc >> (nbits - 8)));
+            nbits -= 8;
+        }
+    };
+    std::map<std::string, int> table;
+    for (int i = 0; i < 256; ++i) table[std::string(1, (char)i)] = i;
+    int next_code = 258;
+    put(256);  // Clear
+    std::string w;
+    for (uint8_t c : data) {
+        std::string wc = w + (char)c;
+        if (table.count(wc)) {
+            w = wc;
+            continue;
+        }
+        put(table[w]);
+        table[wc] = next_code++;
+        // TIFF early change: the DECODER bumps width when next_code ==
+        // (1<<bits)-1, so the encoder must emit the NEXT code wider
+        if (next_code == (1 << code_bits) - 1 && code_bits < 12) ++code_bits;
+        if (next_code >= 4094) {  // stay clear of table-full handling
+            put(256);
+            table.clear();
+            for (int i = 0; i < 256; ++i) table[std::string(1, (char)i)] = i;
+            next_code = 258;
+            code_bits = 9;
+        }
+        w = std::string(1, (char)c);
+    }
+    if (!w.empty()) put(table[w]);
+    put(257);  // EoI
+    if (nbits) out.push_back((uint8_t)(acc << (8 - nbits)));
+    return out;
+}
+
+// Deterministic crafted cases: a zero-run encodes to strings of growing
+// length, so sweeping the declared image size over the run crosses a LONG
+// (>48-byte) string at every offset — the stream then decodes to more
+// bytes than dst and must CLIP there without writing past dst (the bulk
+// emit fast path skips its dst-bound compare, so a missed stop after a
+// clipped long emit would be a 16-byte heap overflow — ASan's job here).
+static int overlong_cases(int fd, const char* path) {
+    // data = Z zeros then 64 sevens: the encoder emits growing zero
+    // strings, a FINAL zero chunk whose length r sweeps 0..~50 as Z does,
+    // then a LITERAL '7'.  Sweeping (Z, dst_len) puts the clip point at
+    // every offset inside every string, in both pair phases, with both a
+    // long-string and a 1-byte-literal follow-up code — including the
+    // hazardous alignment: clip lands >=48 bytes past the pair-start di
+    // inside a long string whose NEXT code is a short one (the unchecked
+    // bulk fast emit).  8-bit samples give byte-granular dst_len.
+    std::vector<uint8_t> out;
+    std::string err;
+    int accepted = 0;
+    for (uint32_t Z = 1225; Z <= 1330; Z += 3) {
+        std::vector<uint8_t> data(Z + 64, 0);
+        for (size_t i = Z; i < data.size(); ++i) data[i] = 7;
+        auto enc = lzw_encode(data);
+        for (uint32_t w = Z - 80; w <= Z + 2; ++w) {  // dst_len = w (u8)
+            auto tif = make_tiff(1, w, 5, 1, {enc}, 1, 8);
+            if (::ftruncate(fd, 0) != 0 || ::lseek(fd, 0, SEEK_SET) < 0 ||
+                ::write(fd, tif.data(), tif.size()) != (ssize_t)tif.size())
+                return -1;
+            out.assign((size_t)w + 64, 0xAB);
+            int rc = decode_one(path, 0, out.data(), (long long)w, 1, &err);
+            if (rc == 0) {
+                ++accepted;
+                for (size_t i = 0; i < (size_t)w; ++i)
+                    if (out[i] != data[i]) return -2;  // clipped prefix exact
+            }
+            for (size_t i = (size_t)w; i < out.size(); ++i)
+                if (out[i] != 0xAB) return -3;  // bytes past dst_len untouched
+        }
+    }
+    return accepted;
 }
 
 int main(int argc, char** argv) {
@@ -54,6 +145,11 @@ int main(int argc, char** argv) {
     char path[] = "/tmp/fuzz_decode_XXXXXX.tif";
     int fd = mkstemps(path, 4);  // own file: concurrent runs don't clobber
     if (fd < 0) { std::perror("mkstemps"); return 2; }
+    int oc = overlong_cases(fd, path);
+    if (oc < 0) {
+        std::printf("overlong crafted cases FAILED (%d)\n", oc);
+        return 1;
+    }
     for (int it = 0; it < iters; ++it) {
         uint32_t h = 1 + g() % 64, w = 1 + g() % 96;
         uint32_t n_strips = 1 + g() % 4;
