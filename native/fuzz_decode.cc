@@ -77,9 +77,11 @@ static std::vector<uint8_t> lzw_encode(const std::vector<uint8_t>& data) {
         }
         put(table[w]);
         table[wc] = next_code++;
-        // TIFF early change: the DECODER bumps width when next_code ==
-        // (1<<bits)-1, so the encoder must emit the NEXT code wider
-        if (next_code == (1 << code_bits) - 1 && code_bits < 12) ++code_bits;
+        // TIFF early change, seen from the ENCODER: the decoder's table
+        // runs one entry behind and bumps width when ITS next_code hits
+        // (1<<bits)-1 — one code later in the stream — so the encoder
+        // bumps at (1<<bits)
+        if (next_code == (1 << code_bits) && code_bits < 12) ++code_bits;
         if (next_code >= 4094) {  // stay clear of table-full handling
             put(256);
             table.clear();
@@ -101,6 +103,26 @@ static std::vector<uint8_t> lzw_encode(const std::vector<uint8_t>& data) {
 // bytes than dst and must CLIP there without writing past dst (the bulk
 // emit fast path skips its dst-bound compare, so a missed stop after a
 // clipped long emit would be a 16-byte heap overflow — ASan's job here).
+// Encoder/decoder roundtrip across width changes (9->10->11 bits and a
+// mid-stream Clear): validates the harness encoder itself so the overlong
+// sweep's "clipped prefix must be the data" assertion means something.
+static int roundtrip_case(int fd, const char* path) {
+    std::mt19937 g(7);
+    std::vector<uint8_t> data(20000);
+    for (size_t i = 0; i < data.size(); ++i)
+        data[i] = (uint8_t)(g() % 7 ? (g() % 4) : (uint8_t)g());  // mixed
+    auto enc = lzw_encode(data);
+    auto tif = make_tiff(1, (uint32_t)data.size(), 5, 1, {enc}, 1, 8);
+    if (::ftruncate(fd, 0) != 0 || ::lseek(fd, 0, SEEK_SET) < 0 ||
+        ::write(fd, tif.data(), tif.size()) != (ssize_t)tif.size())
+        return -1;
+    std::vector<uint8_t> out(data.size(), 0xAB);
+    std::string err;
+    if (decode_one(path, 0, out.data(), (long long)out.size(), 1, &err) != 0)
+        return -2;
+    return out == data ? 0 : -3;
+}
+
 static int overlong_cases(int fd, const char* path) {
     // data = Z zeros then 64 sevens: the encoder emits growing zero
     // strings, a FINAL zero chunk whose length r sweeps 0..~50 as Z does,
@@ -145,6 +167,11 @@ int main(int argc, char** argv) {
     char path[] = "/tmp/fuzz_decode_XXXXXX.tif";
     int fd = mkstemps(path, 4);  // own file: concurrent runs don't clobber
     if (fd < 0) { std::perror("mkstemps"); return 2; }
+    int rt = roundtrip_case(fd, path);
+    if (rt != 0) {
+        std::printf("encoder/decoder roundtrip FAILED (%d)\n", rt);
+        return 1;
+    }
     int oc = overlong_cases(fd, path);
     if (oc < 0) {
         std::printf("overlong crafted cases FAILED (%d)\n", oc);

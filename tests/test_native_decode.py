@@ -265,7 +265,7 @@ def test_frame_buffer_pool_recycles(tmp_path, rng):
 
 
 def _write_raw_tiff(path, data_bytes, h, w, bits, *, predictor=1,
-                    big_endian=False):
+                    big_endian=False, compression=1):
     """Hand-rolled minimal classic TIFF: one uncompressed strip, explicit
     predictor tag.  PIL never writes predictor=2, so the decoder's
     horizontal-differencing undo (incl. the SSE2 prefix-sum fast path,
@@ -281,7 +281,7 @@ def _write_raw_tiff(path, data_bytes, h, w, bits, *, predictor=1,
         (256, 3, 1, w),            # ImageWidth
         (257, 3, 1, h),            # ImageLength
         (258, 3, 1, bits),         # BitsPerSample
-        (259, 3, 1, 1),            # Compression: none
+        (259, 3, 1, compression),  # 1 = none, 5 = LZW
         (262, 3, 1, 1),            # Photometric: minisblack
         (273, 4, 1, data_off),     # StripOffsets
         (277, 3, 1, 1),            # SamplesPerPixel
@@ -437,3 +437,91 @@ def test_multi_strip_rows_per_strip_truncation_guard(tmp_path):
     # strip 0 covers the full image (rows clamp to h); strips 1-2 start
     # past row h in 64-bit math and must contribute nothing
     np.testing.assert_array_equal(got, good)
+
+
+def _lzw_encode(data: bytes) -> bytes:
+    """Minimal TIFF-variant LZW encoder (MSB-first packing, early change):
+    used to craft streams PIL can't be coaxed into writing — in particular
+    streams that decode to MORE bytes than the declared image."""
+    out = bytearray()
+    acc = 0
+    nbits = 0
+    code_bits = 9
+
+    def put(code):
+        nonlocal acc, nbits
+        acc = (acc << code_bits) | code
+        nbits += code_bits
+        while nbits >= 8:
+            out.append((acc >> (nbits - 8)) & 0xFF)
+            nbits -= 8
+
+    table = {bytes([i]): i for i in range(256)}
+    next_code = 258
+    put(256)  # Clear
+    w = b""
+    for b in data:
+        wc = w + bytes([b])
+        if wc in table:
+            w = wc
+            continue
+        put(table[w])
+        table[wc] = next_code
+        next_code += 1
+        # TIFF early change, seen from the ENCODER: the decoder's table
+        # runs one entry behind and bumps width when ITS next_code hits
+        # (1 << bits) - 1, which is one code LATER in the stream — so the
+        # encoder bumps at (1 << bits)
+        if next_code == (1 << code_bits) and code_bits < 12:
+            code_bits += 1
+        if next_code >= 4094:  # stay clear of table-full handling
+            put(256)
+            table = {bytes([i]): i for i in range(256)}
+            next_code = 258
+            code_bits = 9
+        w = bytes([b])
+    if w:
+        put(table[w])
+    put(257)  # EoI
+    if nbits:
+        out.append((acc << (8 - nbits)) & 0xFF)
+    return bytes(out)
+
+
+def test_lzw_encoder_roundtrip(tmp_path):
+    """Sanity-pin the in-test encoder itself against the decoder."""
+    data = bytes([0, 0, 7, 7, 7, 0, 1, 2, 3] * 50 + list(range(256)))
+    p = str(tmp_path / "enc.tif")
+    _write_raw_tiff(p, _lzw_encode(data), 1, len(data), 8, compression=5)
+    got = decode_tiff(p)
+    if got is None:
+        pytest.skip("native decoder unavailable")
+    np.testing.assert_array_equal(got.ravel(), np.frombuffer(data, np.uint8))
+
+
+def test_overlong_lzw_stream_clips_without_overrun(tmp_path):
+    """A stream that decodes to MORE bytes than the declared image must clip
+    at exactly dst_len and succeed with the exact prefix (the reference path
+    via PIL truncates the same way) — and never write past dst.
+
+    The (Z, dst_len) sweep is built so the clip point crosses LONG (~50-byte)
+    table strings at every offset and pair phase, with both a long-string and
+    a 1-byte-literal follow-up code: the hazardous alignment for the bulk
+    fast emit, which skips its per-code dst-bound compare (the byte-canary
+    sweep over the same geometry lives in native/fuzz_decode.cc and runs
+    under ASan; this is the deterministic CI slice)."""
+    hit = 0
+    for Z in (1276, 1290, 1301):
+        data = bytes(Z) + b"\x07" * 64
+        enc = _lzw_encode(data)
+        full = np.frombuffer(data, np.uint8)
+        for w in range(Z - 80, Z + 3):
+            p = str(tmp_path / f"o{Z}_{w}.tif")
+            _write_raw_tiff(p, enc, 1, w, 8, compression=5)
+            got = decode_tiff(p)
+            if got is None and hit == 0:
+                pytest.skip("native decoder unavailable")
+            assert got is not None, (Z, w)
+            np.testing.assert_array_equal(got.ravel(), full[:w])
+            hit += 1
+    assert hit == 3 * 83
