@@ -32,7 +32,7 @@ def _try_build() -> None:
     try:
         subprocess.run(
             ["g++", "-O3", "-march=native", "-fPIC", "-std=c++17", "-shared",
-             "-o", _LIB_PATH, src, "-lpthread"],
+             "-o", _LIB_PATH, src, "-lpthread", "-lz"],
             check=True, capture_output=True, timeout=120,
         )
     except Exception:

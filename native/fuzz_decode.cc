@@ -1,5 +1,5 @@
 // ASan/UBSan robustness harness for the TIFF/LZW decoder (dev tool):
-//   g++ -O1 -g -fsanitize=address,undefined -o fuzz_decode fuzz_decode.cc -lpthread
+//   g++ -O1 -g -fsanitize=address,undefined -o fuzz_decode fuzz_decode.cc -lpthread -lz
 //   ./fuzz_decode [iterations]
 // Feeds (a) random bytes, (b) structurally valid TIFFs with random LZW
 // strip payloads — including multi-strip layouts and adversarial
@@ -196,7 +196,9 @@ int main(int argc, char** argv) {
             case 3: rps = 0x80000000u | (uint32_t)g(); break;
             default: rps = 0xFFFFFF00u + (g() % 512); break;
         }
-        uint16_t comp = (it % 3 == 0) ? 1 : 5;  // none / LZW
+        // none / LZW / Adobe deflate / old deflate / PackBits
+        static const uint16_t kComps[] = {1, 5, 5, 8, 32946, 32773};
+        uint16_t comp = kComps[it % 6];
         uint16_t pred = (it % 2) ? 2 : 1;
         auto tif = (it % 7 == 0)
                        ? std::vector<uint8_t>(strips[0])    // pure garbage file

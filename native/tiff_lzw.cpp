@@ -24,6 +24,7 @@
 
 #include <fcntl.h>
 #include <sys/mman.h>
+#include <zlib.h>
 #include <sys/stat.h>
 #include <unistd.h>
 
@@ -507,8 +508,72 @@ bool load_file(const char* path, Reader* r, std::string* err) {
     return true;
 }
 
+// PackBits (compression 32773): signed-count byte RLE.  Mirrors the LZW
+// contract: a strip must fill dst exactly (short input -> error) and an
+// over-long stream clips at dst_len (accepted, like the PIL/tifffile path).
+bool packbits_decode(const uint8_t* src, size_t src_len, uint8_t* dst,
+                     size_t dst_len, std::string* err) {
+    size_t si = 0, di = 0;
+    while (di < dst_len) {
+        if (si >= src_len) {
+            *err = "short PackBits strip";
+            return false;
+        }
+        int8_t n = (int8_t)src[si++];
+        if (n >= 0) {  // n+1 literal bytes
+            size_t l = (size_t)n + 1;
+            if (si + l > src_len) {
+                *err = "short PackBits strip";
+                return false;
+            }
+            if (l > dst_len - di) l = dst_len - di;  // clip over-long
+            std::memcpy(dst + di, src + si, l);
+            si += (size_t)n + 1;
+            di += l;
+        } else if (n != -128) {  // repeat next byte 1-n times (-128: noop)
+            if (si >= src_len) {
+                *err = "short PackBits strip";
+                return false;
+            }
+            size_t l = (size_t)(1 - (int)n);
+            if (l > dst_len - di) l = dst_len - di;
+            std::memset(dst + di, src[si++], l);
+            di += l;
+        }
+    }
+    return true;
+}
+
+// Deflate (compression 8 "Adobe" / 32946 "old-style"): each strip is one
+// zlib stream.  Same fill contract as LZW/PackBits.
+bool deflate_decode(const uint8_t* src, size_t src_len, uint8_t* dst,
+                    size_t dst_len, std::string* err) {
+    z_stream zs;
+    std::memset(&zs, 0, sizeof(zs));
+    if (inflateInit(&zs) != Z_OK) {
+        *err = "inflateInit failed";
+        return false;
+    }
+    zs.next_in = const_cast<Bytef*>(src);
+    zs.avail_in = (uInt)src_len;
+    zs.next_out = dst;
+    zs.avail_out = (uInt)dst_len;
+    int zrc = inflate(&zs, Z_FINISH);
+    bool full = zs.avail_out == 0;
+    inflateEnd(&zs);
+    // dst exactly filled (stream may continue past it: over-long strips
+    // clip, like the LZW path) = ok; a stream that ENDS before dst fills
+    // is a short strip; anything else is corrupt.
+    if (full) return true;
+    *err = zrc == Z_STREAM_END ? "short deflate strip"
+                               : "corrupt deflate strip";
+    return false;
+}
+
 int validate_page(const TiffPage& pg, std::string* err) {
-    if (pg.compression != 1 && pg.compression != 5) {
+    if (pg.compression != 1 && pg.compression != 5 &&
+        pg.compression != 8 && pg.compression != 32946 &&
+        pg.compression != 32773) {
         *err = "unsupported compression";
         return -3;
     }
@@ -604,8 +669,18 @@ int decode_page(const Reader& r, const TiffPage& pg, uint8_t* out,
                 }
                 std::memcpy(dst, r.ptr + off, strip_bytes);
             } else {
-                if (!lzw_decode(r.ptr + off, cnt, dst, strip_bytes,
-                                &werr)) {
+                bool ok;
+                if (pg.compression == 5) {
+                    ok = lzw_decode(r.ptr + off, cnt, dst, strip_bytes,
+                                    &werr);
+                } else if (pg.compression == 32773) {
+                    ok = packbits_decode(r.ptr + off, cnt, dst, strip_bytes,
+                                         &werr);
+                } else {  // 8 / 32946: zlib deflate
+                    ok = deflate_decode(r.ptr + off, cnt, dst, strip_bytes,
+                                        &werr);
+                }
+                if (!ok) {
                     rc = -7;
                     std::lock_guard<std::mutex> g(err_mu);
                     *err = werr;

@@ -525,3 +525,91 @@ def test_overlong_lzw_stream_clips_without_overrun(tmp_path):
             np.testing.assert_array_equal(got.ravel(), full[:w])
             hit += 1
     assert hit == 3 * 83
+
+
+@pytest.mark.parametrize("dtype,comp", [
+    (np.uint16, "packbits"),
+    (np.uint8, "packbits"),
+    (np.uint16, "tiff_adobe_deflate"),
+    (np.uint8, "tiff_adobe_deflate"),
+])
+def test_packbits_deflate_roundtrip_vs_pil(tmp_path, rng, dtype, comp):
+    """Native PackBits (32773) and Adobe deflate (8) strips decode
+    bit-exactly vs PIL (the reference reads these through tifffile/PIL:
+    src/INT/Fluor_INT.py:350-368; microscopy exports commonly use both)."""
+    hi = 65535 if dtype == np.uint16 else 255
+    # runs + noise: exercises both PackBits literal and repeat packets
+    arr = rng.integers(0, hi + 1, size=(130, 201)).astype(dtype)
+    arr[:40] = 7
+    arr[50:60, 100:] = 0
+    p = str(tmp_path / "c.tif")
+    _write(p, arr, compression=comp)
+    got = decode_tiff(p)
+    if got is None:
+        pytest.skip("native decoder unavailable")
+    assert got.dtype == arr.dtype
+    np.testing.assert_array_equal(got, np.asarray(Image.open(p)))
+
+
+def test_deflate_with_predictor2_and_big_endian(tmp_path, rng):
+    """PIL never writes predictor with deflate; craft it: the inflate must
+    compose with byteswap + prefix-sum undo exactly like the LZW path."""
+    import zlib
+
+    h, w = 16, 61
+    arr = rng.integers(0, 65536, size=(h, w)).astype(np.uint16)
+    diff = arr.copy()
+    diff[:, 1:] -= arr[:, :-1]
+    p = str(tmp_path / "dfp.tif")
+    _write_raw_tiff(p, zlib.compress(diff.astype(">u2").tobytes()), h, w, 16,
+                    predictor=2, big_endian=True, compression=8)
+    got = decode_tiff(p)
+    if got is None:
+        pytest.skip("native decoder unavailable")
+    np.testing.assert_array_equal(got, arr)
+    # old-style code 32946 takes the same path
+    p2 = str(tmp_path / "dfp2.tif")
+    _write_raw_tiff(p2, zlib.compress(diff.astype(">u2").tobytes()), h, w, 16,
+                    predictor=2, big_endian=True, compression=32946)
+    np.testing.assert_array_equal(decode_tiff(p2), arr)
+
+
+def test_short_and_corrupt_packbits_deflate_fail(tmp_path, rng):
+    """Short or corrupt PackBits/deflate strips must error (None), never
+    return a half-filled buffer — same contract as the LZW path."""
+    import zlib
+
+    h, w = 32, 64
+    arr = rng.integers(0, 65536, size=(h, w)).astype(np.uint16)
+    full_deflate = zlib.compress(arr.tobytes())
+    probe = str(tmp_path / "probe.tif")
+    _write_raw_tiff(probe, full_deflate, h, w, 16, compression=8)
+    if decode_tiff(probe) is None:
+        pytest.skip("native decoder unavailable")
+    cases = {
+        # deflate stream for HALF the rows: ends cleanly but short
+        "df_short": (zlib.compress(arr[: h // 2].tobytes()), 8),
+        # broken zlib header: corrupt from byte 0 (mid-stream byte flips in
+        # STORED blocks — random data — stay structurally valid and fall
+        # under the clip-accept rule, so corrupt the frame itself)
+        "df_corrupt": (b"\x00\x00" + full_deflate[2:], 8),
+        # PackBits that ends mid-image
+        "pb_short": (b"\x05" + bytes(6), 32773),
+    }
+    for name, (payload, comp) in cases.items():
+        p = str(tmp_path / f"{name}.tif")
+        _write_raw_tiff(p, payload, h, w, 16, compression=comp)
+        assert decode_tiff(p) is None, name
+
+
+def test_packbits_multi_strip_vs_pil(tmp_path, rng):
+    """PIL writes one PackBits strip per row block; a taller image makes
+    multiple strips so the per-strip fill contract is exercised."""
+    arr = rng.integers(0, 65536, size=(600, 300)).astype(np.uint16)
+    arr[::3] = 1  # compressible rows keep PIL's strips small
+    p = str(tmp_path / "ms.tif")
+    _write(p, arr, compression="packbits")
+    got = decode_tiff(p)
+    if got is None:
+        pytest.skip("native decoder unavailable")
+    np.testing.assert_array_equal(got, np.asarray(Image.open(p)))
