@@ -550,6 +550,12 @@ bool packbits_decode(const uint8_t* src, size_t src_len, uint8_t* dst,
 // zlib stream.  Same fill contract as LZW/PackBits.
 bool deflate_decode(const uint8_t* src, size_t src_len, uint8_t* dst,
                     size_t dst_len, std::string* err) {
+    if (src_len > UINT32_MAX || dst_len > UINT32_MAX) {
+        // zlib's avail_in/avail_out are uInt; silent truncation would
+        // misreport a huge crafted strip as short/clipped
+        *err = "deflate strip too large";
+        return false;
+    }
     z_stream zs;
     std::memset(&zs, 0, sizeof(zs));
     if (inflateInit(&zs) != Z_OK) {
