@@ -542,3 +542,45 @@ def test_batched_image_outputs_fall_back_to_serial(timelapse_folder, tmp_path):
                    for line in logs)
     pngs = glob.glob(str(tmp_path / "b" / "**" / "*.png"), recursive=True)
     assert pngs, "requested PNG outputs were not written"
+
+
+@pytest.mark.parametrize("compression", ["tiff_adobe_deflate", "packbits"])
+def test_batched_on_deflate_and_packbits_datasets(tmp_path, compression):
+    """Datasets compressed with Deflate or PackBits ride the SAME native
+    batch + fused-histogram streaming path as LZW (decode_page dispatches
+    per strip): batched rows must match the serial runner, and the chN_bg
+    percentile (computed from the decoder-fused histogram) must be exact."""
+    from PIL import Image
+
+    folder = tmp_path / "exp"
+    os.makedirs(folder / "roi")
+    rng = np.random.default_rng(3)
+    H, W = 160, 192
+    polys = [np.array([[15, 15], [60, 18], [55, 70], [12, 66]], float),
+             np.array([[70, 40], [115, 45], [110, 85], [65, 80]], float)]
+    for s in range(1, 6):
+        for ch in (1, 2):
+            arr = rng.integers(10, 3000, (H, W)).astype(np.uint16)
+            Image.fromarray(arr).save(
+                str(folder / f"S{s:02d}_{ch}.TIF"), format="TIFF",
+                compression=compression)
+        roiio.save_roi_bundle(str(folder / "roi" / f"S{s:02d}.json"),
+                              f"S{s:02d}", (H, W), polys)
+    cfg = IntensityConfig(channels=(1, 2), do_xls=False)
+    serial = run_intensity(str(folder), cfg, out_root=str(tmp_path / "s"),
+                           log=lambda *_: None)
+    logs = []
+    batched = run_intensity_batched(str(folder), cfg,
+                                    out_root=str(tmp_path / "b"),
+                                    log=logs.append, batch_size=3)
+    assert any(str(line).startswith(("[batch]", "[배치]")) for line in logs)
+    assert len(serial) == len(batched) == 10
+    sd = {_key(r): r for r in serial}
+    for r in batched:
+        ref = sd[_key(r)]
+        for k, v in ref.items():
+            if isinstance(v, float) and not np.isnan(v):
+                assert abs(r[k] - v) <= 1e-5 * max(abs(v), 1e-9), (k, r[k], v)
+        # fused-hist backgrounds are exact vs the serial path's
+        for ch in (1, 2):
+            assert r[f"ch{ch}_bg"] == ref[f"ch{ch}_bg"]
