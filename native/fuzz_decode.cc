@@ -8,6 +8,7 @@
 // Every call must return cleanly (ok or error) — no OOB, no UB, no hang.
 #include "tiff_lzw.cpp"
 
+#include <algorithm>
 #include <cstdio>
 #include <map>
 #include <random>
@@ -16,7 +17,8 @@
 static std::vector<uint8_t> make_tiff(uint32_t h, uint32_t w, uint16_t comp,
                                       uint16_t pred,
                                       const std::vector<std::vector<uint8_t>>& strips,
-                                      uint32_t rps, uint16_t bits = 16) {
+                                      uint32_t rps, uint16_t bits = 16,
+                                      uint32_t tw = 0, uint32_t th = 0) {
     std::vector<uint8_t> b;
     auto p16 = [&](uint16_t v) { b.push_back(v & 0xff); b.push_back(v >> 8); };
     auto p32 = [&](uint32_t v) { for (int i = 0; i < 4; ++i) b.push_back((v >> (8*i)) & 0xff); };
@@ -36,11 +38,20 @@ static std::vector<uint8_t> make_tiff(uint32_t h, uint32_t w, uint16_t comp,
     }
     uint32_t ifd_off = (uint32_t)b.size();
     struct E { uint16_t tag, typ; uint32_t cnt, val; };
-    E es[] = {{256,3,1,w},{257,3,1,h},{258,3,1,bits},{259,3,1,comp},{262,3,1,1},
-              {273,4,n, n == 1 ? offs[0] : arr_off},{277,3,1,1},
-              {278,4,1,rps},
-              {279,4,n, n == 1 ? cnts[0] : arr_off + 4 * n},{317,3,1,pred}};
-    p16(10);
+    bool tiled = tw || th;
+    uint16_t off_tag = tiled ? 324 : 273, cnt_tag = tiled ? 325 : 279;
+    std::vector<E> es = {
+        {256,3,1,w},{257,3,1,h},{258,3,1,bits},{259,3,1,comp},{262,3,1,1},
+        {off_tag,4,n, n == 1 ? offs[0] : arr_off},{277,3,1,1},
+        {278,4,1,rps},
+        {cnt_tag,4,n, n == 1 ? cnts[0] : arr_off + 4 * n},{317,3,1,pred}};
+    if (tiled) {
+        es.push_back({322,3,1,tw});
+        es.push_back({323,3,1,th});
+        std::sort(es.begin(), es.end(),
+                  [](const E& a, const E& bb) { return a.tag < bb.tag; });
+    }
+    p16((uint16_t)es.size());
     for (auto& e : es) { p16(e.tag); p16(e.typ); p32(e.cnt); p32(e.val); }
     p32(0);
     for (int i = 0; i < 4; ++i) b[4 + i] = (ifd_off >> (8 * i)) & 0xff;
@@ -200,9 +211,17 @@ int main(int argc, char** argv) {
         static const uint16_t kComps[] = {1, 5, 5, 8, 32946, 32773};
         uint16_t comp = kComps[it % 6];
         uint16_t pred = (it % 2) ? 2 : 1;
+        // every 5th case uses a tiled layout (random tile geometry, often
+        // mismatching the payload count/size: the tile-grid bounds and
+        // missing-tile checks must hold)
+        uint32_t tw = 0, th = 0;
+        if (it % 5 == 2) {
+            tw = 1 + g() % 96;
+            th = 1 + g() % 64;
+        }
         auto tif = (it % 7 == 0)
                        ? std::vector<uint8_t>(strips[0])    // pure garbage file
-                       : make_tiff(h, w, comp, pred, strips, rps);
+                       : make_tiff(h, w, comp, pred, strips, rps, 16, tw, th);
         if (::ftruncate(fd, 0) != 0 || ::lseek(fd, 0, SEEK_SET) < 0 ||
             ::write(fd, tif.data(), tif.size()) != (ssize_t)tif.size()) {
             std::perror("write case");

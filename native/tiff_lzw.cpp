@@ -95,6 +95,9 @@ struct TiffPage {
     uint32_t width = 0, height = 0;
     uint16_t bits = 0, samples = 1, compression = 1, predictor = 1;
     uint32_t rows_per_strip = 0xFFFFFFFF;
+    // tiled layout (tags 322-325): when tile_width != 0 the offsets/counts
+    // vectors hold TILE offsets/counts in row-major tile order
+    uint32_t tile_width = 0, tile_height = 0;
     std::vector<uint32_t> strip_offsets, strip_counts;
 };
 
@@ -146,15 +149,19 @@ bool parse_page(const Reader& r, int page, TiffPage* out, std::string* err) {
             case 278: out->rows_per_strip = entry_value(r, e, eo, 0); break;
             case 317: out->predictor = (uint16_t)entry_value(r, e, eo, 0); break;
             case 273:
+            case 324:  // TileOffsets share the offsets vector
                 out->strip_offsets.resize(e.count);
                 for (uint32_t k = 0; k < e.count; ++k)
                     out->strip_offsets[k] = entry_value(r, e, eo, k);
                 break;
             case 279:
+            case 325:  // TileByteCounts share the counts vector
                 out->strip_counts.resize(e.count);
                 for (uint32_t k = 0; k < e.count; ++k)
                     out->strip_counts[k] = entry_value(r, e, eo, k);
                 break;
+            case 322: out->tile_width = entry_value(r, e, eo, 0); break;
+            case 323: out->tile_height = entry_value(r, e, eo, 0); break;
             default: break;
         }
     }
@@ -610,6 +617,103 @@ void accumulate_row_hist(const uint8_t* row_bytes, uint32_t width,
     for (size_t c = first; c < width; c += (size_t)stride) ++hist[px[c]];
 }
 
+// Tiled layout (tags 322-325, e.g. OME-TIFF exports): each tile is an
+// independently compressed tw x th block, row-major over the tile grid;
+// edge tiles are padded to the FULL tile size in the stream (TIFF6 spec),
+// so every tile decodes into a full scratch block and only the valid
+// region copies into place.  Predictor and byteswap apply per TILE row.
+// Serial (tiles are small and this path is breadth, not the hot path).
+int decode_page_tiled(const Reader& r, const TiffPage& pg, uint8_t* out,
+                      std::string* err, uint32_t* hist,
+                      long long hist_stride) {
+    const uint32_t tw = pg.tile_width, th = pg.tile_height;
+    if (tw == 0 || th == 0) {
+        *err = "tiled page missing TileWidth or TileLength";
+        return -3;
+    }
+    size_t bytes_per_px = (pg.bits / 8) * pg.samples;
+    size_t tile_row_bytes = (size_t)tw * bytes_per_px;
+    if (th != 0 && tile_row_bytes != 0 &&
+        tile_row_bytes > SIZE_MAX / th) {
+        *err = "tile dimensions overflow";
+        return -5;
+    }
+    size_t tile_bytes = tile_row_bytes * th;
+    if (tile_bytes == 0 || tile_bytes > (64u << 20)) {
+        // 64 MB/tile sanity bound: real tiles are 16-512 KB; a crafted
+        // 4-Gpix tile must not drive a giant allocation
+        *err = "unreasonable tile size";
+        return -5;
+    }
+    size_t across = ((size_t)pg.width + tw - 1) / tw;
+    size_t down = ((size_t)pg.height + th - 1) / th;
+    size_t n_tiles = across * down;
+    if (pg.strip_offsets.size() < n_tiles) {
+        *err = "missing tiles";
+        return -6;
+    }
+    size_t row_bytes = (size_t)pg.width * bytes_per_px;
+    std::vector<uint8_t> scratch(tile_bytes);
+    std::string werr;
+    for (size_t t = 0; t < n_tiles; ++t) {
+        uint32_t x0 = (uint32_t)(t % across) * tw;
+        uint32_t y0 = (uint32_t)(t / across) * th;
+        uint32_t off = pg.strip_offsets[t];
+        uint32_t cnt = t < pg.strip_counts.size() ? pg.strip_counts[t]
+                                                  : (uint32_t)tile_bytes;
+        if ((size_t)off + cnt > r.size) {
+            *err = "tile outside file";
+            return -6;
+        }
+        bool ok;
+        if (pg.compression == 1) {
+            ok = cnt >= tile_bytes;
+            if (ok) std::memcpy(scratch.data(), r.ptr + off, tile_bytes);
+            else werr = "short uncompressed tile";
+        } else if (pg.compression == 5) {
+            ok = lzw_decode(r.ptr + off, cnt, scratch.data(), tile_bytes,
+                            &werr);
+        } else if (pg.compression == 32773) {
+            ok = packbits_decode(r.ptr + off, cnt, scratch.data(),
+                                 tile_bytes, &werr);
+        } else {
+            ok = deflate_decode(r.ptr + off, cnt, scratch.data(),
+                                tile_bytes, &werr);
+        }
+        if (!ok) {
+            *err = werr;
+            return -7;
+        }
+        if (pg.bits == 16 && r.big_endian) {
+            for (size_t i = 0; i + 1 < tile_bytes; i += 2) {
+                uint8_t b = scratch[i];
+                scratch[i] = scratch[i + 1];
+                scratch[i + 1] = b;
+            }
+        }
+        if (pg.predictor == 2) {
+            for (uint32_t rr = 0; rr < th; ++rr)
+                undo_predictor(scratch.data() + tile_row_bytes * rr, tw,
+                               pg.bits, pg.samples);
+        }
+        uint32_t vw = tw, vh = th;
+        if (x0 + vw > pg.width) vw = pg.width - x0;
+        if (y0 + vh > pg.height) vh = pg.height - y0;
+        size_t copy_bytes = (size_t)vw * bytes_per_px;
+        for (uint32_t rr = 0; rr < vh; ++rr) {
+            uint8_t* dst_row =
+                out + (size_t)(y0 + rr) * row_bytes + (size_t)x0 * bytes_per_px;
+            std::memcpy(dst_row, scratch.data() + tile_row_bytes * rr,
+                        copy_bytes);
+            if (hist && pg.bits == 16 && pg.samples == 1 && hist_stride >= 1)
+                accumulate_row_hist(dst_row, vw,
+                                    (size_t)(y0 + rr) * pg.width + x0,
+                                    hist_stride, hist);
+        }
+    }
+    return 0;
+}
+
 int decode_page(const Reader& r, const TiffPage& pg, uint8_t* out,
                 long long out_bytes, unsigned max_threads, std::string* err,
                 uint32_t* hist = nullptr, long long hist_stride = 0) {
@@ -627,6 +731,9 @@ int decode_page(const Reader& r, const TiffPage& pg, uint8_t* out,
     if (out_bytes < 0 || need > (unsigned long long)out_bytes) {
         *err = "output buffer too small"; return -5;
     }
+
+    if (pg.tile_width || pg.tile_height)
+        return decode_page_tiled(r, pg, out, err, hist, hist_stride);
 
     size_t n_strips = pg.strip_offsets.size();
     std::atomic<int> rc{0};

@@ -613,3 +613,158 @@ def test_packbits_multi_strip_vs_pil(tmp_path, rng):
     if got is None:
         pytest.skip("native decoder unavailable")
     np.testing.assert_array_equal(got, np.asarray(Image.open(p)))
+
+
+def _write_raw_tiled_tiff(path, tile_blobs, h, w, tw, th, bits, *,
+                          predictor=1, big_endian=False, compression=1):
+    """Hand-rolled tiled classic TIFF (tags 322-325).  PIL only writes
+    stripped TIFFs, so the tiled path (OME-TIFF-style exports) is reachable
+    only through crafted files.  tile_blobs: row-major per-tile encoded
+    bytes, each decoding to a FULL tw*th tile (edge tiles padded, TIFF6)."""
+    import struct
+
+    e = ">" if big_endian else "<"
+    magic = b"MM" if big_endian else b"II"
+    data_off = 8
+    offs, cnts = [], []
+    body = bytearray()
+    for blob in tile_blobs:
+        offs.append(data_off + len(body))
+        cnts.append(len(blob))
+        body += blob
+    arrays_off = data_off + len(body)
+    n = len(tile_blobs)
+    ifd_off = arrays_off + 8 * n
+    entries = [
+        (256, 3, 1, w), (257, 3, 1, h), (258, 3, 1, bits),
+        (259, 3, 1, compression), (262, 3, 1, 1), (277, 3, 1, 1),
+        (317, 3, 1, predictor),
+        (322, 3, 1, tw), (323, 3, 1, th),
+        (324, 4, n, offs[0] if n == 1 else arrays_off),
+        (325, 4, n, cnts[0] if n == 1 else arrays_off + 4 * n),
+    ]
+    buf = bytearray()
+    buf += magic + struct.pack(e + "HI", 42, ifd_off)
+    buf += body
+    if n > 1:
+        for v in offs + cnts:
+            buf += struct.pack(e + "I", v)
+    else:
+        buf += bytes(8)  # keep ifd_off stable
+    buf += struct.pack(e + "H", len(entries))
+    for tag, typ, cnt, val in entries:
+        if typ == 3:
+            buf += struct.pack(e + "HHIHH", tag, typ, cnt, val, 0)
+        else:
+            buf += struct.pack(e + "HHII", tag, typ, cnt, val)
+    buf += struct.pack(e + "I", 0)
+    open(path, "wb").write(bytes(buf))
+
+
+def _tile_grid(arr, tw, th):
+    """Split into row-major full-size tiles, zero-padding the edges."""
+    h, w = arr.shape
+    tiles = []
+    for y0 in range(0, h, th):
+        for x0 in range(0, w, tw):
+            t = np.zeros((th, tw), arr.dtype)
+            src = arr[y0:y0 + th, x0:x0 + tw]
+            t[: src.shape[0], : src.shape[1]] = src
+            tiles.append(t)
+    return tiles
+
+
+@pytest.mark.parametrize("comp", [1, 5, 8, 32773])
+def test_tiled_tiff_all_compressions(tmp_path, rng, comp):
+    """Tiled u16 pages with PARTIAL edge tiles decode exactly under every
+    supported compression (tiles are independently compressed full-size
+    blocks; only the valid region may land in the output)."""
+    import zlib
+
+    h, w, tw, th = 100, 150, 64, 48  # 3x3 grid, ragged right/bottom edges
+    arr = rng.integers(0, 65536, size=(h, w)).astype(np.uint16)
+    blobs = []
+    for t in _tile_grid(arr, tw, th):
+        raw = t.tobytes()
+        if comp == 1:
+            blobs.append(raw)
+        elif comp == 5:
+            blobs.append(_lzw_encode(raw))
+        elif comp == 8:
+            blobs.append(zlib.compress(raw))
+        else:  # packbits: trivial all-literal packets (128-byte chunks)
+            pb = bytearray()
+            for i in range(0, len(raw), 128):
+                chunk = raw[i:i + 128]
+                pb += bytes([len(chunk) - 1]) + chunk
+            blobs.append(bytes(pb))
+    p = str(tmp_path / f"tiled_{comp}.tif")
+    _write_raw_tiled_tiff(p, blobs, h, w, tw, th, 16, compression=comp)
+    got = decode_tiff(p)
+    if got is None:
+        pytest.skip("native decoder unavailable")
+    np.testing.assert_array_equal(got, arr)
+
+
+def test_tiled_predictor2_big_endian(tmp_path, rng):
+    """Predictor-2 applies per TILE row (tile width, not image width) and
+    composes with the big-endian byteswap."""
+    h, w, tw, th = 40, 70, 32, 16
+    arr = rng.integers(0, 65536, size=(h, w)).astype(np.uint16)
+    blobs = []
+    for t in _tile_grid(arr, tw, th):
+        diff = t.copy()
+        diff[:, 1:] -= t[:, :-1]
+        blobs.append(_lzw_encode(diff.astype(">u2").tobytes()))
+    p = str(tmp_path / "tiled_p2be.tif")
+    _write_raw_tiled_tiff(p, blobs, h, w, tw, th, 16, predictor=2,
+                          big_endian=True, compression=5)
+    got = decode_tiff(p)
+    if got is None:
+        pytest.skip("native decoder unavailable")
+    np.testing.assert_array_equal(got, arr)
+
+
+def test_tiled_corrupt_and_missing_tiles_fail(tmp_path, rng):
+    h, w, tw, th = 64, 64, 32, 32
+    arr = rng.integers(0, 65536, size=(h, w)).astype(np.uint16)
+    blobs = [_lzw_encode(t.tobytes()) for t in _tile_grid(arr, tw, th)]
+    probe = str(tmp_path / "ok.tif")
+    _write_raw_tiled_tiff(probe, blobs, h, w, tw, th, 16, compression=5)
+    if decode_tiff(probe) is None:
+        pytest.skip("native decoder unavailable")
+    # drop the last tile: region would stay unwritten -> error
+    p1 = str(tmp_path / "missing.tif")
+    _write_raw_tiled_tiff(p1, blobs[:-1], h, w, tw, th, 16, compression=5)
+    assert decode_tiff(p1) is None
+    # truncate one tile's stream -> short -> error
+    p2 = str(tmp_path / "shorttile.tif")
+    _write_raw_tiled_tiff(p2, blobs[:3] + [blobs[3][:4]], h, w, tw, th, 16,
+                          compression=5)
+    assert decode_tiff(p2) is None
+
+
+def test_tiled_batch_hist_parity(tmp_path, rng):
+    """Tiled files ride the batch+fused-histogram entry: the strided
+    histogram over non-contiguous tile row segments must equal the
+    flat-sequence histogram of the whole frame."""
+    from imageprocess_tpu.native import decode_tiff_batch_hist
+
+    h, w, tw, th = 96, 130, 64, 32
+    imgs = [rng.integers(0, 65536, size=(h, w)).astype(np.uint16)
+            for _ in range(2)]
+    paths = []
+    for k, im in enumerate(imgs):
+        blobs = [_lzw_encode(t.tobytes()) for t in _tile_grid(im, tw, th)]
+        p = str(tmp_path / f"t{k}.tif")
+        _write_raw_tiled_tiff(p, blobs, h, w, tw, th, 16, compression=5)
+        paths.append(p)
+    stride = 7
+    out = decode_tiff_batch_hist(paths, stride)
+    if out is None:
+        pytest.skip("native decoder unavailable")
+    frames, hists = out
+    for k, im in enumerate(imgs):
+        np.testing.assert_array_equal(frames[k], im)
+        want = np.bincount(im.reshape(-1)[::stride], minlength=65536)
+        np.testing.assert_array_equal(hists[k], want)
