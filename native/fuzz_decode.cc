@@ -222,6 +222,12 @@ int main(int argc, char** argv) {
         auto tif = (it % 7 == 0)
                        ? std::vector<uint8_t>(strips[0])    // pure garbage file
                        : make_tiff(h, w, comp, pred, strips, rps, 16, tw, th);
+        if (it % 11 == 3 && tif.size() > 8) {
+            // stamp a BigTIFF header over a classic body: the 64-bit IFD
+            // walk lands on garbage and must fail cleanly
+            tif[2] = 43; tif[3] = 0; tif[4] = 8; tif[5] = 0; tif[6] = 0;
+            tif[7] = 0;
+        }
         if (::ftruncate(fd, 0) != 0 || ::lseek(fd, 0, SEEK_SET) < 0 ||
             ::write(fd, tif.data(), tif.size()) != (ssize_t)tif.size()) {
             std::perror("write case");

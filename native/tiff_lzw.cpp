@@ -55,6 +55,7 @@ struct Reader {
     const uint8_t* ptr = nullptr;
     size_t size = 0;
     bool big_endian = false;
+    bool bigtiff = false;  // version 43: 8-byte offsets, 20-byte IFD entries
 
     Reader() = default;
     Reader(const Reader&) = delete;
@@ -82,13 +83,20 @@ struct Reader {
                    : (uint32_t)ptr[off] | ((uint32_t)ptr[off + 1] << 8) |
                          ((uint32_t)ptr[off + 2] << 16) | ((uint32_t)ptr[off + 3] << 24);
     }
+    uint64_t u64(size_t off) const {
+        if (off + 8 > size) return 0;
+        uint64_t v = 0;
+        for (int i = 0; i < 8; ++i)
+            v |= (uint64_t)ptr[off + i] << (big_endian ? 8 * (7 - i) : 8 * i);
+        return v;
+    }
 };
 
 struct IFDEntry {
     uint16_t tag;
     uint16_t type;
-    uint32_t count;
-    uint32_t value_off;  // raw offset field
+    uint64_t count;
+    uint64_t value_off;  // raw offset field (u32 classic, u64 BigTIFF)
 };
 
 struct TiffPage {
@@ -98,7 +106,7 @@ struct TiffPage {
     // tiled layout (tags 322-325): when tile_width != 0 the offsets/counts
     // vectors hold TILE offsets/counts in row-major tile order
     uint32_t tile_width = 0, tile_height = 0;
-    std::vector<uint32_t> strip_offsets, strip_counts;
+    std::vector<uint64_t> strip_offsets, strip_counts;
 };
 
 size_t type_size(uint16_t t) {
@@ -107,61 +115,92 @@ size_t type_size(uint16_t t) {
         case 3: case 8: return 2;
         case 4: case 9: case 11: return 4;
         case 5: case 10: case 12: return 8;
+        case 16: case 17: case 18: return 8;  // LONG8 / SLONG8 / IFD8
         default: return 0;
     }
 }
 
-// Read the n-th value of an entry as uint32.
-uint32_t entry_value(const Reader& r, const IFDEntry& e, size_t entry_off,
-                     uint32_t idx) {
+// Read the n-th value of an entry as uint64.  Classic entries inline up to
+// 4 value bytes at entry_off+8; BigTIFF entries inline up to 8 at
+// entry_off+12.
+uint64_t entry_value(const Reader& r, const IFDEntry& e, size_t entry_off,
+                     uint64_t idx) {
     size_t sz = type_size(e.type);
-    size_t total = sz * e.count;
-    size_t base;
-    if (total <= 4) base = entry_off + 8;  // inline
+    uint64_t total = sz * e.count;
+    size_t inline_cap = r.bigtiff ? 8 : 4;
+    size_t inline_at = r.bigtiff ? 12 : 8;
+    uint64_t base;
+    if (total <= inline_cap) base = entry_off + inline_at;
     else base = e.value_off;
-    size_t off = base + idx * sz;
+    size_t off = (size_t)(base + idx * sz);
     if (sz == 2) return r.u16(off);
     if (sz == 4) return r.u32(off);
+    if (sz == 8) return r.u64(off);
     if (sz == 1) return off < r.size ? r.ptr[off] : 0;
     return 0;
 }
 
+// Saturating u32 view for dimension-like tags: a 2^32+ value is not a
+// frame this decoder can represent — map it to UINT32_MAX so the existing
+// size/overflow checks reject it rather than silently truncating.
+uint32_t entry_value_u32(const Reader& r, const IFDEntry& e,
+                         size_t entry_off, uint64_t idx) {
+    uint64_t v = entry_value(r, e, entry_off, idx);
+    return v > UINT32_MAX ? UINT32_MAX : (uint32_t)v;
+}
+
 bool parse_page(const Reader& r, int page, TiffPage* out, std::string* err) {
     if (r.size < 8) { *err = "file too small"; return false; }
-    uint32_t ifd_off = r.u32(4);
+    // Classic: u16 entry count, 12-byte entries, u32 next-IFD pointer.
+    // BigTIFF (version 43): u64 count, 20-byte entries, u64 pointer.
+    const bool big = r.bigtiff;
+    const size_t entry_sz = big ? 20 : 12;
+    const size_t count_sz = big ? 8 : 2;
+    uint64_t ifd_off = big ? r.u64(8) : r.u32(4);
+    auto ifd_count = [&](uint64_t off) -> uint64_t {
+        return big ? r.u64((size_t)off) : r.u16((size_t)off);
+    };
     for (int p = 0; p < page; ++p) {
-        uint16_t n = r.u16(ifd_off);
-        uint32_t next = r.u32(ifd_off + 2 + 12u * n);
+        uint64_t n = ifd_count(ifd_off);
+        size_t next_at = (size_t)(ifd_off + count_sz + entry_sz * n);
+        uint64_t next = big ? r.u64(next_at) : r.u32(next_at);
         if (next == 0) break;  // clamp to last page (PIL seek behavior)
         ifd_off = next;
     }
-    uint16_t n = r.u16(ifd_off);
-    if (n == 0) { *err = "empty IFD"; return false; }
-    for (uint16_t i = 0; i < n; ++i) {
-        size_t eo = ifd_off + 2 + 12u * i;
-        IFDEntry e{r.u16(eo), r.u16(eo + 2), r.u32(eo + 4), r.u32(eo + 8)};
+    uint64_t n = ifd_count(ifd_off);
+    if (n == 0 || n > 0xFFFF) { *err = "empty IFD"; return false; }
+    for (uint64_t i = 0; i < n; ++i) {
+        size_t eo = (size_t)(ifd_off + count_sz + entry_sz * i);
+        IFDEntry e{r.u16(eo), r.u16(eo + 2),
+                   big ? r.u64(eo + 4) : r.u32(eo + 4),
+                   big ? r.u64(eo + 12) : r.u32(eo + 8)};
+        // structural bound: an out-of-line value array lives in the file,
+        // so count*size can't exceed it — rejects crafted multi-GB counts
+        // before the resize() below turns them into an allocation
+        if (e.count > r.size / (type_size(e.type) ? type_size(e.type) : 1) + 8)
+            continue;
         switch (e.tag) {
-            case 256: out->width = entry_value(r, e, eo, 0); break;
-            case 257: out->height = entry_value(r, e, eo, 0); break;
+            case 256: out->width = entry_value_u32(r, e, eo, 0); break;
+            case 257: out->height = entry_value_u32(r, e, eo, 0); break;
             case 258: out->bits = (uint16_t)entry_value(r, e, eo, 0); break;
             case 259: out->compression = (uint16_t)entry_value(r, e, eo, 0); break;
             case 277: out->samples = (uint16_t)entry_value(r, e, eo, 0); break;
-            case 278: out->rows_per_strip = entry_value(r, e, eo, 0); break;
+            case 278: out->rows_per_strip = entry_value_u32(r, e, eo, 0); break;
             case 317: out->predictor = (uint16_t)entry_value(r, e, eo, 0); break;
             case 273:
             case 324:  // TileOffsets share the offsets vector
                 out->strip_offsets.resize(e.count);
-                for (uint32_t k = 0; k < e.count; ++k)
+                for (uint64_t k = 0; k < e.count; ++k)
                     out->strip_offsets[k] = entry_value(r, e, eo, k);
                 break;
             case 279:
             case 325:  // TileByteCounts share the counts vector
                 out->strip_counts.resize(e.count);
-                for (uint32_t k = 0; k < e.count; ++k)
+                for (uint64_t k = 0; k < e.count; ++k)
                     out->strip_counts[k] = entry_value(r, e, eo, k);
                 break;
-            case 322: out->tile_width = entry_value(r, e, eo, 0); break;
-            case 323: out->tile_height = entry_value(r, e, eo, 0); break;
+            case 322: out->tile_width = entry_value_u32(r, e, eo, 0); break;
+            case 323: out->tile_height = entry_value_u32(r, e, eo, 0); break;
             default: break;
         }
     }
@@ -513,7 +552,17 @@ bool load_file(const char* path, Reader* r, std::string* err) {
     if (r->ptr[0] == 'I' && r->ptr[1] == 'I') r->big_endian = false;
     else if (r->ptr[0] == 'M' && r->ptr[1] == 'M') r->big_endian = true;
     else { *err = "not a TIFF"; return false; }
-    if (r->u16(2) != 42) { *err = "not classic TIFF"; return false; }
+    uint16_t version = r->u16(2);
+    if (version == 43) {  // BigTIFF: u16 offset size (8), u16 zero pad
+        if (sz < 16 || r->u16(4) != 8 || r->u16(6) != 0) {
+            *err = "malformed BigTIFF header";
+            return false;
+        }
+        r->bigtiff = true;
+    } else if (version != 42) {
+        *err = "not a TIFF (bad version)";
+        return false;
+    }
     return true;
 }
 
@@ -658,10 +707,10 @@ int decode_page_tiled(const Reader& r, const TiffPage& pg, uint8_t* out,
     for (size_t t = 0; t < n_tiles; ++t) {
         uint32_t x0 = (uint32_t)(t % across) * tw;
         uint32_t y0 = (uint32_t)(t / across) * th;
-        uint32_t off = pg.strip_offsets[t];
-        uint32_t cnt = t < pg.strip_counts.size() ? pg.strip_counts[t]
-                                                  : (uint32_t)tile_bytes;
-        if ((size_t)off + cnt > r.size) {
+        uint64_t off = pg.strip_offsets[t];
+        uint64_t cnt = t < pg.strip_counts.size() ? pg.strip_counts[t]
+                                                  : (uint64_t)tile_bytes;
+        if (off > r.size || cnt > r.size - off) {
             *err = "tile outside file";
             return -6;
         }
@@ -766,10 +815,10 @@ int decode_page(const Reader& r, const TiffPage& pg, uint8_t* out,
             if (row0_64 + rows > pg.height) rows = pg.height - row0;
             size_t strip_bytes = row_bytes * rows;
             uint8_t* dst = out + row_bytes * row0;
-            uint32_t off = pg.strip_offsets[s];
-            uint32_t cnt = s < pg.strip_counts.size() ? pg.strip_counts[s]
-                                                      : (uint32_t)strip_bytes;
-            if ((size_t)off + cnt > r.size) {
+            uint64_t off = pg.strip_offsets[s];
+            uint64_t cnt = s < pg.strip_counts.size() ? pg.strip_counts[s]
+                                                      : (uint64_t)strip_bytes;
+            if (off > r.size || cnt > r.size - off) {
                 rc = -6;
                 std::lock_guard<std::mutex> g(err_mu);
                 *err = "strip outside file";

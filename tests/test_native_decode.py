@@ -768,3 +768,109 @@ def test_tiled_batch_hist_parity(tmp_path, rng):
         np.testing.assert_array_equal(frames[k], im)
         want = np.bincount(im.reshape(-1)[::stride], minlength=65536)
         np.testing.assert_array_equal(hists[k], want)
+
+
+def _write_bigtiff(path, blobs, h, w, bits, *, tw=0, th=0, predictor=1,
+                   big_endian=False, compression=1, rows_per_strip=None):
+    """Minimal BigTIFF (version 43: u64 offsets, 20-byte IFD entries).
+    Neither PIL nor the reference toolkit writes BigTIFF — crafted files are
+    the only way to pin the 64-bit parser.  blobs: per-strip (or per-tile
+    when tw/th set) encoded payloads."""
+    import struct
+
+    e = ">" if big_endian else "<"
+    magic = b"MM" if big_endian else b"II"
+    data_off = 16
+    offs, cnts = [], []
+    body = bytearray()
+    for blob in blobs:
+        offs.append(data_off + len(body))
+        cnts.append(len(blob))
+        body += blob
+    arrays_off = data_off + len(body)
+    n = len(blobs)
+    ifd_off = arrays_off + 16 * n
+    tiled = bool(tw or th)
+    entries = [
+        (256, 3, 1, w), (257, 3, 1, h), (258, 3, 1, bits),
+        (259, 3, 1, compression), (262, 3, 1, 1), (277, 3, 1, 1),
+        (317, 3, 1, predictor),
+    ]
+    if tiled:
+        entries += [(322, 3, 1, tw), (323, 3, 1, th),
+                    (324, 16, n, offs[0] if n == 1 else arrays_off),
+                    (325, 16, n, cnts[0] if n == 1 else arrays_off + 8 * n)]
+    else:
+        entries += [(273, 16, n, offs[0] if n == 1 else arrays_off),
+                    (278, 3, 1, rows_per_strip or h),
+                    (279, 16, n, cnts[0] if n == 1 else arrays_off + 8 * n)]
+    entries.sort()
+    buf = bytearray()
+    buf += magic + struct.pack(e + "HHHQ", 43, 8, 0, ifd_off)
+    buf += body
+    if n > 1:
+        for v in offs + cnts:
+            buf += struct.pack(e + "Q", v)
+    else:
+        buf += bytes(16 * n)  # keep ifd_off stable
+    buf += struct.pack(e + "Q", len(entries))
+    for tag, typ, cnt, val in entries:
+        buf += struct.pack(e + "HHQ", tag, typ, cnt)
+        if typ == 3:  # SHORT sits LEFT-justified in the 8-byte value field
+            buf += struct.pack(e + "H", val) + bytes(6)
+        else:
+            buf += struct.pack(e + "Q", val)
+    buf += struct.pack(e + "Q", 0)  # next IFD
+    open(path, "wb").write(bytes(buf))
+
+
+def test_bigtiff_strips_lzw(tmp_path, rng):
+    """BigTIFF (u64 offsets, LONG8 strip arrays) with multiple LZW strips
+    decodes exactly; both endiannesses."""
+    h, w, rps = 50, 80, 16
+    for be in (False, True):
+        arr = rng.integers(0, 65536, size=(h, w)).astype(np.uint16)
+        blobs = []
+        for y0 in range(0, h, rps):
+            rows = arr[y0:y0 + rps]
+            raw = rows.astype(">u2" if be else "<u2").tobytes()
+            blobs.append(_lzw_encode(raw))
+        p = str(tmp_path / f"bt_{be}.tif")
+        _write_bigtiff(p, blobs, h, w, 16, compression=5,
+                       rows_per_strip=rps, big_endian=be)
+        got = decode_tiff(p)
+        if got is None:
+            pytest.skip("native decoder unavailable")
+        np.testing.assert_array_equal(got, arr)
+
+
+def test_bigtiff_tiled_deflate_predictor(tmp_path, rng):
+    import zlib
+
+    h, w, tw, th = 60, 90, 32, 32
+    arr = rng.integers(0, 65536, size=(h, w)).astype(np.uint16)
+    blobs = []
+    for t in _tile_grid(arr, tw, th):
+        diff = t.copy()
+        diff[:, 1:] -= t[:, :-1]
+        blobs.append(zlib.compress(diff.tobytes()))
+    p = str(tmp_path / "bt_tiled.tif")
+    _write_bigtiff(p, blobs, h, w, 16, tw=tw, th=th, predictor=2,
+                   compression=8)
+    got = decode_tiff(p)
+    if got is None:
+        pytest.skip("native decoder unavailable")
+    np.testing.assert_array_equal(got, arr)
+
+
+def test_bigtiff_malformed_header_rejected(tmp_path, rng):
+    arr = rng.integers(0, 65536, size=(8, 8)).astype(np.uint16)
+    p = str(tmp_path / "bt_ok.tif")
+    _write_bigtiff(p, [_lzw_encode(arr.tobytes())], 8, 8, 16, compression=5)
+    if decode_tiff(p) is None:
+        pytest.skip("native decoder unavailable")
+    raw = bytearray(open(p, "rb").read())
+    raw[4] = 4  # offset size 4 instead of 8: malformed
+    p2 = str(tmp_path / "bt_bad.tif")
+    open(p2, "wb").write(bytes(raw))
+    assert decode_tiff(p2) is None
