@@ -7,13 +7,15 @@
 // (BASELINE.md) needs strip-parallel native decode: each TIFF strip is an
 // independent LZW stream, so strips fan out across a thread pool.
 //
-// Scope: classic TIFF (little/big endian), grayscale 8/16-bit,
-// compression 1 (none), 5 (LZW, TIFF variant: 9->12 bit codes with early
-// change), 8/32946 (zlib deflate), or 32773 (PackBits RLE); predictor 1
-// or 2 (horizontal differencing), strip layout, multi-page via the IFD
-// chain.  This covers every file the reference toolkit produces or
-// consumes (2048x1536 u16 LZW minisblack) plus the other strip
-// compressions common in microscopy exports.
+// Scope: classic TIFF and BigTIFF (version 43), little/big endian,
+// grayscale 8/16-bit; compression 1 (none), 5 (LZW, TIFF variant: 9->12
+// bit codes with early change), 8/32946 (zlib deflate), or 32773
+// (PackBits RLE); predictor 1 or 2 (horizontal differencing); strip AND
+// tile layouts (tags 322-325); multi-page via the IFD chain.  This covers
+// every file the reference toolkit produces or consumes (2048x1536 u16
+// LZW minisblack) plus the layouts and compressions common in modern
+// microscopy exports (OME-TIFF-style tiled/deflate, >4 GB BigTIFF
+// stacks).
 //
 // C ABI (ctypes):
 //   int ip_tiff_info(path, page, *height, *width, *bits_per_sample,
