@@ -278,6 +278,16 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("folder")
     p.add_argument("--width-cm", type=float, default=2.0)
     p.add_argument("--lang", default=None, choices=["en", "ko"])
+
+    p = sub.add_parser("doctor",
+                       help="environment self-check (native tier, numerics, "
+                            "backend reachability under a timeout, mesh)")
+    p.add_argument("--backend-timeout", type=float, default=60.0,
+                   help="seconds before a hung backend init is reported "
+                        "as FAIL (the TPU tunnel can hang, not just error)")
+    p.add_argument("--skip-backend", action="store_true",
+                   help="skip the device-backend probe")
+    p.add_argument("--lang", default=None, choices=["en", "ko"])
     return ap
 
 
@@ -607,6 +617,12 @@ def _dispatch(args, log) -> int:
 
         ok, _ = run_fret_ppt(args.folder, args.width_cm, log=log)
         return 0 if ok else 1
+
+    if args.cmd == "doctor":
+        from .utils.doctor import run_doctor
+
+        return run_doctor(backend_timeout=args.backend_timeout,
+                          skip_backend=args.skip_backend, log=log)
 
     return 2
 
