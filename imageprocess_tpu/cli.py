@@ -282,9 +282,11 @@ def build_parser() -> argparse.ArgumentParser:
     p = sub.add_parser("doctor",
                        help="environment self-check (native tier, numerics, "
                             "backend reachability under a timeout, mesh)")
-    p.add_argument("--backend-timeout", type=float, default=60.0,
-                   help="seconds before a hung backend init is reported "
-                        "as FAIL (the TPU tunnel can hang, not just error)")
+    p.add_argument("--backend-timeout", type=float, default=600.0,
+                   help="seconds before a hung backend probe is reported as "
+                        "FAIL; the default tolerates a cold first jit "
+                        "compile on a tunneled chip (minutes) — lower it "
+                        "for a quick wedge check")
     p.add_argument("--skip-backend", action="store_true",
                    help="skip the device-backend probe")
     p.add_argument("--lang", default=None, choices=["en", "ko"])

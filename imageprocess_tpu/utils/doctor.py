@@ -29,18 +29,19 @@ from typing import Callable, List, Tuple
 _OK, _FAIL, _SKIP = "[ok]", "[FAIL]", "[skip]"
 
 
-def _run_sub(code: str, timeout: float, env_extra=None) -> Tuple[bool, str]:
+def _run_sub(code: str, timeout: float) -> Tuple[bool, str]:
     """Run a python snippet in a subprocess under a hard timeout.  Returns
     (ok, last_output_line_or_error)."""
-    env = dict(os.environ)
-    env.update(env_extra or {})
     try:
         p = subprocess.run(
-            [sys.executable, "-c", code], env=env, capture_output=True,
+            [sys.executable, "-c", code], capture_output=True,
             text=True, timeout=timeout,
         )
     except subprocess.TimeoutExpired:
-        return False, f"hung (> {timeout:.0f}s) — killed"
+        return False, (f"hung (> {timeout:.0f}s) — killed; a COLD first jit "
+                       "compile on a tunneled chip can take minutes — "
+                       "retry with a larger --backend-timeout before "
+                       "concluding the backend is wedged")
     out = (p.stdout or "").strip().splitlines()
     if p.returncode == 0 and out:
         return True, out[-1]
@@ -66,7 +67,6 @@ def _check_deps() -> Tuple[bool, str]:
 
 def _check_native() -> Tuple[bool, str]:
     import time
-    import zlib
 
     import numpy as np
     from PIL import Image
@@ -89,10 +89,9 @@ def _check_native() -> Tuple[bool, str]:
         p2 = os.path.join(d, "t2.tif")
         Image.fromarray(arr).save(p2, format="TIFF",
                                   compression="tiff_adobe_deflate")
-        got2 = decode_tiff(p2)
+        got2 = decode_tiff(p2)  # the C++ tier's -lz link, exercised for real
         if got2 is None or not np.array_equal(got2, arr):
             return False, "deflate decode mismatch (zlib link?)"
-        del zlib
     return True, f"LZW+deflate bit-exact vs PIL ({arr.size / dt / 1e6:.0f} Mpix/s single-frame)"
 
 

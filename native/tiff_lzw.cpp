@@ -747,9 +747,13 @@ int decode_page_tiled(const Reader& r, const TiffPage& pg, uint8_t* out,
                 undo_predictor(scratch.data() + tile_row_bytes * rr, tw,
                                pg.bits, pg.samples);
         }
+        // 64-bit edge clamps: with width within tile_width of 2^32 the
+        // 32-bit `x0 + vw` wraps past the clamp and the full-tile copy
+        // writes past the caller's buffer (same class as the strip path's
+        // crafted-RowsPerStrip wrap below)
         uint32_t vw = tw, vh = th;
-        if (x0 + vw > pg.width) vw = pg.width - x0;
-        if (y0 + vh > pg.height) vh = pg.height - y0;
+        if ((uint64_t)x0 + vw > pg.width) vw = pg.width - x0;
+        if ((uint64_t)y0 + vh > pg.height) vh = pg.height - y0;
         size_t copy_bytes = (size_t)vw * bytes_per_px;
         for (uint32_t rr = 0; rr < vh; ++rr) {
             uint8_t* dst_row =

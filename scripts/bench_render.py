@@ -31,14 +31,16 @@ FOLDER = (sys.argv[1] if len(sys.argv) > 1 else
 
 
 def best_of(cfg, reps=4):
-    run_morphology(FOLDER, cfg, out_root=tempfile.mkdtemp(),
-                   log=lambda *_: None)  # warm: jit compile
-    best = float("inf")
-    for _ in range(reps):
-        t0 = time.perf_counter()
-        run_morphology(FOLDER, cfg, out_root=tempfile.mkdtemp(),
-                       log=lambda *_: None)
-        best = min(best, time.perf_counter() - t0)
+    # one self-cleaning output tree per call: repeated benchmarking must
+    # not leak PNG trees into /tmp on the shared box
+    with tempfile.TemporaryDirectory() as out:
+        run_morphology(FOLDER, cfg, out_root=out,
+                       log=lambda *_: None)  # warm: jit compile
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            run_morphology(FOLDER, cfg, out_root=out, log=lambda *_: None)
+            best = min(best, time.perf_counter() - t0)
     return best
 
 
