@@ -186,7 +186,8 @@ def decode_tiff_batch_hist(paths, hist_stride: int, page: int = 0,
                         ctypes.byref(w), ctypes.byref(bits),
                         ctypes.byref(samples)) != 0:
         return None
-    dtype = np.uint16 if bits.value == 16 else np.uint8
+    dtype = (np.float32 if bits.value == 32
+             else np.uint16 if bits.value == 16 else np.uint8)
     frame_shape = ((h.value, w.value) if samples.value == 1
                    else (h.value, w.value, samples.value))
     full_shape = (len(paths),) + frame_shape
@@ -348,7 +349,8 @@ def decode_tiff(path: str, page: int = 0) -> Optional[np.ndarray]:
                           ctypes.byref(samples))
     if rc != 0:
         return None
-    dtype = np.uint16 if bits.value == 16 else np.uint8
+    dtype = (np.float32 if bits.value == 32
+             else np.uint16 if bits.value == 16 else np.uint8)
     shape = ((h.value, w.value) if samples.value == 1
              else (h.value, w.value, samples.value))
     out = np.empty(shape, dtype=dtype)

@@ -105,6 +105,7 @@ struct TiffPage {
     uint32_t width = 0, height = 0;
     uint16_t bits = 0, samples = 1, compression = 1, predictor = 1;
     uint32_t rows_per_strip = 0xFFFFFFFF;
+    uint16_t sample_format = 1;  // tag 339: 1 = uint, 3 = IEEE float
     // tiled layout (tags 322-325): when tile_width != 0 the offsets/counts
     // vectors hold TILE offsets/counts in row-major tile order
     uint32_t tile_width = 0, tile_height = 0;
@@ -189,6 +190,7 @@ bool parse_page(const Reader& r, int page, TiffPage* out, std::string* err) {
             case 277: out->samples = (uint16_t)entry_value(r, e, eo, 0); break;
             case 278: out->rows_per_strip = entry_value_u32(r, e, eo, 0); break;
             case 317: out->predictor = (uint16_t)entry_value(r, e, eo, 0); break;
+            case 339: out->sample_format = (uint16_t)entry_value(r, e, eo, 0); break;
             case 273:
             case 324:  // TileOffsets share the offsets vector
                 out->strip_offsets.resize(e.count);
@@ -643,7 +645,15 @@ int validate_page(const TiffPage& pg, std::string* err) {
         *err = "unsupported compression";
         return -3;
     }
-    if (pg.bits != 8 && pg.bits != 16) {
+    if (pg.bits == 32) {
+        // float32 only (what core.tiffio.write_tiff32 emits); predictor 2
+        // is integer differencing and predictor 3 (fp) is unimplemented —
+        // reject both so callers fall back to PIL
+        if (pg.sample_format != 3 || pg.predictor != 1) {
+            *err = "unsupported 32-bit variant";
+            return -4;
+        }
+    } else if (pg.bits != 8 && pg.bits != 16) {
         *err = "unsupported bit depth";
         return -4;
     }
@@ -740,6 +750,15 @@ int decode_page_tiled(const Reader& r, const TiffPage& pg, uint8_t* out,
                 uint8_t b = scratch[i];
                 scratch[i] = scratch[i + 1];
                 scratch[i + 1] = b;
+            }
+        } else if (pg.bits == 32 && r.big_endian) {
+            for (size_t i = 0; i + 3 < tile_bytes; i += 4) {
+                uint8_t b = scratch[i];
+                scratch[i] = scratch[i + 3];
+                scratch[i + 3] = b;
+                b = scratch[i + 1];
+                scratch[i + 1] = scratch[i + 2];
+                scratch[i + 2] = b;
             }
         }
         if (pg.predictor == 2) {
@@ -857,12 +876,17 @@ int decode_page(const Reader& r, const TiffPage& pg, uint8_t* out,
                     return;
                 }
             }
-            // byte order fix for 16-bit big-endian files
+            // byte order fix for 16/32-bit big-endian files
             if (pg.bits == 16 && r.big_endian) {
                 for (size_t i = 0; i + 1 < strip_bytes; i += 2) {
                     uint8_t t = dst[i];
                     dst[i] = dst[i + 1];
                     dst[i + 1] = t;
+                }
+            } else if (pg.bits == 32 && r.big_endian) {
+                for (size_t i = 0; i + 3 < strip_bytes; i += 4) {
+                    uint8_t t = dst[i]; dst[i] = dst[i + 3]; dst[i + 3] = t;
+                    t = dst[i + 1]; dst[i + 1] = dst[i + 2]; dst[i + 2] = t;
                 }
             }
             if (pg.predictor == 2) {

@@ -908,3 +908,65 @@ def test_rgb_samples3_roundtrip_vs_pil(tmp_path, rng):
     got2 = decode_tiff(p2)
     assert got2 is not None
     np.testing.assert_array_equal(got2, arr)
+
+
+def test_float32_reads_what_write_tiff32_writes(tmp_path, rng):
+    """SampleFormat=3 bits=32: the native tier reads the f32 analysis
+    TIFFs core.tiffio.write_tiff32 emits (ratio/R_full exports)."""
+    from imageprocess_tpu.core import tiffio
+
+    arr = rng.normal(0, 100, (120, 150)).astype(np.float32)
+    p = str(tmp_path / "f32.tif")
+    tiffio.write_tiff32(p, arr)
+    got = decode_tiff(p)
+    if got is None:
+        pytest.skip("native decoder unavailable")
+    assert got.dtype == np.float32
+    np.testing.assert_array_equal(got, arr)
+    # LZW-compressed f32 (PIL mode F)
+    p2 = str(tmp_path / "f32_lzw.tif")
+    Image.fromarray(arr, mode="F").save(p2, format="TIFF",
+                                        compression="tiff_lzw")
+    got2 = decode_tiff(p2)
+    if got2 is not None:  # PIL may not tag SampleFormat on all versions
+        np.testing.assert_array_equal(got2, arr)
+    np.testing.assert_array_equal(np.asarray(Image.open(p2)), arr)
+
+
+def test_float32_big_endian_deflate(tmp_path, rng):
+    """Crafted big-endian deflate f32: the 4-byte swap composes with
+    inflate.  Needs a SampleFormat tag, which _write_raw_tiff lacks —
+    patched in via the raw writer's tag table."""
+    import struct
+    import zlib
+
+    h, w = 20, 31
+    arr = rng.normal(0, 10, (h, w)).astype(np.float32)
+    payload = zlib.compress(arr.astype(">f4").tobytes())
+    p = str(tmp_path / "f32be.tif")
+    _write_raw_tiff(p, payload, h, w, 32, big_endian=True, compression=8)
+    # append SampleFormat=3: rewrite the IFD with one more entry
+    raw = bytearray(open(p, "rb").read())
+    ifd = struct.unpack_from(">I", raw, 4)[0]
+    n = struct.unpack_from(">H", raw, ifd)[0]
+    entries = raw[ifd + 2: ifd + 2 + 12 * n]
+    entries += struct.pack(">HHIHH", 339, 3, 1, 3, 0)
+    new_ifd = raw[:ifd] + struct.pack(">H", n + 1) + entries + b"\0\0\0\0"
+    open(p, "wb").write(bytes(new_ifd))
+    got = decode_tiff(p)
+    if got is None:
+        pytest.skip("native decoder unavailable")
+    assert got.dtype == np.float32
+    np.testing.assert_array_equal(got, arr)
+
+
+def test_uint32_and_predictor_f32_fall_back(tmp_path, rng):
+    """bits=32 WITHOUT SampleFormat=3 (uint32) and f32-with-predictor are
+    out of native scope: decode_tiff must return None (PIL fallback), not
+    misinterpret the bytes."""
+    h, w = 8, 8
+    data = rng.integers(0, 2**32, (h, w), dtype=np.uint32).tobytes()
+    p = str(tmp_path / "u32.tif")
+    _write_raw_tiff(p, data, h, w, 32)
+    if decode_tiff(str(p)) is not None:
+        pytest.fail("uint32 page decoded despite unsupported SampleFormat")
