@@ -970,3 +970,18 @@ def test_uint32_and_predictor_f32_fall_back(tmp_path, rng):
     _write_raw_tiff(p, data, h, w, 32)
     if decode_tiff(str(p)) is not None:
         pytest.fail("uint32 page decoded despite unsupported SampleFormat")
+
+
+def test_batch_mixed_compressions(tmp_path, rng):
+    """One batch may mix per-file compressions (same shape): each file
+    parses independently; the shape check is what gates the batch."""
+    arr1 = rng.integers(0, 65536, (64, 96)).astype(np.uint16)
+    arr2 = rng.integers(0, 65536, (64, 96)).astype(np.uint16)
+    p1, p2 = str(tmp_path / "a.tif"), str(tmp_path / "b.tif")
+    _write(p1, arr1, compression="tiff_lzw")
+    _write(p2, arr2, compression="tiff_adobe_deflate")
+    out = decode_tiff_batch([p1, p2])
+    if out is None:
+        pytest.skip("native decoder unavailable")
+    np.testing.assert_array_equal(out[0], arr1)
+    np.testing.assert_array_equal(out[1], arr2)
