@@ -289,6 +289,9 @@ def build_parser() -> argparse.ArgumentParser:
                         "for a quick wedge check")
     p.add_argument("--skip-backend", action="store_true",
                    help="skip the device-backend probe")
+    p.add_argument("--json", action="store_true", dest="as_json",
+                   help="print one machine-readable JSON object instead "
+                        "of per-check lines")
     p.add_argument("--lang", default=None, choices=["en", "ko"])
     return ap
 
@@ -624,7 +627,8 @@ def _dispatch(args, log) -> int:
         from .utils.doctor import run_doctor
 
         return run_doctor(backend_timeout=args.backend_timeout,
-                          skip_backend=args.skip_backend, log=log)
+                          skip_backend=args.skip_backend,
+                          as_json=args.as_json, log=log)
 
     return 2
 

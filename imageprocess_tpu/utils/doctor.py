@@ -161,39 +161,55 @@ print('4-device CPU mesh + sharded reduce ok')
 """
 
 
-def run_doctor(backend_timeout: float = 60.0, skip_backend: bool = False,
-               log: Callable[[str], None] = print) -> int:
-    """Run all checks; print one line each; return 0 iff all run checks
-    pass."""
+def run_doctor(backend_timeout: float = 600.0, skip_backend: bool = False,
+               log: Callable[[str], None] = print,
+               as_json: bool = False) -> int:
+    """Run all checks; print one line each (or, with *as_json*, one final
+    JSON object); return 0 iff all run checks pass."""
+    results: List[Tuple[str, str, str]] = []  # (name, status, detail)
+
+    def record(name: str, status: str, detail: str) -> None:
+        results.append((name, status, detail))
+        if not as_json:
+            tag = {"ok": _OK, "fail": _FAIL, "skip": _SKIP}[status]
+            log(f"{tag} {name:8s} {detail}")
+
     checks: List[Tuple[str, Callable[[], Tuple[bool, str]]]] = [
         ("deps", _check_deps),
         ("native", _check_native),
         ("numerics", _check_numerics),
         ("write", _check_write),
     ]
-    failures = 0
     for name, fn in checks:
         try:
             ok, detail = fn()
         except Exception as e:  # noqa: BLE001 — a crashed check is a FAIL
             ok, detail = False, f"{type(e).__name__}: {e}"
-        failures += not ok
-        log(f"{_OK if ok else _FAIL} {name:8s} {detail}")
+        record(name, "ok" if ok else "fail", detail)
 
     if skip_backend:
-        log(f"{_SKIP} backend  (--skip-backend)")
+        record("backend", "skip", "(--skip-backend)")
     else:
         # IP_DOCTOR_BACKEND forces a backend in the probe subprocess
         # (tests use 'cpu'; production leaves it unset for the default)
         ok, detail = _run_sub(
             _backend_code(os.environ.get("IP_DOCTOR_BACKEND", "")),
             timeout=backend_timeout)
-        failures += not ok
-        log(f"{_OK if ok else _FAIL} backend  {detail}")
+        record("backend", "ok" if ok else "fail", detail)
 
     ok, detail = _run_sub(_MESH_CODE, timeout=max(120.0, backend_timeout))
-    failures += not ok
-    log(f"{_OK if ok else _FAIL} mesh     {detail}")
+    record("mesh", "ok" if ok else "fail", detail)
+
+    failures = sum(1 for _, status, _ in results if status == "fail")
+    if as_json:
+        import json
+
+        log(json.dumps({
+            "ok": failures == 0,
+            "failures": failures,
+            "checks": {n: {"status": s, "detail": d} for n, s, d in results},
+        }))
+        return 0 if failures == 0 else 1
 
     log(("all checks passed" if failures == 0
          else f"{failures} check(s) FAILED"))

@@ -584,3 +584,40 @@ def test_batched_on_deflate_and_packbits_datasets(tmp_path, compression):
         # fused-hist backgrounds are exact vs the serial path's
         for ch in (1, 2):
             assert r[f"ch{ch}_bg"] == ref[f"ch{ch}_bg"]
+
+
+def test_batched_on_tiled_dataset(tmp_path):
+    """A TILED-LZW dataset (OME-TIFF-style layout) rides the same native
+    batch + fused-histogram streaming path: batched == serial, exact bg."""
+    import sys
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__)))
+    from test_native_decode import _lzw_encode, _tile_grid, _write_raw_tiled_tiff
+
+    rng = np.random.default_rng(5)
+    folder = tmp_path / "exp"
+    os.makedirs(folder / "roi")
+    H, W, tw, th = 160, 192, 64, 48
+    polys = [np.array([[15, 15], [60, 18], [55, 70], [12, 66]], float),
+             np.array([[70, 40], [115, 45], [110, 85], [65, 80]], float)]
+    for s in range(1, 5):
+        for ch in (1, 2):
+            arr = rng.integers(10, 3000, (H, W)).astype(np.uint16)
+            blobs = [_lzw_encode(t.tobytes()) for t in _tile_grid(arr, tw, th)]
+            _write_raw_tiled_tiff(str(folder / f"S{s:02d}_{ch}.TIF"),
+                                  blobs, H, W, tw, th, 16, compression=5)
+        roiio.save_roi_bundle(str(folder / "roi" / f"S{s:02d}.json"),
+                              f"S{s:02d}", (H, W), polys)
+    cfg = IntensityConfig(channels=(1, 2), do_xls=False)
+    serial = run_intensity(str(folder), cfg, out_root=str(tmp_path / "s"),
+                           log=lambda *_: None)
+    batched = run_intensity_batched(str(folder), cfg,
+                                    out_root=str(tmp_path / "b"),
+                                    log=lambda *_: None, batch_size=3)
+    assert len(serial) == len(batched) == 8
+    sd = {_key(r): r for r in serial}
+    for r in batched:
+        ref = sd[_key(r)]
+        for ch in (1, 2):
+            assert r[f"ch{ch}_bg"] == ref[f"ch{ch}_bg"]
+            assert abs(r[f"ch{ch}_mean"] - ref[f"ch{ch}_mean"]) <= \
+                1e-5 * max(abs(ref[f"ch{ch}_mean"]), 1e-9)

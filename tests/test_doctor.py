@@ -62,3 +62,17 @@ def test_doctor_cli_exit_code(cpu_backend_env, capsys):
     out = capsys.readouterr().out
     assert rc == 0, out
     assert "all checks passed" in out
+
+
+def test_doctor_json_output(cpu_backend_env, capsys):
+    from imageprocess_tpu.cli import main
+    import json
+
+    rc = main(["doctor", "--backend-timeout", "240", "--json", "--lang", "en"])
+    out = capsys.readouterr().out
+    line = next(ln for ln in out.splitlines() if ln.startswith("{"))
+    d = json.loads(line)
+    assert rc == 0 and d["ok"] and d["failures"] == 0
+    assert set(d["checks"]) == {"deps", "native", "numerics", "write",
+                                "backend", "mesh"}
+    assert all(v["status"] == "ok" for v in d["checks"].values())
