@@ -621,3 +621,31 @@ def test_batched_on_tiled_dataset(tmp_path):
             assert r[f"ch{ch}_bg"] == ref[f"ch{ch}_bg"]
             assert abs(r[f"ch{ch}_mean"] - ref[f"ch{ch}_mean"]) <= \
                 1e-5 * max(abs(ref[f"ch{ch}_mean"]), 1e-9)
+
+
+def test_batched_with_native_batch_decode_disabled(timelapse_folder,
+                                                   tmp_path, monkeypatch):
+    """When the native batch+hist entry is unavailable (no compiler, stale
+    .so), load_key falls back to per-file PIL decode with hists=None and
+    _host_bg recomputes backgrounds — rows must still match the native
+    path bit-for-bit at the tolerance of the device program."""
+    from imageprocess_tpu import native as native_mod
+
+    cfg = IntensityConfig(channels=(1, 2), timelapse=True, do_xls=False)
+    ref = run_intensity_batched(str(timelapse_folder), cfg,
+                                out_root=str(tmp_path / "n"),
+                                log=lambda *_: None, batch_size=3)
+    monkeypatch.setattr(native_mod, "decode_tiff_batch_hist",
+                        lambda *a, **k: None)
+    got = run_intensity_batched(str(timelapse_folder), cfg,
+                                out_root=str(tmp_path / "p"),
+                                log=lambda *_: None, batch_size=3)
+    assert len(got) == len(ref) == 16
+    rd = {_key(r): r for r in ref}
+    for r in got:
+        want = rd[_key(r)]
+        for k, v in want.items():
+            if isinstance(v, float) and not np.isnan(v):
+                assert abs(r[k] - v) <= 1e-6 * max(abs(v), 1e-9), (k, r[k], v)
+            elif not isinstance(v, float):
+                assert r[k] == v, k
