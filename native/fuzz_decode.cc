@@ -169,6 +169,45 @@ static int overlong_cases(int fd, const char* path) {
     return accepted;
 }
 
+// Valid tiled page decoded with 1..4 threads: all results byte-identical
+// (disjoint output regions; per-thread scratch).  Exercises the
+// concurrent tiled path even on a 1-core box.
+static int tiled_thread_case(int fd, const char* path) {
+    std::mt19937 g(11);
+    const uint32_t h = 90, w = 130, tw = 48, th = 32;
+    std::vector<uint8_t> img((size_t)h * w * 2);
+    for (auto& c : img) c = (uint8_t)g();
+    std::vector<std::vector<uint8_t>> tiles;
+    for (uint32_t y0 = 0; y0 < h; y0 += th)
+        for (uint32_t x0 = 0; x0 < w; x0 += tw) {
+            std::vector<uint8_t> t((size_t)tw * th * 2, 0);
+            for (uint32_t rr = 0; rr < th && y0 + rr < h; ++rr) {
+                uint32_t vw = (x0 + tw <= w) ? tw : w - x0;
+                std::memcpy(t.data() + (size_t)rr * tw * 2,
+                            img.data() + ((size_t)(y0 + rr) * w + x0) * 2,
+                            (size_t)vw * 2);
+            }
+            tiles.push_back(lzw_encode(t));
+        }
+    auto tif = make_tiff(h, w, 5, 1, tiles, 1, 16, tw, th);
+    if (::ftruncate(fd, 0) != 0 || ::lseek(fd, 0, SEEK_SET) < 0 ||
+        ::write(fd, tif.data(), tif.size()) != (ssize_t)tif.size())
+        return -1;
+    std::string err;
+    std::vector<uint8_t> ref(img.size(), 0);
+    if (decode_one(path, 0, ref.data(), (long long)ref.size(), 1, &err) != 0)
+        return -2;
+    if (ref != img) return -3;
+    for (unsigned nt = 2; nt <= 4; ++nt) {
+        std::vector<uint8_t> got(img.size(), 0xCD);
+        if (decode_one(path, 0, got.data(), (long long)got.size(), nt,
+                       &err) != 0)
+            return -4;
+        if (got != img) return -5;
+    }
+    return 0;
+}
+
 int main(int argc, char** argv) {
     int iters = argc > 1 ? std::atoi(argv[1]) : 400;
     std::mt19937 g(123);
@@ -181,6 +220,11 @@ int main(int argc, char** argv) {
     int rt = roundtrip_case(fd, path);
     if (rt != 0) {
         std::printf("encoder/decoder roundtrip FAILED (%d)\n", rt);
+        return 1;
+    }
+    int tt = tiled_thread_case(fd, path);
+    if (tt != 0) {
+        std::printf("tiled multithread case FAILED (%d)\n", tt);
         return 1;
     }
     int oc = overlong_cases(fd, path);

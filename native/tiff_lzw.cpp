@@ -683,10 +683,11 @@ void accumulate_row_hist(const uint8_t* row_bytes, uint32_t width,
 // edge tiles are padded to the FULL tile size in the stream (TIFF6 spec),
 // so every tile decodes into a full scratch block and only the valid
 // region copies into place.  Predictor and byteswap apply per TILE row.
-// Serial (tiles are small and this path is breadth, not the hot path).
+// Tiles fan out over threads like strips (disjoint output regions;
+// per-thread scratch + local histogram merged under the mutex).
 int decode_page_tiled(const Reader& r, const TiffPage& pg, uint8_t* out,
-                      std::string* err, uint32_t* hist,
-                      long long hist_stride) {
+                      unsigned max_threads, std::string* err,
+                      uint32_t* hist, long long hist_stride) {
     const uint32_t tw = pg.tile_width, th = pg.tile_height;
     if (tw == 0 || th == 0) {
         *err = "tiled page missing TileWidth or TileLength";
@@ -714,78 +715,113 @@ int decode_page_tiled(const Reader& r, const TiffPage& pg, uint8_t* out,
         return -6;
     }
     size_t row_bytes = (size_t)pg.width * bytes_per_px;
-    std::vector<uint8_t> scratch(tile_bytes);
-    std::string werr;
-    for (size_t t = 0; t < n_tiles; ++t) {
-        uint32_t x0 = (uint32_t)(t % across) * tw;
-        uint32_t y0 = (uint32_t)(t / across) * th;
-        uint64_t off = pg.strip_offsets[t];
-        uint64_t cnt = t < pg.strip_counts.size() ? pg.strip_counts[t]
-                                                  : (uint64_t)tile_bytes;
-        if (off > r.size || cnt > r.size - off) {
-            *err = "tile outside file";
-            return -6;
+    std::atomic<int> rc{0};
+    std::mutex err_mu;
+    // honor the caller's max_threads directly (the public entries pass
+    // hardware_concurrency; tests pass explicit counts so the concurrent
+    // path is exercised even on a 1-core box)
+    size_t n_threads = max_threads < n_tiles ? max_threads : n_tiles;
+    if (n_threads == 0) n_threads = 1;
+
+    auto work = [&](size_t tid) {
+        std::vector<uint8_t> scratch(tile_bytes);
+        std::string werr;
+        std::vector<uint32_t> local_hist;
+        uint32_t* h = hist;
+        if (hist && n_threads > 1) {
+            local_hist.assign(65536, 0);
+            h = local_hist.data();
         }
-        bool ok;
-        if (pg.compression == 1) {
-            ok = cnt >= tile_bytes;
-            if (ok) std::memcpy(scratch.data(), r.ptr + off, tile_bytes);
-            else werr = "short uncompressed tile";
-        } else if (pg.compression == 5) {
-            ok = lzw_decode(r.ptr + off, cnt, scratch.data(), tile_bytes,
-                            &werr);
-        } else if (pg.compression == 32773) {
-            ok = packbits_decode(r.ptr + off, cnt, scratch.data(),
-                                 tile_bytes, &werr);
-        } else {
-            ok = deflate_decode(r.ptr + off, cnt, scratch.data(),
-                                tile_bytes, &werr);
-        }
-        if (!ok) {
-            *err = werr;
-            return -7;
-        }
-        if (pg.bits == 16 && r.big_endian) {
-            for (size_t i = 0; i + 1 < tile_bytes; i += 2) {
-                uint8_t b = scratch[i];
-                scratch[i] = scratch[i + 1];
-                scratch[i + 1] = b;
+        for (size_t t = tid; t < n_tiles; t += n_threads) {
+            uint32_t x0 = (uint32_t)(t % across) * tw;
+            uint32_t y0 = (uint32_t)(t / across) * th;
+            uint64_t off = pg.strip_offsets[t];
+            uint64_t cnt = t < pg.strip_counts.size() ? pg.strip_counts[t]
+                                                      : (uint64_t)tile_bytes;
+            if (off > r.size || cnt > r.size - off) {
+                rc = -6;
+                std::lock_guard<std::mutex> g(err_mu);
+                *err = "tile outside file";
+                return;
             }
-        } else if (pg.bits == 32 && r.big_endian) {
-            for (size_t i = 0; i + 3 < tile_bytes; i += 4) {
-                uint8_t b = scratch[i];
-                scratch[i] = scratch[i + 3];
-                scratch[i + 3] = b;
-                b = scratch[i + 1];
-                scratch[i + 1] = scratch[i + 2];
-                scratch[i + 2] = b;
+            bool ok;
+            if (pg.compression == 1) {
+                ok = cnt >= tile_bytes;
+                if (ok) std::memcpy(scratch.data(), r.ptr + off, tile_bytes);
+                else werr = "short uncompressed tile";
+            } else if (pg.compression == 5) {
+                ok = lzw_decode(r.ptr + off, cnt, scratch.data(), tile_bytes,
+                                &werr);
+            } else if (pg.compression == 32773) {
+                ok = packbits_decode(r.ptr + off, cnt, scratch.data(),
+                                     tile_bytes, &werr);
+            } else {
+                ok = deflate_decode(r.ptr + off, cnt, scratch.data(),
+                                    tile_bytes, &werr);
+            }
+            if (!ok) {
+                rc = -7;
+                std::lock_guard<std::mutex> g(err_mu);
+                *err = werr;
+                return;
+            }
+            if (pg.bits == 16 && r.big_endian) {
+                for (size_t i = 0; i + 1 < tile_bytes; i += 2) {
+                    uint8_t b = scratch[i];
+                    scratch[i] = scratch[i + 1];
+                    scratch[i + 1] = b;
+                }
+            } else if (pg.bits == 32 && r.big_endian) {
+                for (size_t i = 0; i + 3 < tile_bytes; i += 4) {
+                    uint8_t b = scratch[i];
+                    scratch[i] = scratch[i + 3];
+                    scratch[i + 3] = b;
+                    b = scratch[i + 1];
+                    scratch[i + 1] = scratch[i + 2];
+                    scratch[i + 2] = b;
+                }
+            }
+            if (pg.predictor == 2) {
+                for (uint32_t rr = 0; rr < th; ++rr)
+                    undo_predictor(scratch.data() + tile_row_bytes * rr, tw,
+                                   pg.bits, pg.samples);
+            }
+            // 64-bit edge clamps: with width within tile_width of 2^32
+            // the 32-bit `x0 + vw` wraps past the clamp and the full-tile
+            // copy writes past the caller's buffer (same class as the
+            // strip path's crafted-RowsPerStrip wrap)
+            uint32_t vw = tw, vh = th;
+            if ((uint64_t)x0 + vw > pg.width) vw = pg.width - x0;
+            if ((uint64_t)y0 + vh > pg.height) vh = pg.height - y0;
+            size_t copy_bytes = (size_t)vw * bytes_per_px;
+            for (uint32_t rr = 0; rr < vh; ++rr) {
+                uint8_t* dst_row = out + (size_t)(y0 + rr) * row_bytes +
+                                   (size_t)x0 * bytes_per_px;
+                std::memcpy(dst_row, scratch.data() + tile_row_bytes * rr,
+                            copy_bytes);
+                if (hist && pg.bits == 16 && pg.samples == 1 &&
+                    hist_stride >= 1)
+                    accumulate_row_hist(dst_row, vw,
+                                        (size_t)(y0 + rr) * pg.width + x0,
+                                        hist_stride, h);
             }
         }
-        if (pg.predictor == 2) {
-            for (uint32_t rr = 0; rr < th; ++rr)
-                undo_predictor(scratch.data() + tile_row_bytes * rr, tw,
-                               pg.bits, pg.samples);
+        if (!local_hist.empty()) {
+            std::lock_guard<std::mutex> g(err_mu);
+            for (int v = 0; v < 65536; ++v) hist[v] += local_hist[v];
         }
-        // 64-bit edge clamps: with width within tile_width of 2^32 the
-        // 32-bit `x0 + vw` wraps past the clamp and the full-tile copy
-        // writes past the caller's buffer (same class as the strip path's
-        // crafted-RowsPerStrip wrap below)
-        uint32_t vw = tw, vh = th;
-        if ((uint64_t)x0 + vw > pg.width) vw = pg.width - x0;
-        if ((uint64_t)y0 + vh > pg.height) vh = pg.height - y0;
-        size_t copy_bytes = (size_t)vw * bytes_per_px;
-        for (uint32_t rr = 0; rr < vh; ++rr) {
-            uint8_t* dst_row =
-                out + (size_t)(y0 + rr) * row_bytes + (size_t)x0 * bytes_per_px;
-            std::memcpy(dst_row, scratch.data() + tile_row_bytes * rr,
-                        copy_bytes);
-            if (hist && pg.bits == 16 && pg.samples == 1 && hist_stride >= 1)
-                accumulate_row_hist(dst_row, vw,
-                                    (size_t)(y0 + rr) * pg.width + x0,
-                                    hist_stride, hist);
-        }
+    };
+
+    if (n_threads == 1) {
+        work(0);
+    } else {
+        std::vector<std::thread> pool;
+        pool.reserve(n_threads);
+        for (size_t tid = 0; tid < n_threads; ++tid)
+            pool.emplace_back(work, tid);
+        for (auto& th_ : pool) th_.join();
     }
-    return 0;
+    return rc.load();
 }
 
 int decode_page(const Reader& r, const TiffPage& pg, uint8_t* out,
@@ -807,7 +843,8 @@ int decode_page(const Reader& r, const TiffPage& pg, uint8_t* out,
     }
 
     if (pg.tile_width || pg.tile_height)
-        return decode_page_tiled(r, pg, out, err, hist, hist_stride);
+        return decode_page_tiled(r, pg, out, max_threads, err, hist,
+                                 hist_stride);
 
     size_t n_strips = pg.strip_offsets.size();
     std::atomic<int> rc{0};
