@@ -1,8 +1,10 @@
 """Native host-side decode tier (ctypes bindings to libiptiff.so).
 
-``decode_tiff(path, page)`` returns a numpy array (uint8/uint16, (H, W) or
-(H, W, S)) or None when the native library is unavailable or the file uses
-an unsupported layout (caller falls back to PIL — see core.tiffio).
+``decode_tiff(path, page)`` returns a numpy array (uint8/uint16/float32,
+(H, W) or (H, W, S)) or None when the native library is unavailable or the
+file uses an unsupported layout (caller falls back to PIL — see
+core.tiffio).  Classic TIFF and BigTIFF; stripped and tiled; none/LZW/
+Deflate/PackBits strips; predictor 2; either endianness.
 
 Build: ``make -C native`` (g++, no external deps).  If the shared library
 is missing, this module tries a one-time build when a compiler is present.
