@@ -245,7 +245,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--backend", default="threshold",
                    choices=["threshold", "unet", "cellpose"])
     p.add_argument("--checkpoint", default=None,
-                   help="U-Net checkpoint dir (default: bundled pretrained)")
+                   help="U-Net checkpoint dir or name: 'golden' (same-prep "
+                        "specialist, the default) | 'general' (cross-domain "
+                        "generalist)")
     p.add_argument("--prob-threshold", type=float, default=0.5)
     p.add_argument("--channel", type=int, default=None)
     p.add_argument("--thr-mode", default="percentile",

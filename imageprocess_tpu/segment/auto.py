@@ -43,6 +43,17 @@ DEFAULT_UNET_CKPT = os.path.join(
     os.path.dirname(__file__), "..", "models", "pretrained", "unet_golden_v1"
 )
 
+# --checkpoint accepts these names as well as paths.  "golden" is the
+# same-prep specialist; "general" is the cross-domain generalist trained on
+# the synthcells 5-domain mixture (scripts/train_unet_general.py) — the
+# Cellpose-cyto3 capability slot (src/ROI_auto_drawer.py:48-67) for data
+# that looks nothing like the golden experiments.
+NAMED_UNET_CKPTS = {
+    "golden": DEFAULT_UNET_CKPT,
+    "general": os.path.join(os.path.dirname(__file__), "..", "models",
+                            "pretrained", "unet_general_v1"),
+}
+
 
 @dataclass
 class AutoSegConfig:
@@ -124,7 +135,8 @@ def _unet_model(cfg: AutoSegConfig):
     from ..models.checkpoint import load_checkpoint
     from ..models.unet import UNet
 
-    ckpt = os.path.abspath(cfg.checkpoint or DEFAULT_UNET_CKPT)
+    name = cfg.checkpoint or DEFAULT_UNET_CKPT
+    ckpt = os.path.abspath(NAMED_UNET_CKPTS.get(name, name))
     if ckpt not in _UNET_CACHE:
         import jax
 
