@@ -166,7 +166,13 @@ def _make_dataset():
 def _device_only_mpix_s(reps: int | None = None) -> float:
     """Chip-efficiency metric: time the batched tiled intensity program on a
     pre-decoded, device-resident batch (decode and host I/O excluded).
-    Separates device throughput from the single-core host decode wall."""
+    Separates device throughput from the single-core host decode wall.
+
+    The batch is tiled up to the streaming runner's autoscaler cap
+    (IP_BENCH_DEVICE_B, default 32 frames/dispatch — the chunk size
+    production reaches when the loader outruns the device), where the
+    ~28 ms tunnel dispatch floor amortizes best (~950 Mpix/s at 16 vs
+    ~1270 at 32, docs/DESIGN.md)."""
     import glob
 
     import jax
@@ -188,9 +194,11 @@ def _device_only_mpix_s(reps: int | None = None) -> float:
         from imageprocess_tpu.core import tiffio
 
         frames = np.stack([tiffio.read_2d(p, dtype=None) for p in paths])
-    B = N_STAGES
+    B = int(os.environ.get("IP_BENCH_DEVICE_B", "32"))
     C = len(CHANNELS)
-    imgs_b = frames.reshape(B, C, H, W)
+    imgs_b = frames.reshape(N_STAGES, C, H, W)
+    if B != N_STAGES:  # tile the decoded stages up to the cap batch
+        imgs_b = np.tile(imgs_b, ((B + N_STAGES - 1) // N_STAGES, 1, 1, 1))[:B]
     polys = roiio.load_roi_polygons(os.path.join(DATA_DIR, "roi", "S01.json"))
     tile = choose_tile(polys, H, W)
     nb = ((len(polys) + 7) // 8) * 8
