@@ -507,6 +507,7 @@ def _supervise(run_child=_run_child) -> int:
 
     # Phase A: the real backend, retrying retryable init failures with
     # backoff until the init budget is spent
+    last_rc = None
     while remaining() > 60:
         attempts += 1
         to = min(child_timeout, remaining())
@@ -515,6 +516,7 @@ def _supervise(run_child=_run_child) -> int:
             "IP_BENCH_ATTEMPT": str(attempts),
             "IP_BENCH_CHILD_DEADLINE_S": str(max(60.0, to - 30.0)),
         }, timeout=to)
+        last_rc = rc
         if _quality(js) > _quality(best):
             best = js
         if js and js.get("value", 0) > 0:
@@ -530,11 +532,18 @@ def _supervise(run_child=_run_child) -> int:
 
     # Phase B: CPU-backend fallback — an honest degraded e2e number (decode
     # is host-side anyway) clearly labelled, instead of a 0.0 scoreboard
+    # Attribute honestly: only a backend-class failure (init failure,
+    # timeout kill, crash with no JSON) is "axon unavailable"; a clean child
+    # (rc=0) that zeroed its own headline (e.g. a row-count check) is a
+    # product failure and must not be relabelled as a tunnel outage.
     if best is None:
-        axon_err = "no JSON from axon child"
+        axon_err = "axon unavailable: no JSON from axon child"
     else:  # e.g. rc=0 with value 0.0: the child must have said why
-        axon_err = best.get("error",
-                            "axon child returned zero without an error field")
+        detail = best.get("error",
+                          "axon child returned zero without an error field")
+        backend_class = last_rc != 0 or best.get("phase") == "init"
+        axon_err = (f"axon unavailable: {detail}" if backend_class
+                    else f"axon run failed: {detail}")
     if remaining() > 120 and os.environ.get("IP_BENCH_CPU_FALLBACK", "1") == "1":
         attempts += 1
         to = remaining() - 10
@@ -552,7 +561,7 @@ def _supervise(run_child=_run_child) -> int:
         if js and js.get("value", 0) > 0:
             js["attempts"] = attempts
             js["backend"] = "cpu_fallback"
-            js["error"] = f"axon unavailable: {axon_err}"[:220]
+            js["error"] = axon_err[:220]
             js["phase"] = "cpu_fallback"
             print(json.dumps(js), flush=True)
             return 0

@@ -195,15 +195,24 @@ def frame_arrays(img: np.ndarray, labels: np.ndarray):
                                 jnp.float32(1.0), jnp.int32(0)))
     probs = (labels > 0).astype(np.float32)
     flows = np.zeros((H, W, 2), np.float32)
-    yy, xx = np.mgrid[0:H, 0:W].astype(np.float32)
-    for lab in range(1, int(labels.max()) + 1):
-        m = labels == lab
-        if not m.any():
-            continue
-        cy, cx = yy[m].mean(), xx[m].mean()
-        d = np.sqrt((yy - cy) ** 2 + (xx - cx) ** 2) + 1e-6
-        flows[..., 0] = np.where(m, (cy - yy) / d, flows[..., 0])
-        flows[..., 1] = np.where(m, (cx - xx) / d, flows[..., 1])
+    # single pass over foreground pixels (not O(n_cells * H * W) full-frame
+    # sweeps): per-label centroids via bincount, then each pixel's flow from
+    # its own label's centroid by a gather
+    ys, xs = np.nonzero(labels)
+    if ys.size:
+        labs = labels[ys, xs].astype(np.int64)
+        nlab = int(labs.max())
+        cnt = np.bincount(labs, minlength=nlab + 1).astype(np.float64)
+        cnt[cnt == 0] = 1.0
+        cy = (np.bincount(labs, weights=ys, minlength=nlab + 1) / cnt)[labs]
+        cx = (np.bincount(labs, weights=xs, minlength=nlab + 1) / cnt)[labs]
+        fy = ys.astype(np.float32)
+        fx = xs.astype(np.float32)
+        cy = cy.astype(np.float32)
+        cx = cx.astype(np.float32)
+        d = np.sqrt((fy - cy) ** 2 + (fx - cx) ** 2) + np.float32(1e-6)
+        flows[ys, xs, 0] = (cy - fy) / d
+        flows[ys, xs, 1] = (cx - fx) / d
     return x, probs, flows
 
 

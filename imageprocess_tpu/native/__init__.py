@@ -292,24 +292,8 @@ def hist_mode_from_hist(hist: np.ndarray, p1000: int) -> float:
     nz = np.flatnonzero(counts)
     if nz.size == 0:
         return 0.0
-    lo = np.float32(nz[0])
-    hi = np.float32(nz[-1])
-    span = np.float32(hi - lo) if hi > lo else np.float32(1.0)
-    vals = nz.astype(np.float32)
-    idx = ((vals - lo) / span * np.float32(2048.0)).astype(np.int32)
-    np.clip(idx, 0, 2047, out=idx)
-    h2 = np.zeros(2048, np.int64)
-    np.add.at(h2, idx, counts[nz])
-    total = h2.sum()
-    cdf = np.cumsum(h2).astype(np.float32) / np.float32(total)
-    target = np.float32(p1000) / np.float32(100000.0)
-    reach = cdf >= target
-    if not reach.any():
-        return float(hi)
-    first = int(np.argmax(reach))
-    bin_w = span / np.float32(2048.0)
-    mid = lo + (np.float32(first) + np.float32(0.5)) * bin_w
-    return float(mid)
+    return _hist_mode_core(nz.astype(np.float32), counts[nz],
+                           np.float32(nz[0]), np.float32(nz[-1]), p1000)
 
 
 def hist_mode_from_values(vals: np.ndarray, p1000: int) -> float:
@@ -321,14 +305,19 @@ def hist_mode_from_values(vals: np.ndarray, p1000: int) -> float:
     v = v[np.isfinite(v)]
     if v.size == 0:
         return 0.0
-    lo = v.min()
-    hi = v.max()
+    return _hist_mode_core(v, None, v.min(), v.max(), p1000)
+
+
+def _hist_mode_core(v: np.ndarray, weights, lo, hi, p1000: int) -> float:
+    """Shared 2048-bin binning/CDF/first-bin-midpoint body (the
+    bit-identity rationale in hist_mode_from_hist's docstring applies to
+    this code).  ``weights=None`` counts each value once."""
     span = np.float32(hi - lo) if hi > lo else np.float32(1.0)
     idx = ((v - lo) / span * np.float32(2048.0)).astype(np.int32)
     np.clip(idx, 0, 2047, out=idx)
     h2 = np.zeros(2048, np.int64)
-    np.add.at(h2, idx, 1)
-    cdf = np.cumsum(h2).astype(np.float32) / np.float32(v.size)
+    np.add.at(h2, idx, 1 if weights is None else weights)
+    cdf = np.cumsum(h2).astype(np.float32) / np.float32(h2.sum())
     target = np.float32(p1000) / np.float32(100000.0)
     reach = cdf >= target
     if not reach.any():

@@ -78,6 +78,10 @@ def _check_native() -> Tuple[bool, str]:
     with tempfile.TemporaryDirectory() as d:
         p = os.path.join(d, "t.tif")
         Image.fromarray(arr).save(p, format="TIFF", compression="tiff_lzw")
+        # untimed warm-up: the first call may include the one-time g++ build
+        # of libiptiff.so — don't let that read as "0 Mpix/s decoder"
+        if decode_tiff(p) is None:
+            return False, "native decoder unavailable (build failed?)"
         t0 = time.perf_counter()
         got = decode_tiff(p)
         dt = time.perf_counter() - t0

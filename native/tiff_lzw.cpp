@@ -584,13 +584,17 @@ bool packbits_decode(const uint8_t* src, size_t src_len, uint8_t* dst,
         int8_t n = (int8_t)src[si++];
         if (n >= 0) {  // n+1 literal bytes
             size_t l = (size_t)n + 1;
+            // clip BEFORE the src bound check: a stream whose final literal
+            // packet fills dst but is stored truncated past the dst-filling
+            // byte is accepted by PIL (it stops once dst fills) — only the
+            // bytes we actually need must be present.
+            if (l > dst_len - di) l = dst_len - di;
             if (si + l > src_len) {
                 *err = "short PackBits strip";
                 return false;
             }
-            if (l > dst_len - di) l = dst_len - di;  // clip over-long
             std::memcpy(dst + di, src + si, l);
-            si += (size_t)n + 1;
+            si += l;
             di += l;
         } else if (n != -128) {  // repeat next byte 1-n times (-128: noop)
             if (si >= src_len) {
@@ -655,6 +659,13 @@ int validate_page(const TiffPage& pg, std::string* err) {
         }
     } else if (pg.bits != 8 && pg.bits != 16) {
         *err = "unsupported bit depth";
+        return -4;
+    } else if (pg.sample_format != 1 && pg.sample_format != 4) {
+        // 8/16-bit pages are decoded as unsigned ints; signed (2) or
+        // float-half (3) bit patterns would silently read as garbage —
+        // reject so callers fall back to PIL, which honors SampleFormat.
+        // 4 = "undefined", conventionally read as unsigned (like PIL).
+        *err = "unsupported sample format";
         return -4;
     }
     return 0;

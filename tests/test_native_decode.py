@@ -265,7 +265,7 @@ def test_frame_buffer_pool_recycles(tmp_path, rng):
 
 
 def _write_raw_tiff(path, data_bytes, h, w, bits, *, predictor=1,
-                    big_endian=False, compression=1):
+                    big_endian=False, compression=1, sample_format=None):
     """Hand-rolled minimal classic TIFF: one uncompressed strip, explicit
     predictor tag.  PIL never writes predictor=2, so the decoder's
     horizontal-differencing undo (incl. the SSE2 prefix-sum fast path,
@@ -289,6 +289,8 @@ def _write_raw_tiff(path, data_bytes, h, w, bits, *, predictor=1,
         (279, 4, 1, len(data_bytes)),  # StripByteCounts
         (317, 3, 1, predictor),    # Predictor
     ]
+    if sample_format is not None:
+        entries.append((339, 3, 1, sample_format))  # SampleFormat
     buf = bytearray()
     buf += magic + struct.pack(e + "HI", 42, ifd_off)
     buf += data_bytes
@@ -600,6 +602,48 @@ def test_short_and_corrupt_packbits_deflate_fail(tmp_path, rng):
         p = str(tmp_path / f"{name}.tif")
         _write_raw_tiff(p, payload, h, w, 16, compression=comp)
         assert decode_tiff(p) is None, name
+
+
+def test_int16_sample_format_rejected(tmp_path, rng):
+    """bits=16 with SampleFormat=2 (signed) or 3 (IEEE half): decoding the
+    raw bit patterns as uint16 would be silent garbage — the native tier
+    must return None so callers fall back to PIL, which honors the tag.
+    SampleFormat=4 ("undefined") conventionally reads as unsigned."""
+    h, w = 8, 16
+    arr = rng.integers(0, 65536, size=(h, w)).astype(np.uint16)
+    probe = str(tmp_path / "sf1.tif")
+    _write_raw_tiff(probe, arr.tobytes(), h, w, 16, sample_format=1)
+    if decode_tiff(probe) is None:
+        pytest.skip("native decoder unavailable")
+    for sf in (2, 3):
+        p = str(tmp_path / f"sf{sf}.tif")
+        _write_raw_tiff(p, arr.tobytes(), h, w, 16, sample_format=sf)
+        assert decode_tiff(p) is None, f"sample_format={sf}"
+    p4 = str(tmp_path / "sf4.tif")
+    _write_raw_tiff(p4, arr.tobytes(), h, w, 16, sample_format=4)
+    np.testing.assert_array_equal(decode_tiff(p4), arr)
+
+
+def test_packbits_truncated_final_literal_clips(tmp_path):
+    """A stream whose FINAL literal packet fills dst but is stored
+    truncated right after the dst-filling byte is accepted (PIL stops as
+    soon as dst fills) — the clip must be applied BEFORE the src bound
+    check.  Declaring bytes that are both missing AND needed still errors."""
+    h, w = 1, 4
+    want = np.frombuffer(bytes([9, 8, 7, 6]), np.uint8).reshape(h, w)
+    # header declares 6 literal bytes; only the 4 dst needs are stored
+    p = str(tmp_path / "pb_clip.tif")
+    _write_raw_tiff(p, b"\x05" + bytes([9, 8, 7, 6]), h, w, 8,
+                    compression=32773)
+    got = decode_tiff(p)
+    if got is None:
+        pytest.skip("native decoder unavailable")
+    np.testing.assert_array_equal(got, want)
+    # genuinely short: dst needs 4, literal stores only 3
+    p2 = str(tmp_path / "pb_short2.tif")
+    _write_raw_tiff(p2, b"\x05" + bytes([9, 8, 7]), h, w, 8,
+                    compression=32773)
+    assert decode_tiff(p2) is None
 
 
 def test_packbits_multi_strip_vs_pil(tmp_path, rng):
