@@ -259,6 +259,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--diameter", type=float, default=None)
     p.add_argument("--model-type", default="cyto3")
     p.add_argument("--gpu", action="store_true")
+    p.add_argument("--devices", type=int, default=1, metavar="N",
+                   help="shard the U-Net tile batch over an N-device mesh "
+                        "(unet backend only; results identical)")
     _add_common(p)
 
     p = sub.add_parser("refine", help="refine rough ROIs (roi_manual_drawer core)")
@@ -590,6 +593,9 @@ def _dispatch(args, log) -> int:
     if args.cmd == "roi-auto":
         from .segment.auto import AutoSegConfig, run_auto_drawer
 
+        ok, _ = _mesh_for(args, log)
+        if not ok:
+            return 1
         cfg = AutoSegConfig(
             backend=args.backend, channel=args.channel,
             timelapse=args.timelapse, thr_mode=args.thr_mode,
@@ -597,7 +603,7 @@ def _dispatch(args, log) -> int:
             smooth_sigma=args.smooth_sigma, min_size_px=args.min_size_px,
             checkpoint=args.checkpoint, prob_threshold=args.prob_threshold,
             diameter=args.diameter, model_type=args.model_type,
-            use_gpu=args.gpu,
+            use_gpu=args.gpu, devices=args.devices,
         )
         run_auto_drawer(args.folder, cfg, roi_dir=args.out, log=log)
         return 0

@@ -73,6 +73,7 @@ class AutoSegConfig:
     checkpoint: Optional[str] = None   # None -> bundled pretrained
     prob_threshold: float = 0.5
     flow_follow: bool = True           # Cellpose-style instance separation
+    devices: int = 1                   # >1: shard the tile batch over a mesh
     # cellpose backend
     diameter: Optional[float] = None
     model_type: str = "cyto3"
@@ -161,11 +162,16 @@ def _unet_segment(img: np.ndarray, cfg: AutoSegConfig) -> List[np.ndarray]:
     from .cellseg import segment_frame_unet
 
     apply_fn, params, tile = _unet_model(cfg)
+    mesh = None
+    if cfg.devices > 1:
+        from ..parallel.runner import make_mesh
+
+        mesh = make_mesh(cfg.devices)
     return segment_frame_unet(
         img, apply_fn, params, tile=tile,
         prob_threshold=cfg.prob_threshold, min_size_px=cfg.min_size_px,
         max_labels=cfg.max_labels, min_poly_area=cfg.min_poly_area,
-        flow_follow=cfg.flow_follow,
+        flow_follow=cfg.flow_follow, mesh=mesh,
     )
 
 

@@ -30,6 +30,29 @@ def _forward(apply_fn, params, tiles):
     return apply_fn(params, tiles)
 
 
+def _forward_tiles(apply_fn, params, tiles: np.ndarray, mesh) -> np.ndarray:
+    """Run the jitted forward pass over the tile batch, optionally sharded
+    over a 1-D device mesh (the multi-device analog of the reference's
+    Cellpose ``batch_size`` GPU batching, ROI_auto_drawer.py:192-203,241):
+    the batch axis is laid out across the mesh and GSPMD partitions the
+    convolutions per device, params replicated.  Tile outputs are
+    device-order-independent, so results are identical to single-device."""
+    if mesh is None:
+        return np.asarray(_forward(apply_fn, params, jnp.asarray(tiles)))
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    n = int(mesh.devices.size)
+    t = tiles.shape[0]
+    pad = (-t) % n
+    if pad:
+        tiles = np.concatenate(
+            [tiles, np.zeros((pad,) + tiles.shape[1:], tiles.dtype)])
+    arr = jax.device_put(
+        jnp.asarray(tiles),
+        NamedSharding(mesh, PartitionSpec(mesh.axis_names[0])))
+    return np.asarray(_forward(apply_fn, params, arr))[:t]
+
+
 def segment_frame_unet(
     img: np.ndarray,
     apply_fn,
@@ -41,8 +64,12 @@ def segment_frame_unet(
     max_labels: int = 1024,
     min_poly_area: float = 20.0,
     flow_follow: bool = True,
+    mesh=None,
 ) -> List[np.ndarray]:
-    """Full frame -> instance polygons via tiled U-Net inference."""
+    """Full frame -> instance polygons via tiled U-Net inference.
+
+    ``mesh``: optional 1-D `jax.sharding.Mesh` — the tile batch is sharded
+    across it (results identical to single-device)."""
     H, W = img.shape
     x = np.asarray(
         stretch_view(jnp.asarray(img, jnp.float32), jnp.int32(1000),
@@ -69,7 +96,7 @@ def segment_frame_unet(
     tiles = np.stack([
         x[y:y + tile, xx:xx + tile] for y in ys for xx in xs
     ])[..., None]
-    out = np.asarray(_forward(apply_fn, params, jnp.asarray(tiles)))
+    out = _forward_tiles(apply_fn, params, tiles, mesh)
     prob = 1.0 / (1.0 + np.exp(-out[..., 0]))
     n_ch = out.shape[-1]
 

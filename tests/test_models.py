@@ -91,6 +91,25 @@ def test_segment_frame_unet_structural(tiny_state, tiny_cfg):
         assert p.ndim == 2 and p.shape[1] == 2
 
 
+def test_segment_frame_unet_sharded_matches_single(tiny_state, tiny_cfg):
+    """Mesh-sharded tile-batch inference (roi-auto --devices N) returns the
+    same instance polygons as the single-device path: the batch axis is
+    data-parallel, so GSPMD partitioning cannot change per-tile math."""
+    from imageprocess_tpu.parallel.runner import make_mesh
+    from imageprocess_tpu.segment.cellseg import segment_frame_unet
+
+    img = np.random.default_rng(3).normal(100, 20, (96, 130)).astype(np.float32)
+    kw = dict(tile=tiny_cfg.tile, overlap=4, min_size_px=5,
+              prob_threshold=0.3)
+    single = segment_frame_unet(img, tiny_state.apply_fn, tiny_state.params,
+                                **kw)
+    sharded = segment_frame_unet(img, tiny_state.apply_fn, tiny_state.params,
+                                 mesh=make_mesh(8), **kw)
+    assert len(single) == len(sharded)
+    for a, b in zip(single, sharded):
+        np.testing.assert_array_equal(a, b)
+
+
 def test_pretrained_unet_backend(tmp_path):
     """The bundled checkpoint segments synthetic blob frames end-to-end
     through the auto-drawer unet backend."""
