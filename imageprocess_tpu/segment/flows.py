@@ -24,6 +24,7 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..morphology.binary import binary_dilation, disk
 from ..morphology.ccl import label
@@ -55,23 +56,37 @@ def follow_flows(flows: jnp.ndarray, n_iter: int = 120,
                  step: float = 1.0) -> jnp.ndarray:
     """Integrate pixel positions along *flows* (H, W, 2 as [dy, dx], unit
     vectors toward each cell's center).  Returns (H, W, 2) float landing
-    positions after ``n_iter`` Euler steps of size *step* px."""
+    positions after >= ``n_iter`` Euler steps of size *step* px.
+
+    TPU-shaped integration — scaling-and-squaring: gathers are the
+    slowest TPU primitive, and the direct lax.scan of ``n_iter``
+    sequential bilinear field samples measured ~30 s on a 2048x1536
+    frame (960 megapixel-gathers).  Instead, start from the one-step
+    displacement field and square it ceil(log2(n_iter)) times
+    (``D <- D + D(p + D(p))``, each squaring one bilinear sample of the
+    accumulated displacement map): 7 compositions land every pixel 128
+    steps downstream with 56 gathers.  The per-trajectory dynamics are
+    the same contractive float dynamics as the sequential integrator up
+    to interpolation of the displacement map, which converging fields
+    absorb (quality gates: tests/test_unet_golden.py,
+    tests/test_unet_general.py, tests/test_flows.py).  Integer
+    pointer-doubling of a SNAPPED one-step map was tried first and
+    over-segments badly (rounding freezes the net's sub-unit-magnitude
+    flows and turns every local curl into a spurious attractor) — the
+    float composition is the one that preserves quality."""
     H, W = flows.shape[:2]
-    fy = flows[..., 0]
-    fx = flows[..., 1]
     yy = jax.lax.broadcasted_iota(jnp.float32, (H, W), 0)
     xx = jax.lax.broadcasted_iota(jnp.float32, (H, W), 1)
-
-    def body(P, _):
-        py, px = P
-        dy = _bilinear(fy, py, px)
-        dx = _bilinear(fx, py, px)
-        py = jnp.clip(py + step * dy, 0.0, H - 1.0)
-        px = jnp.clip(px + step * dx, 0.0, W - 1.0)
-        return (py, px), None
-
-    (py, px), _ = jax.lax.scan(body, (yy, xx), None, length=n_iter)
-    return jnp.stack([py, px], axis=-1)
+    # one Euler step, positions clamped like the sequential integrator
+    dy = jnp.clip(yy + step * flows[..., 0], 0.0, H - 1.0) - yy
+    dx = jnp.clip(xx + step * flows[..., 1], 0.0, W - 1.0) - xx
+    n_sq = max(1, int(np.ceil(np.log2(max(2, n_iter)))))
+    for _ in range(n_sq):
+        ty = yy + dy
+        tx = xx + dx
+        dy = jnp.clip(dy + _bilinear(dy, ty, tx), -yy, H - 1.0 - yy)
+        dx = jnp.clip(dx + _bilinear(dx, ty, tx), -xx, W - 1.0 - xx)
+    return jnp.stack([yy + dy, xx + dx], axis=-1)
 
 
 @partial(jax.jit, static_argnames=("n_iter", "sink_radius", "max_labels",
