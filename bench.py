@@ -297,6 +297,33 @@ def _fret_e2e_mpix_s() -> float:
     return best
 
 
+def _seg_mpix_s() -> float:
+    """U-Net instance segmentation throughput on one bench frame — the
+    fused device program (tiling + forward + recomposition + flow
+    labeling on chip, only frame up / labels back).  The reference's
+    counterpart is Cellpose at 1-5 min per 3.1 Mpix frame on CPU
+    (ROI_auto_drawer.py:198) = 0.01-0.05 Mpix/s."""
+    from imageprocess_tpu.native import decode_tiff
+    from imageprocess_tpu.segment.auto import AutoSegConfig, _unet_model
+    from imageprocess_tpu.segment.cellseg import segment_frame_unet
+
+    frame = decode_tiff(os.path.join(DATA_DIR, f"S01_{CHANNELS[0]}.TIF"))
+    if frame is None:
+        return 0.0
+    frame = frame.astype(np.float32)
+    cfg = AutoSegConfig(backend="unet")
+    apply_fn, params, tile = _unet_model(cfg)
+    best = 0.0
+    reps = int(os.environ.get("IP_BENCH_SEG_REPS", "4"))
+    for rep in range(reps):
+        t0 = time.perf_counter()
+        segment_frame_unet(frame, apply_fn, params, tile=tile)
+        dt = time.perf_counter() - t0
+        if rep:  # rep 0 is compile warm-up
+            best = max(best, frame.size / 1e6 / dt)
+    return best
+
+
 # ---------------------------------------------------------------------------
 # child: the real bench, under a watchdog
 # ---------------------------------------------------------------------------
@@ -437,6 +464,8 @@ def _child_main() -> int:
     RESULTS["device_mpix_s"] = _safe(_device_only_mpix_s, "device_mpix_s")
     RESULTS["decode_mpix_s"] = _safe(_decode_only_mpix_s, "decode_mpix_s")
     RESULTS["fret_e2e_mpix_s"] = _safe(_fret_e2e_mpix_s, "fret_e2e_mpix_s")
+    if os.environ.get("IP_BENCH_SEG", "1") == "1":
+        RESULTS["seg_mpix_s"] = _safe(_seg_mpix_s, "seg_mpix_s")
 
     PHASE["name"] = "emit"
     wd.done()
@@ -557,6 +586,7 @@ def _supervise(run_child=_run_child) -> int:
             "IP_BENCH_BUDGET_S": "30",
             "IP_BENCH_DEVICE_REPS": "3",
             "IP_BENCH_FRET_REPS": "3",
+            "IP_BENCH_SEG_REPS": "2",
         }, timeout=to)
         if js and js.get("value", 0) > 0:
             js["attempts"] = attempts

@@ -55,6 +55,38 @@ def _neighbor_min(L: jnp.ndarray, sentinel, connectivity: int) -> jnp.ndarray:
     return out
 
 
+def _run_min(L: jnp.ndarray, fg: jnp.ndarray, sentinel, axis: int) -> jnp.ndarray:
+    """Min-propagate labels within CONTIGUOUS foreground runs along *axis*
+    (segmented min-scan, forward + reverse).  Scans are vectorized TPU
+    primitives — propagating a label across an arbitrarily long straight
+    run costs one O(log n) pass instead of one neighbor round per pixel,
+    and involves none of the megapixel gathers that make pointer jumping
+    the expensive part of a round."""
+
+    def shifted_fg(forward: bool) -> jnp.ndarray:
+        pad = [(0, 0), (0, 0)]
+        pad[axis] = (1, 0) if forward else (0, 1)
+        sl = [slice(None), slice(None)]
+        sl[axis] = slice(0, fg.shape[axis]) if forward else slice(1, None)
+        return jnp.pad(fg, pad)[tuple(sl)]
+
+    def comb(a, b):
+        av, af = a
+        bv, bf = b
+        return jnp.where(bf, bv, jnp.minimum(av, bv)), af | bf
+
+    out = L
+    for reverse in (False, True):
+        # a segment starts (in scan direction) where fg begins a run;
+        # background pixels are their own segments so nothing crosses them
+        start = fg & ~shifted_fg(forward=not reverse)
+        flags = ~fg | start
+        v, _ = jax.lax.associative_scan(comb, (L, flags), axis=axis,
+                                        reverse=reverse)
+        out = jnp.minimum(out, v)
+    return jnp.where(fg, out, sentinel)
+
+
 @partial(jax.jit, static_argnames=("connectivity",))
 def label_roots(fg: jnp.ndarray, connectivity: int = 1) -> jnp.ndarray:
     """(H, W) bool -> (H, W) int32: for each foreground pixel, the flat index
@@ -71,8 +103,14 @@ def label_roots(fg: jnp.ndarray, connectivity: int = 1) -> jnp.ndarray:
 
     def body(state):
         L, _ = state
+        # one neighbor round links across steps/diagonals, the run scans
+        # flood entire straight segments, one pointer jump path-compresses
+        # long chains — blobby masks converge in 2-4 rounds with a single
+        # gather each (vs the 2-gather/round all-jump formulation)
         Ln = jnp.where(fg, _neighbor_min(L, sentinel, connectivity), sentinel)
-        Ln = jump(jump(Ln))
+        Ln = _run_min(Ln, fg, sentinel, 1)
+        Ln = _run_min(Ln, fg, sentinel, 0)
+        Ln = jump(Ln)
         return Ln, jnp.any(Ln != L)
 
     def cond(state):

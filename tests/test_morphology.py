@@ -160,6 +160,36 @@ def test_label_snake():
     assert np.array_equal(ours, ref) and n == 1
 
 
+def test_label_run_scan_stress():
+    """Shapes that stress the segmented run min-scans added to label_roots:
+    a checkerboard (every run has length 1 — the scan must not leak labels
+    across background), a comb (long vertical teeth off a horizontal spine
+    — column scans flood whole teeth in one round), and full-frame rows."""
+    # checkerboard: 4-conn = all isolated, 8-conn = one diagonal component
+    fg = np.indices((17, 23)).sum(axis=0) % 2 == 0
+    ref, n = ndi.label(fg)
+    ours = np.asarray(label(fg, connectivity=1, max_labels=512))
+    assert ours.max() == n and np.array_equal(ours, ref)
+    ours8 = np.asarray(label(fg, connectivity=2, max_labels=512))
+    assert ours8.max() == 1 and np.array_equal(ours8 > 0, fg)
+
+    # comb: spine row + every 3rd column as a tooth
+    fg = np.zeros((48, 60), bool)
+    fg[0, :] = True
+    fg[:, ::3] = True
+    ours = np.asarray(label(fg, connectivity=1, max_labels=8))
+    ref, n = ndi.label(fg)
+    assert n == 1 and np.array_equal(ours, ref)
+
+    # two full-width rows separated by background
+    fg = np.zeros((9, 40), bool)
+    fg[2, :] = True
+    fg[6, :] = True
+    ours = np.asarray(label(fg, connectivity=1, max_labels=8))
+    ref, n = ndi.label(fg)
+    assert n == 2 and np.array_equal(ours, ref)
+
+
 def test_remove_small_objects():
     fg = np.zeros((30, 30), bool)
     fg[2:4, 2:4] = True          # 4 px
