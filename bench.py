@@ -318,7 +318,9 @@ def _seg_mpix_s() -> float:
     cfg = AutoSegConfig(backend="unet")
     apply_fn, params, tile = _unet_model(cfg)
     best = 0.0
-    reps = int(os.environ.get("IP_BENCH_SEG_REPS", "4"))
+    # >=2: rep 0 is compile warm-up and never recorded, so a configured 1
+    # would silently yield 0.0 (indistinguishable from a failed run)
+    reps = max(2, int(os.environ.get("IP_BENCH_SEG_REPS", "4")))
     for rep in range(reps):
         t0 = time.perf_counter()
         segment_frame_unet(frame, apply_fn, params, tile=tile)
@@ -540,7 +542,7 @@ def _supervise(run_child=_run_child) -> int:
 
     # Phase A: the real backend, retrying retryable init failures with
     # backoff until the init budget is spent
-    last_rc = None
+    best_rc = None  # the rc of the attempt that produced `best`, not the last
     while remaining() > 60:
         attempts += 1
         to = min(child_timeout, remaining())
@@ -549,9 +551,9 @@ def _supervise(run_child=_run_child) -> int:
             "IP_BENCH_ATTEMPT": str(attempts),
             "IP_BENCH_CHILD_DEADLINE_S": str(max(60.0, to - 30.0)),
         }, timeout=to)
-        last_rc = rc
         if _quality(js) > _quality(best):
             best = js
+            best_rc = rc
         if js and js.get("value", 0) > 0:
             js["attempts"] = attempts
             js.setdefault("backend", "axon")
@@ -574,7 +576,7 @@ def _supervise(run_child=_run_child) -> int:
     else:  # e.g. rc=0 with value 0.0: the child must have said why
         detail = best.get("error",
                           "axon child returned zero without an error field")
-        backend_class = last_rc != 0 or best.get("phase") == "init"
+        backend_class = best_rc != 0 or best.get("phase") == "init"
         axon_err = (f"axon unavailable: {detail}" if backend_class
                     else f"axon run failed: {detail}")
     if remaining() > 120 and os.environ.get("IP_BENCH_CPU_FALLBACK", "1") == "1":

@@ -3,10 +3,12 @@
 Reference behavior (src/roi_manual_drawer.py:667-1276 ``ROIAnnotator`` /
 ``ROIAnnotatorCH``): draw a rough polygon ('p' + PolygonSelector), the core
 auto-segments the brightest object inside it (threshold percentile / BND
-mode), accept or retry with a new threshold, manage ROIs (delete last 'd',
-clear 'c'), cycle channels (Tab), toggle view filters (invert 'i', gamma
-'g'/'G', CLAHE 'e', bandpass 'b'), and save the full bundle on close
-(JSON + mask + overlay + ImageJ zip).
+mode), accept or retry with a new threshold, manage ROIs (undo 'u', clear
+'c'), cycle channels (Tab/Shift+Tab), adjust the display (percentile
+window 'a'/'d'/'s'/'f', gamma 'g'/'G', invert 'i', pseudocolor '0'-'5',
+reset 'v') and the filter pipeline (CLAHE 'e', bandpass 'b', unsharp 'n',
+Sobel edge overlay 'o'), and save the full bundle on close (JSON + mask +
+overlay + ImageJ zip).  The full key map lives in :meth:`handle_key`.
 
 Device work (view filters, in-polygon segmentation) runs through the same
 jitted ops as the batch pipelines; matplotlib only displays.
@@ -172,6 +174,67 @@ class ROIAnnotator:
         self.ch_idx = (self.ch_idx + step) % len(self.channels)
         return self.channel
 
+    # keyboard map, cursor-independent part (reference on_key,
+    # roi_manual_drawer.py:1095-1141 + channel Tab :1273-1275).  Key ->
+    # reference behavior; where the reference letter was already taken by a
+    # repo-only extra, the binding is remapped and listed in docs/CLI.md:
+    #   u        undo last ROI            (reference 'u')
+    #   c        clear ROIs               (reference 'c')
+    #   a / d    display floor -/+ 1%     (reference 'a'/'d')
+    #   s / f    display ceil  -/+ 1%     (reference 's'/'f')
+    #   g / G    gamma -/+ 0.1            (reference 'g'/'G')
+    #   i        invert                   (reference 'i')
+    #   0-5      pseudocolor gray/cyan/blue/green/red/yellow ('0'-'5')
+    #   v        reset view               (reference 'r'; repo 'r' =
+    #                                      redraw-at-cursor)
+    #   tab / shift+tab  cycle channel    (reference Tab/Shift+Tab)
+    #   e / b / n / o    CLAHE / bandpass / unsharp / Sobel-edge toggles
+    #                    (reference view_params, :703-711 — no reference
+    #                     key exists; bound here so every render-pipeline
+    #                     stage is reachable without editing JSON)
+    _COLOR_KEYS = {"0": "grayscale", "1": "cyan", "2": "blue",
+                   "3": "green", "4": "red", "5": "yellow"}
+    _TOGGLE_KEYS = {"i": "invert", "e": "use_clahe", "b": "use_bandpass",
+                    "n": "use_unsharp", "o": "edge_overlay"}
+
+    def handle_key(self, key: str) -> bool:
+        """Apply a cursor-independent key binding; returns True when the
+        view changed (the UI then redraws).  UI-free so tests can drive
+        every binding headlessly."""
+        v = self.view
+        if key == "u":
+            self.delete_last()
+        elif key == "c":
+            self.clear()
+        elif key == "a":
+            v["p_low"] = max(0.0, v.get("p_low", 1.0) - 1.0)
+        elif key == "d":
+            v["p_low"] = min(v.get("p_high", 99.0) - 0.1,
+                             v.get("p_low", 1.0) + 1.0)
+        elif key == "s":
+            v["p_high"] = max(v.get("p_low", 1.0) + 0.1,
+                              v.get("p_high", 99.0) - 1.0)
+        elif key == "f":
+            v["p_high"] = min(100.0, v.get("p_high", 99.0) + 1.0)
+        elif key == "g":
+            v["gamma"] = max(0.2, v.get("gamma", 1.0) - 0.1)
+        elif key == "G":
+            v["gamma"] = min(5.0, v.get("gamma", 1.0) + 0.1)
+        elif key == "v":
+            v.update(p_low=1.0, p_high=99.0, gamma=1.0, invert=False)
+        elif key in self._COLOR_KEYS:
+            v["color_mode"] = self._COLOR_KEYS[key]
+        elif key in self._TOGGLE_KEYS:
+            name = self._TOGGLE_KEYS[key]
+            v[name] = not v.get(name, False)
+        elif key == "tab":
+            self.cycle_channel(+1)
+        elif key == "shift+tab":
+            self.cycle_channel(-1)
+        else:
+            return False
+        return True
+
     def rendered(self) -> np.ndarray:
         """View-rendered RGB frame, with the drawer's optional device-side
         filter pipeline (roi_manual_drawer.py:870-946): bandpass DoG,
@@ -255,16 +318,14 @@ class ROIAnnotator:
             pass  # matplotlib-version-dependent internals; hidden is enough
 
     def _title(self):
-        return (f"{self.base} ch{self.channel} — p: draw, d: delete last, "
+        return (f"{self.base} ch{self.channel} — p: draw, u: undo, "
                 f"x: delete @cursor, r: redraw @cursor, c: clear, "
-                f"Tab: channel, i/g/G/e/b: view, q: save & close")
+                f"Tab: channel, a/d/s/f/g/G/v: range, 0-5: color, "
+                f"i/e/b/n/o: filters, q: save & close")
 
     def _on_key(self, event):  # pragma: no cover - needs a display
         if event.key == "p":
             self._start_polygon()
-        elif event.key == "d":
-            self.delete_last()
-            self._redraw()
         elif event.key == "x" and event.xdata is not None:
             i = self.roi_index_at(event.xdata, event.ydata)
             if i is not None:
@@ -283,32 +344,12 @@ class ROIAnnotator:
                     self._redraw()
 
                 self._selector = PolygonSelector(self._ax, on_select)
-        elif event.key == "c":
-            self.clear()
-            self._redraw()
-        elif event.key == "tab":
-            self.cycle_channel()
-            self._redraw()
-        elif event.key == "i":
-            self.view["invert"] = not self.view.get("invert", False)
-            self._redraw()
-        elif event.key == "g":
-            self.view["gamma"] = max(0.2, self.view.get("gamma", 1.0) - 0.1)
-            self._redraw()
-        elif event.key == "G":
-            self.view["gamma"] = min(5.0, self.view.get("gamma", 1.0) + 0.1)
-            self._redraw()
-        elif event.key == "e":
-            self.view["use_clahe"] = not self.view.get("use_clahe", False)
-            self._redraw()
-        elif event.key == "b":
-            self.view["use_bandpass"] = not self.view.get("use_bandpass",
-                                                          False)
-            self._redraw()
         elif event.key == "q":
             import matplotlib.pyplot as plt
 
             plt.close(self._fig)
+        elif event.key and self.handle_key(event.key):
+            self._redraw()
 
     def _redraw(self):  # pragma: no cover - needs a display
         self._im.set_data(self.rendered())

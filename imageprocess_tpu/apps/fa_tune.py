@@ -36,7 +36,8 @@ class FATuner:
     """One image's interactive session (UI-independent core)."""
 
     def __init__(self, img_path: str, json_path: str, s_tag: str,
-                 out_root: str, cfg: Optional[FaConfig] = None, log=print):
+                 out_root: str, cfg: Optional[FaConfig] = None,
+                 mat_dir: Optional[str] = None, log=print):
         self.s_tag = s_tag
         self.out_root = out_root
         self.cfg = cfg or FaConfig()
@@ -49,6 +50,22 @@ class FATuner:
         self._rows: List[dict] = []
         self._thresholds: Dict[int, float] = {}
         self._bg = 0.0
+        # legacy MATLAB boundary overlay (FA_Analyzer.py:650-655): match the
+        # stage tag in mat_dir once at load, toggle display with 'm'
+        self.mat_polys: List[np.ndarray] = []
+        self.show_mat = True
+        if mat_dir:
+            from ..core.roiio import find_matching_mat, load_matlab_boundaries
+
+            mat_path = find_matching_mat(mat_dir, s_tag)
+            if mat_path:
+                self.mat_polys = load_matlab_boundaries(mat_path)
+                self.log(t("tune_mat").format(path=mat_path,
+                                              count=len(self.mat_polys)))
+        # display "boost" (FA_Analyzer.py:722-744): integer in [-15, 15];
+        # positive shrinks the display range (brighten), negative expands
+        self.visual_boost = 0
+        self.auto_zoom = False
         self.reanalyze()
 
     # --- core actions -------------------------------------------------------
@@ -90,6 +107,30 @@ class FATuner:
                 self.selected, self.params_for_selected())
             cur.update(kwargs)
         return self.reanalyze()
+
+    def display_range(self) -> tuple:
+        """(vmin, vmax) for the current ``visual_boost``
+        (FA_Analyzer.py:722-744): boost b >= 0 divides the dynamic range by
+        (1 + b) — brighten; b < 0 multiplies it by (1 + |b|) — darken."""
+        flat = self.img.ravel()
+        vmin = float(flat.min())
+        rng = float(flat.max()) - vmin
+        b = self.visual_boost
+        new_range = rng / (1.0 + b) if b >= 0 else rng * (1.0 + abs(b))
+        return vmin, vmin + new_range
+
+    def zoom_bounds(self) -> Optional[tuple]:
+        """(xlim, ylim) framing the selected cell with 20% + 20 px padding,
+        y inverted for image coordinates (FA_Analyzer.py:751-760); None when
+        no cell is selected."""
+        if self.selected is None:
+            return None
+        roi = np.asarray(self.rois[self.selected], float)
+        xs, ys = roi[:, 0], roi[:, 1]
+        pad_x = (xs.max() - xs.min()) * 0.2 + 20
+        pad_y = (ys.max() - ys.min()) * 0.2 + 20
+        return ((xs.min() - pad_x, xs.max() + pad_x),
+                (ys.max() + pad_y, ys.min() - pad_y))
 
     def fa_count(self, cell_idx: Optional[int] = None) -> int:
         if cell_idx is None:
@@ -152,13 +193,15 @@ class FATuner:
             sax = fig.add_axes([0.15, 0.16 - row * 0.04, 0.6, 0.03])
             sliders[name] = Slider(sax, name, lo, hi, valinit=val)
 
-        # display range once: the image never changes, and re-sorting a
-        # megapixel frame on every slider tick makes dragging sluggish
-        vlo, vhi = np.percentile(self.img, [1, 99])
-
         def redraw():
             ax.clear()
-            ax.imshow(self.img, cmap="gray", vmin=vlo, vmax=vhi)
+            vlo, vhi = self.display_range()
+            ax.imshow(self.img, cmap="gray", vmin=vlo, vmax=vhi,
+                      interpolation="nearest")
+            if self.show_mat:
+                for P in self.mat_polys:  # (N, 2) [x, y]
+                    ax.plot(P[:, 0], P[:, 1], linewidth=1.0,
+                            color="magenta", linestyle="--")
             for i, poly in enumerate(self.rois):
                 color = "cyan" if i == self.selected else "yellow"
                 P = np.asarray(poly)
@@ -169,7 +212,13 @@ class FATuner:
             for r in self._rows:
                 cy, cx = r["centroid"]
                 ax.plot(cx, cy, "r+", ms=4)
-            ax.set_title(f"{self.s_tag} — click a cell; s: save, q: quit")
+            if self.auto_zoom:
+                zb = self.zoom_bounds()
+                if zb is not None:
+                    ax.set_xlim(*zb[0])
+                    ax.set_ylim(*zb[1])
+            ax.set_title(f"{self.s_tag} — click a cell; s: save, q: quit, "
+                         f"+/-: boost {self.visual_boost:+d}, z: zoom, m: mat")
             ax.set_axis_off()
             fig.canvas.draw_idle()
 
@@ -208,6 +257,18 @@ class FATuner:
                 self.save()
             elif event.key == "q":
                 plt.close(fig)
+            elif event.key in ("+", "="):
+                self.visual_boost = min(15, self.visual_boost + 1)
+                redraw()
+            elif event.key == "-":
+                self.visual_boost = max(-15, self.visual_boost - 1)
+                redraw()
+            elif event.key == "z":
+                self.auto_zoom = not self.auto_zoom
+                redraw()
+            elif event.key == "m":
+                self.show_mat = not self.show_mat
+                redraw()
 
         fig.canvas.mpl_connect("button_press_event", on_click)
         fig.canvas.mpl_connect("key_press_event", on_key)
@@ -216,9 +277,11 @@ class FATuner:
 
 
 def main(img_dir: str, roi_dir: str, out_root: str,
-         cfg: Optional[FaConfig] = None, log=print):  # pragma: no cover
+         cfg: Optional[FaConfig] = None, mat_dir: Optional[str] = None,
+         log=print):  # pragma: no cover
     cfg = cfg or FaConfig()
     for img_path, json_path, s_tag in list_fa_pairs(img_dir, roi_dir,
                                                     cfg.channel):
         log(t("tune_tag").format(tag=s_tag))
-        FATuner(img_path, json_path, s_tag, out_root, cfg, log=log).show()
+        FATuner(img_path, json_path, s_tag, out_root, cfg,
+                mat_dir=mat_dir, log=log).show()

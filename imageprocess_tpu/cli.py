@@ -197,6 +197,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="skip the merged master workbook")
     p.add_argument("--figs", action="store_true",
                    help="write per-stage overview figures (BND_FA/fig)")
+    p.add_argument("--mat-dir", default=None, metavar="DIR",
+                   help="legacy MATLAB boundary dir: overlay magenta dashed "
+                        "boundaries matched by stage tag in the --figs "
+                        "output (FA_Analyzer 'Enable Legacy MATLAB Import')")
     p.add_argument("--export-crops", action="store_true",
                    help="write per-cell FA crop PNGs (crops_export/)")
     p.add_argument("--batched", action="store_true",
@@ -215,6 +219,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--channel", type=int, default=0)
     p.add_argument("--px-size", type=float, default=0.112)
     p.add_argument("--alpha", type=float, default=3.0)
+    p.add_argument("--mat-dir", default=None, metavar="DIR",
+                   help="legacy MATLAB boundary dir: magenta dashed overlay "
+                        "in the tuner, toggled with 'm'")
     p.add_argument("--lang", default=None, choices=["en", "ko"])
 
     p = sub.add_parser("crop", help="per-ROI channel crops (roi_channel_cropper)")
@@ -273,8 +280,22 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--channel", type=int, default=None)
     _add_common(p)
 
-    p = sub.add_parser("draw",
-                       help="interactive ROI annotator (roi_manual_drawer)")
+    p = sub.add_parser(
+        "draw",
+        help="interactive ROI annotator (roi_manual_drawer)",
+        formatter_class=argparse.RawDescriptionHelpFormatter,
+        epilog=(
+            "keys (reference roi_manual_drawer.py:1095-1141, 1273-1275):\n"
+            "  p          draw a rough polygon (auto-segmented inside)\n"
+            "  u          undo last ROI          c  clear all ROIs\n"
+            "  x          delete ROI at cursor   r  redraw ROI at cursor\n"
+            "  a / d      display floor -/+ 1%   s / f  display ceil -/+ 1%\n"
+            "  g / G      gamma -/+ 0.1          i  invert\n"
+            "  0-5        pseudocolor: gray/cyan/blue/green/red/yellow\n"
+            "  v          reset view (reference 'r'; 'r' here redraws)\n"
+            "  e/b/n/o    toggle CLAHE / bandpass / unsharp / Sobel edges\n"
+            "  tab / shift+tab  cycle channel    q  save & close"
+        ))
     p.add_argument("folder")
     p.add_argument("--timelapse", action="store_true")
     p.add_argument("--lang", default=None, choices=["en", "ko"])
@@ -551,7 +572,8 @@ def _dispatch(args, log) -> int:
         if args.figs:
             from .pipelines.fa import save_fa_figs
 
-            save_fa_figs(args.img_dir, args.roi_dir, args.out, cfg, log=log)
+            save_fa_figs(args.img_dir, args.roi_dir, args.out, cfg,
+                         mat_dir=args.mat_dir, log=log)
         if args.export_crops:
             from .pipelines.fa import export_fa_crops
 
@@ -564,7 +586,8 @@ def _dispatch(args, log) -> int:
 
         fa_tune_main(args.img_dir, args.roi_dir, args.out,
                      FaConfig(channel=args.channel, px_size=args.px_size,
-                              alpha=args.alpha), log=log)
+                              alpha=args.alpha),
+                     mat_dir=args.mat_dir, log=log)
         return 0
 
     if args.cmd == "crop":

@@ -75,6 +75,7 @@ STRINGS = {
         "draw_task": "[작업] {base}: 채널 {channels}",
         "tune_saved": "[저장 완료] {path}",
         "tune_tag": "[튜닝] {tag}",
+        "tune_mat": "[MATLAB 경계] {path}: {count}개",
         # drawer save bundle + annotator events
         "drawer_json_saved": "  JSON 저장: {path}",
         "drawer_mask_saved": "  마스크 저장: {path}",
@@ -151,6 +152,7 @@ STRINGS = {
         "draw_task": "[task] {base}: channels {channels}",
         "tune_saved": "[saved] {path}",
         "tune_tag": "[tune] {tag}",
+        "tune_mat": "[MATLAB boundaries] {path}: {count}",
         # drawer save bundle + annotator events
         "drawer_json_saved": "  JSON saved: {path}",
         "drawer_mask_saved": "  mask saved: {path}",

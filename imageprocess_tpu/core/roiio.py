@@ -241,6 +241,33 @@ def load_imagej_roi_zip(zip_path: str) -> List[np.ndarray]:
 
 # --- MATLAB v7.3 boundaries ---------------------------------------------------
 
+def find_matching_mat(mat_dir: str, s_tag: str) -> Optional[str]:
+    """Locate the legacy MATLAB boundary file for a stage tag
+    (FA_Analyzer.py:105-117): exact ``{s_tag}.mat``, then
+    ``BNDb_{s_tag}.mat``, then any ``*.mat`` whose basename contains
+    ``s{N}.mat`` or ``s{N}_`` for the tag's first integer (so ``S01``
+    matches ``BNDb_e1s1.mat``)."""
+    import glob as _glob
+    import re
+
+    if not os.path.isdir(mat_dir):
+        return None
+    for name in (f"{s_tag}.mat", f"BNDb_{s_tag}.mat"):
+        p = os.path.join(mat_dir, name)
+        if os.path.exists(p):
+            return p
+    m = re.search(r"\d+", s_tag)
+    if m is None:
+        return None
+    num = int(m.group())
+    # sorted for determinism (the reference takes OS glob order)
+    for cand in sorted(_glob.glob(os.path.join(mat_dir, "*.mat"))):
+        base = os.path.basename(cand)
+        if f"s{num}.mat" in base or f"s{num}_" in base:
+            return cand
+    return None
+
+
 def load_matlab_boundaries(mat_path: str, dataset: str = "bdokcc") -> List[np.ndarray]:
     """Boundary polygons from a MATLAB v7.3 (HDF5) cell-of-cells file, as
     (N, 2) [x, y] arrays.  MATLAB stores [y x] columns; we swap to [x y]

@@ -701,11 +701,14 @@ def save_fa_figs(
     out_root: str,
     cfg: FaConfig,
     dpi: int = 150,
+    mat_dir: Optional[str] = None,
     log=print,
 ) -> List[str]:
     """Per-stage overview figures under ``fig/<s_tag>_FA.png`` (the golden
     tree's BND_FA/fig outputs): grayscale frame, cell outlines, detected FA
-    mask overlay."""
+    mask overlay; with ``mat_dir``, legacy MATLAB boundaries matched by
+    stage tag overlay as magenta dashed lines (FA_Analyzer.py:650-655,
+    747-749)."""
     import matplotlib
 
     matplotlib.use("Agg")
@@ -734,6 +737,14 @@ def save_fa_figs(
                     color="yellow", lw=1.0, linestyle="--")
             ax.text(P[:, 0].mean(), P[:, 1].mean(), str(i), color="yellow",
                     fontsize=10, ha="center")
+        if mat_dir:
+            from ..core.roiio import find_matching_mat, load_matlab_boundaries
+
+            mat_path = find_matching_mat(mat_dir, s_tag)
+            if mat_path:
+                for P in load_matlab_boundaries(mat_path):  # (N, 2) [x, y]
+                    ax.plot(P[:, 0], P[:, 1], linewidth=1.0,
+                            color="magenta", linestyle="--")
         ax.set_title(f"{s_tag}  alpha={cfg.alpha}  thr={thr:.1f}  bg={bg:.1f}")
         ax.set_axis_off()
         out = os.path.join(fig_dir, f"{s_tag}_FA.png")

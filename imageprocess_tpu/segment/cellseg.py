@@ -29,11 +29,6 @@ from ..morphology.contours import masks_to_polygons
 from ..ops.view import stretch_view
 
 
-@partial(jax.jit, static_argnames=("apply_fn",))
-def _forward(apply_fn, params, tiles):
-    return apply_fn(params, tiles)
-
-
 @partial(jax.jit, static_argnames=(
     "apply_fn", "ys", "xs", "tile", "pad_h", "pad_w", "prob_threshold",
     "min_size_px", "max_labels", "flow_follow", "shard",

@@ -6,9 +6,12 @@ the convergence points (Cellpose "follow_flows"; the torch/GPU path behind
 src/ROI_auto_drawer.py:241).  The rebuild's U-Net trains the same flow
 head (models/golden.py targets) — this module closes the loop on TPU:
 
-1. :func:`follow_flows` — Euler-integrate every pixel's position along the
-   bilinear-sampled flow field for ``n_iter`` steps (one ``lax.scan``;
-   static shapes, no data-dependent control flow);
+1. :func:`follow_flows` — integrate every pixel's position along the
+   bilinear-sampled flow field by SCALING AND SQUARING: build the
+   half-step displacement map once, then compose the map with itself
+   ceil(log2(n_iter)) times, covering >= ``n_iter`` effective Euler steps
+   in O(log n) bilinear passes (static shapes, no data-dependent control
+   flow);
 2. :func:`flow_label` — scatter the landing points of foreground pixels,
    dilate so each cell's convergence cloud becomes one blob, label the
    blobs with the exact device CCL, and read each pixel's instance id at

@@ -181,3 +181,58 @@ def test_annotator_ui_selector_lifecycle(tmp_path, monkeypatch):
     ann._on_key(EvI())
     assert len([a for a in ann._roi_artists if a in ann._ax.lines]) == 1
     plt.close(ann._fig)
+
+
+def test_annotator_key_map(tmp_path):
+    """Every cursor-independent reference key (roi_manual_drawer.py:
+    1095-1141, 1273-1275) drives the matching behavior through
+    handle_key — the exact dispatch the UI uses."""
+    ann = _setup(tmp_path)
+    v = ann.view
+
+    # percentile window a/d/s/f with the reference clamps
+    assert ann.handle_key("a") and v["p_low"] == 0.0
+    assert ann.handle_key("a") and v["p_low"] == 0.0          # floor clamp
+    assert ann.handle_key("d") and v["p_low"] == 1.0
+    assert ann.handle_key("s") and v["p_high"] == 98.0
+    assert ann.handle_key("f") and v["p_high"] == 99.0
+    assert ann.handle_key("f") and v["p_high"] == 100.0
+    assert ann.handle_key("f") and v["p_high"] == 100.0       # ceil clamp
+    v["p_high"] = 1.5
+    ann.handle_key("d")
+    assert np.isclose(v["p_low"], 1.4)                        # p_high-0.1 cap
+
+    # gamma g/G, invert i, reset v
+    v.update(p_low=1.0, p_high=99.0, gamma=1.0)
+    assert ann.handle_key("g") and np.isclose(v["gamma"], 0.9)
+    assert ann.handle_key("G") and np.isclose(v["gamma"], 1.0)
+    assert ann.handle_key("i") and v["invert"] is True
+    v.update(p_low=5.0, p_high=80.0, gamma=2.0)
+    assert ann.handle_key("v")
+    assert (v["p_low"], v["p_high"], v["gamma"], v["invert"]) == \
+        (1.0, 99.0, 1.0, False)
+
+    # pseudocolor cycling 0-5 (reference PCOLORS order)
+    for key, mode in [("1", "cyan"), ("2", "blue"), ("3", "green"),
+                      ("4", "red"), ("5", "yellow"), ("0", "grayscale")]:
+        assert ann.handle_key(key) and v["color_mode"] == mode
+
+    # filter pipeline toggles, each reachable and rendering
+    for key, name in [("e", "use_clahe"), ("b", "use_bandpass"),
+                      ("n", "use_unsharp"), ("o", "edge_overlay")]:
+        assert ann.handle_key(key) and v[name] is True
+    rgb = ann.rendered()   # all four filters on at once still renders
+    assert rgb.shape == (120, 160, 3) and np.isfinite(rgb).all()
+    for key in "ebno":
+        ann.handle_key(key)
+
+    # ROI management u/c + channel cycling tab/shift+tab
+    ann.add_rough_polygon([(40, 30), (130, 35), (125, 100), (35, 95)])
+    ann.add_rough_polygon([(40, 30), (130, 35), (125, 100), (35, 95)])
+    assert ann.handle_key("u") and len(ann.rois) == 1
+    assert ann.handle_key("c") and len(ann.rois) == 0
+    assert ann.handle_key("tab") and ann.channel == 2
+    assert ann.handle_key("shift+tab") and ann.channel == 1
+
+    # unknown keys fall through untouched
+    assert not ann.handle_key("w") and not ann.handle_key("")

@@ -83,3 +83,49 @@ def test_fa_tuner_save_with_zero_fas(tmp_path):
     path = t.save()
     df = pd.read_csv(path)
     assert list(df.columns) == list(FA_CSV_COLS) and len(df) == 0
+
+
+def test_fa_tuner_boost_zoom_mat(tmp_path):
+    """Display boost (FA_Analyzer.py:722-744), auto-zoom bounds (:751-760),
+    and the legacy MATLAB boundary load (:650-655) — headless core."""
+    import h5py
+
+    folder = _dataset(tmp_path)
+    mat_dir = folder / "mat"
+    mat_dir.mkdir()
+    poly = np.array([[30.0, 30.0], [100.0, 35.0], [95.0, 100.0]])
+    with h5py.File(str(mat_dir / "BNDb_S01.mat"), "w") as f:
+        refs = f.create_group("#refs#")
+        d = refs.create_dataset("c0", data=poly[:, [1, 0]].T)  # (2, N) [y; x]
+        cell = refs.create_dataset(
+            "cell0", data=np.array([d.ref], dtype=h5py.ref_dtype)[:, None])
+        f.create_dataset(
+            "bdokcc", data=np.array([cell.ref], dtype=h5py.ref_dtype)[:, None])
+
+    t = FATuner(str(folder / "S01_0.tif"), str(folder / "roi" / "S01.json"),
+                "S01", str(folder / "out"), FaConfig(channel=0),
+                mat_dir=str(mat_dir), log=lambda *_: None)
+    assert len(t.mat_polys) == 1
+    np.testing.assert_allclose(t.mat_polys[0], poly)
+
+    full = float(t.img.max()) - float(t.img.min())
+    vmin, vmax = t.display_range()
+    assert vmin == float(t.img.min()) and np.isclose(vmax - vmin, full)
+    t.visual_boost = 15   # brighten: range / 16
+    _, vmax = t.display_range()
+    assert np.isclose(vmax - vmin, full / 16.0)
+    t.visual_boost = -15  # darken: range * 16
+    _, vmax = t.display_range()
+    assert np.isclose(vmax - vmin, full * 16.0)
+
+    assert t.zoom_bounds() is None
+    t.selected = 0
+    (x0, x1), (y0, y1) = t.zoom_bounds()
+    roi = t.rois[0]
+    pad_x = (roi[:, 0].max() - roi[:, 0].min()) * 0.2 + 20
+    pad_y = (roi[:, 1].max() - roi[:, 1].min()) * 0.2 + 20
+    assert np.isclose(x0, roi[:, 0].min() - pad_x)
+    assert np.isclose(x1, roi[:, 0].max() + pad_x)
+    # y limits inverted for image coordinates
+    assert np.isclose(y0, roi[:, 1].max() + pad_y)
+    assert np.isclose(y1, roi[:, 1].min() - pad_y)

@@ -139,3 +139,22 @@ def test_clahe_properties():
     out2 = np.asarray(clahe(jnp.asarray(grad), jnp.float32(1.0)))
     assert float(out2.std()) > float(grad.std())  # equalization spreads values
     assert 0.0 <= float(out2.min()) and float(out2.max()) <= 1.0
+
+def test_clahe_reduces_to_global_hist_eq():
+    """External anchor that is NOT a replica of the implementation: with a
+    single 1x1 tile grid and clip_limit=1.0 (no clipping possible), CLAHE
+    is DEFINED (Zuiderveld, Graphics Gems IV; the algorithm behind
+    skimage.exposure.equalize_adapthist) to reduce to plain global
+    histogram equalization — each pixel maps to the inclusive empirical
+    CDF of its bin.  That expected value is computed here straight from
+    the textbook definition in three lines."""
+    rng = np.random.default_rng(3)
+    img = rng.random((64, 64)).astype(np.float32)
+    nbins = 256
+    ours = np.asarray(clahe(jnp.asarray(img), jnp.float32(1.0),
+                            ntiles_y=1, ntiles_x=1, nbins=nbins))
+    bins = np.clip((img * (nbins - 1)).astype(np.int64), 0, nbins - 1)
+    hist = np.bincount(bins.ravel(), minlength=nbins)
+    cdf = np.cumsum(hist) / bins.size           # inclusive empirical CDF
+    expected = cdf[bins].astype(np.float32)     # textbook hist-eq mapping
+    assert np.abs(ours - expected).max() <= 1e-5
