@@ -135,24 +135,29 @@ def label(
     with_overflow: bool = False,
 ):
     """skimage.measure.label parity: int32 labels 1..n in raster order of
-    first pixels, 0 = background.  *max_labels* is the static bound on the
-    number of components — beyond it labels ALIAS (the size-limited unique
-    truncates and dropped roots searchsort onto wrong ranks).  Pass
-    ``with_overflow=True`` to also get a scalar bool that detects exactly
-    that condition, so fused callers can surface it instead of emitting
-    silently wrong components (the sharded variant raises on the same
-    flag, parallel.spatial.sharded_label)."""
+    first pixels, 0 = background.
+
+    Compaction is rank-by-cumsum, not sort: a root is a pixel that is its
+    own component minimum (``roots[i] == i``), and an inclusive prefix sum
+    of the root indicator assigns each root its 1-based raster rank — one
+    O(n) scan plus one gather, replacing the earlier size-limited
+    ``jnp.unique`` (a full megapixel device sort) + ``searchsorted``
+    (~log2(n) binary-search gathers per pixel), which dominated label()'s
+    runtime at frame sizes.  Labels are EXACT for any component count;
+    *max_labels* only parameterizes the overflow FLAG (callers cap label
+    counts for downstream fixed-size buffers — the sharded variant raises
+    on the same condition, parallel.spatial.sharded_label).  Pass
+    ``with_overflow=True`` to get that scalar bool."""
     H, W = fg.shape
     roots = label_roots(fg, connectivity)
-    sentinel = jnp.int32(H * W)
-    uniq = jnp.unique(roots, size=max_labels + 1, fill_value=sentinel)
-    comp = jnp.searchsorted(uniq, roots.ravel()).astype(jnp.int32)
-    lab = jnp.where(fg.ravel(), comp + 1, 0).reshape(H, W)
+    flat = roots.ravel()
+    idx = jnp.arange(H * W, dtype=jnp.int32)
+    is_root = fg.ravel() & (flat == idx)
+    rank = jnp.cumsum(is_root.astype(jnp.int32))  # root -> 1-based id
+    comp = rank[jnp.clip(flat, 0, H * W - 1)]
+    lab = jnp.where(fg.ravel(), comp, 0).reshape(H, W)
     if with_overflow:
-        # the sentinel is the LARGEST possible value, and any background
-        # pixel (or the fill padding) puts it in uniq — overflow is the
-        # only way it gets squeezed out of the size-limited unique
-        return lab, uniq[-1] != sentinel
+        return lab, rank[-1] > max_labels
     return lab
 
 

@@ -108,6 +108,15 @@ def _declare(lib) -> None:
         ctypes.c_longlong, ctypes.POINTER(ctypes.c_uint32),
     ]
     lib.ip_tiff_decode_batch_hist.restype = ctypes.c_int
+    lib.ip_tiff_decode_batch_hist_tiles.argtypes = [
+        ctypes.POINTER(ctypes.c_char_p), ctypes.c_int, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_longlong,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_longlong, ctypes.POINTER(ctypes.c_uint32),
+        ctypes.c_int, ctypes.c_int, ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_uint8),
+    ]
+    lib.ip_tiff_decode_batch_hist_tiles.restype = ctypes.c_int
     lib.ip_u16_percentile_strided.argtypes = [
         ctypes.POINTER(ctypes.c_uint16), ctypes.c_longlong,
         ctypes.c_longlong, ctypes.c_int,
@@ -211,6 +220,81 @@ def decode_tiff_batch_hist(paths, hist_stride: int, page: int = 0,
     if rc != 0:
         return None
     return out, hists
+
+
+def tiff_info(path: str, page: int = 0):
+    """(H, W, bits, samples) from the TIFF header (a microsecond-scale
+    header read — lets callers size ROI-tile requests BEFORE the decode),
+    or None when the native library is unavailable / file unsupported."""
+    lib = _load()
+    if lib is None:
+        return None
+    h = ctypes.c_int()
+    w = ctypes.c_int()
+    bits = ctypes.c_int()
+    samples = ctypes.c_int()
+    if lib.ip_tiff_info(path.encode(), page, ctypes.byref(h),
+                        ctypes.byref(w), ctypes.byref(bits),
+                        ctypes.byref(samples)) != 0:
+        return None
+    return h.value, w.value, bits.value, samples.value
+
+
+def decode_tiff_batch_hist_tiles(paths, hist_stride: int,
+                                 offsets: np.ndarray, tile: int,
+                                 page: int = 0, pad_tiles: int = 0,
+                                 pool: Optional[FrameBufferPool] = None):
+    """:func:`decode_tiff_batch_hist` plus fused ROI-tile extraction: the
+    decoder's worker threads copy each requested ``tile``-square rectangle
+    (``offsets`` (N, 2) int32 [oy, ox] rows, shared across the batch's
+    files/channels) out of the just-decoded cache-warm frames, so the whole
+    per-key host pipeline — decode, histogram, tile gather — is one
+    GIL-free native call.  Returns (frames (C, H, W), hists or None,
+    tiles (N + pad_tiles, C, tile, tile)); the ``pad_tiles`` extra lanes
+    come back zeroed (batch programs mask them via roi_valid).  None when
+    the native path is unavailable or the files aren't 16-bit
+    single-sample."""
+    lib = _load()
+    if lib is None or not paths:
+        return None
+    h = ctypes.c_int()
+    w = ctypes.c_int()
+    bits = ctypes.c_int()
+    samples = ctypes.c_int()
+    if lib.ip_tiff_info(paths[0].encode(), page, ctypes.byref(h),
+                        ctypes.byref(w), ctypes.byref(bits),
+                        ctypes.byref(samples)) != 0:
+        return None
+    if bits.value != 16 or samples.value != 1:
+        return None  # caller falls back to decode-then-gather
+    offsets = np.ascontiguousarray(offsets, np.int32)
+    n = int(offsets.shape[0])
+    full_shape = (len(paths), h.value, w.value)
+    out = (pool.get(full_shape, np.uint16) if pool is not None
+           else np.empty(full_shape, np.uint16))
+    want_hist = hist_stride >= 1
+    hists = np.zeros((len(paths), 65536), np.uint32) if want_hist else None
+    tiles_shape = (n + pad_tiles, len(paths), tile, tile)
+    tiles = (pool.get(tiles_shape, np.uint16) if pool is not None
+             else np.empty(tiles_shape, np.uint16))
+    if pad_tiles:
+        tiles[n:] = 0
+    arr = (ctypes.c_char_p * len(paths))(*[p.encode() for p in paths])
+    rc = lib.ip_tiff_decode_batch_hist_tiles(
+        arr, len(paths), page,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        out.nbytes // len(paths),
+        h.value, w.value, bits.value, samples.value,
+        int(hist_stride) if want_hist else 0,
+        hists.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32))
+        if want_hist else None,
+        n, int(tile),
+        offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        tiles.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+    )
+    if rc != 0:
+        return None
+    return out, hists, tiles
 
 
 def u16_percentile_strided(arr: np.ndarray, stride: int, p1000: int) -> float:

@@ -17,6 +17,8 @@ from __future__ import annotations
 
 import os
 import re
+import threading
+import time
 from dataclasses import dataclass
 from functools import partial
 from typing import Dict, List, Optional
@@ -555,13 +557,99 @@ def run_fret_batched(
 
     frame_pool = FrameBufferPool()
 
-    def _load(kv):
+    # IP_TIMING=1: same per-phase host-wall breakdown as the intensity
+    # runner (ld_* accumulate across prefetch threads; the rest decompose
+    # the main thread's wall)
+    tm: Optional[Dict[str, float]] = (
+        dict.fromkeys(("load_wait", "pack", "upload", "fetch", "emit", "xls",
+                       "ld_decode", "ld_scalars", "ld_gather", "ld_upload"),
+                      0.0)
+        if os.environ.get("IP_TIMING") else None)
+    tm_lock = threading.Lock() if tm is not None else None
+
+    def _tm_add(phase: str, dt: float) -> None:
+        with tm_lock:
+            tm[phase] += dt
+
+    def _load_fused(kv):
+        """Fully-fused per-pair host path (see intensity._load_fused): ROI
+        json first, then ONE GIL-free native call doing both channels'
+        decode + full-frame histograms + cache-warm ROI-tile extraction.
+        None -> fall back to the decode-then-gather path."""
+        from ..native import decode_tiff_batch_hist_tiles, tiff_info
+
         key, dpath, apath = kv
+        info = tiff_info(dpath)
+        if info is None or info[2] != 16 or info[3] != 1:
+            return None
+        H, W = info[0], info[1]
+        base = naming.find_roi_basepath(
+            roi_dir, os.path.basename(dpath), cfg.timelapse, cfg.grammar,
+            exts=(".json",))
+        if not os.path.exists(base + ".json"):
+            return None
+        polys = roiio.load_roi_polygons(base + ".json")
+        if not polys:
+            return None
+        t_need = choose_tile(polys, H, W)
+        if t_need is None:
+            return None
+        t_used = tile_hint.setdefault("tile", t_need)
+        nb_used = tile_hint.setdefault("nb", _bucket(len(polys), 2))
+        if not (t_need <= t_used <= min(H, W) and len(polys) <= nb_used):
+            return None
+        offs = tile_offsets(polys, H, W, t_used)
+        t0 = time.perf_counter() if tm is not None else 0.0
+        # stride 1: the FRET builder's bg/eps percentiles are over the FULL
+        # frame (no stride — reference fret_ratio_builder semantics)
+        res = decode_tiff_batch_hist_tiles(
+            [dpath, apath], 1, np.asarray(offs, np.int32), t_used,
+            pad_tiles=nb_used - len(polys), pool=frame_pool)
+        if res is None:
+            return None
+        both, hists, tiles_np = res
+        D, A = both[0], both[1]
+        if tm is not None:
+            _tm_add("ld_decode", time.perf_counter() - t0)
+            t0 = time.perf_counter()
+        scalars = _host_fret_scalars(D, A, cfg, hists=hists)
+        if tm is not None:
+            _tm_add("ld_scalars", time.perf_counter() - t0)
+            t0 = time.perf_counter()
+        try:
+            tiles = jax.device_put(tiles_np)
+        except Exception:
+            tiles, tiles_np = tiles_np, None  # host-side; dispatch pads
+        if tm is not None:
+            _tm_add("ld_upload", time.perf_counter() - t0)
+        vb_used = tile_hint.setdefault(
+            "vb", _bucket(max(len(p) for p in polys), 32))
+        lp = valid = None
+        if max(len(p) for p in polys) <= vb_used:
+            lp, _, valid = pad_local_polys(polys, offs, nb_used, vb_used)
+        # tiles_np rides along for emit-time recycling (h2d certainly done)
+        pre = (t_used, tiles, offs, lp, valid, tiles_np)
+        return kv, (D, A, polys), scalars, pre
+
+    def _load(kv):
+        try:
+            item = _load_fused(kv)
+        except Exception:  # noqa: BLE001 — fall back to the general loader
+            item = None
+        if item is not None:
+            return item
+        key, dpath, apath = kv
+        t0 = time.perf_counter() if tm is not None else 0.0
         D, A, polys, hists = load_pair(key, dpath, apath, roi_dir, cfg,
                                        with_hists=True, pool=frame_pool)
+        if tm is not None:
+            _tm_add("ld_decode", time.perf_counter() - t0)
+            t0 = time.perf_counter()
         scalars = (_host_fret_scalars(D, A, cfg, hists=hists)
                    if (polys and D.dtype == np.uint16
                        and A.dtype == np.uint16) else None)
+        if tm is not None:
+            _tm_add("ld_scalars", time.perf_counter() - t0)
         pre = None
         if scalars is not None and polys and D.shape == A.shape:
             # gather + upload this pair's ROI tiles from the prefetch
@@ -578,6 +666,7 @@ def run_fret_batched(
                 # pre-gather (classify sends it to the serial path) instead
                 # of raising in the loader and dropping its rows
                 if t_need <= t_used <= min(H, W) and len(polys) <= nb_used:
+                    t0 = time.perf_counter() if tm is not None else 0.0
                     offs = tile_offsets(polys, H, W, t_used)
                     # gather straight from D and A (no full-frame
                     # np.stack copy in the 1-core hot path)
@@ -586,10 +675,15 @@ def run_fret_batched(
                             np.asarray(offs, np.int64)):
                         tiles[i, 0] = D[oy:oy + t_used, ox:ox + t_used]
                         tiles[i, 1] = A[oy:oy + t_used, ox:ox + t_used]
+                    if tm is not None:
+                        _tm_add("ld_gather", time.perf_counter() - t0)
+                        t0 = time.perf_counter()
                     try:
                         tiles = jax.device_put(tiles)
                     except Exception:
                         pass  # stays host-side; dispatch re-gathers
+                    if tm is not None:
+                        _tm_add("ld_upload", time.perf_counter() - t0)
                     # pre-pad the polygon arrays here too (session vb
                     # hint) so dispatch just stacks — see intensity
                     vb_used = tile_hint.setdefault(
@@ -624,10 +718,14 @@ def run_fret_batched(
             frame_pool.put(loaded[0].base)  # the (2, H, W) decode buffer
 
     def emit_rows(chunk, packed):
+        t0 = time.perf_counter() if tm is not None else 0.0
         try:  # ONE fetch per chunk; side-effect-free, so safe to retry
             packed = np.asarray(packed)
         except Exception as e:  # noqa: BLE001
             raise EmitFetchError(str(e)) from e
+        if tm is not None:
+            tm["fetch"] += time.perf_counter() - t0
+            t0 = time.perf_counter()
         stats = {f: packed[:, j] for j, f in enumerate(STAT_FIELDS)}
         areas = packed[:, len(STAT_FIELDS), 0]
         for bi, (kv, (D, A, polys), (bgd, bga, eps_f), _pre) in enumerate(
@@ -638,14 +736,27 @@ def run_fret_batched(
                     s, t_code, i,
                     lambda f, c, bi=bi, i=i: stats[f][bi, c, i],
                     areas[bi, i], eps_f, cfg, d_p, a_p))
-        for kv, (D, _A, _polys), _sc, _pre in chunk:
+        for kv, (D, _A, _polys), _sc, pre in chunk:
             # D/A are views into one (2, H, W) decode buffer: dead past
             # this point, recycle its pages (put() ignores a None base
-            # from the per-file PIL fallback)
+            # from the per-file PIL fallback), plus any fused-path host
+            # tile buffer (its h2d transfer is certainly complete now)
             frame_pool.put(D.base)
+            if pre is not None and len(pre) >= 6:
+                frame_pool.put(pre[5])
+        if tm is not None:
+            tm["emit"] += time.perf_counter() - t0
         _maybe_grow_chunk()
 
     def dispatch(chunk):
+        if tm is None:
+            return _dispatch_inner(chunk)
+        t0 = time.perf_counter()
+        rec = _dispatch_inner(chunk)
+        tm["pack"] += time.perf_counter() - t0  # upload moves its share out
+        return rec
+
+    def _dispatch_inner(chunk):
         all_p = [poly for _, (_, _, polys), _, _ in chunk for poly in polys]
         H, W = chunk[0][1][0].shape
         tile = choose_tile(all_p, H, W)
@@ -701,10 +812,15 @@ def run_fret_batched(
                 else:
                     tiles_b[bi] = gather_tiles(np.stack([D, A]), offs, nb,
                                                tile)
+        t1 = time.perf_counter() if tm is not None else 0.0
         stats, areas = tile_step(
             jnp.asarray(tiles_b), jnp.asarray(lp_b), jnp.asarray(val_b),
             jnp.asarray(bgs_b), jnp.asarray(eps_b),
         )
+        if tm is not None:
+            dt = time.perf_counter() - t1
+            tm["upload"] += dt
+            tm["pack"] -= dt
         rows = [stats[f].astype(jnp.float32) for f in STAT_FIELDS]
         rows.append(jnp.broadcast_to(
             areas.astype(jnp.float32)[:, None, :], rows[0].shape))
@@ -735,8 +851,22 @@ def run_fret_batched(
         # fallback / emit failed
         return it[0] if isinstance(it[1], str) else it[0][0]
 
+    source = loader
+    if tm is not None:
+        def _timed_loader():
+            it = iter(loader)
+            while True:
+                t0 = time.perf_counter()
+                try:
+                    item = next(it)
+                except StopIteration:
+                    return
+                tm["load_wait"] += time.perf_counter() - t0
+                yield item
+        source = _timed_loader()
+
     if stream_batches(
-        loader, _cur_bs, classify, dispatch,
+        source, _cur_bs, classify, dispatch,
         lambda rec: emit_rows(*rec),
         lambda e: run_serial(e[0], e[1]),
         lambda err: log(t("err_worker").format(key=_err_key(err.item),
@@ -746,9 +876,18 @@ def run_fret_batched(
         log(t("cancelled"))
 
     if cfg.do_xls and rows_all:
+        t0 = time.perf_counter() if tm is not None else 0.0
         save_fret_excel(rows_all, os.path.join(out_root, "xls"),
                         cfg.timelapse)
+        if tm is not None:
+            tm["xls"] += time.perf_counter() - t0
         log(t("fret_saved"))
     elif cfg.do_xls:
         log(t("fret_no_roi"))
+    if tm is not None:
+        import sys
+
+        print("[IP_TIMING:fret] " + "  ".join(
+            f"{k}={v * 1000.0:.0f}ms" for k, v in tm.items()),
+            file=sys.stderr)
     return rows_all

@@ -539,6 +539,80 @@ def run_intensity_batched(
 
     frame_pool = FrameBufferPool()
 
+    def _load_fused(kv):
+        """Fully-fused per-key host path: ROI json first (so tile offsets
+        are known), then ONE GIL-free native call doing decode + strided
+        histogram + cache-warm ROI-tile extraction
+        (native.decode_tiff_batch_hist_tiles) — the prefetch threads no
+        longer fight over the GIL for the numpy tile gather.  Returns a
+        loader item, or None to fall back to the decode-then-gather path
+        (non-u16 frames, mask-only ROIs, hint misses, native missing)."""
+        from ..native import decode_tiff_batch_hist_tiles, tiff_info
+
+        key, chmap = kv[0], kv[1]
+        s, t_code = key
+        stid = s if t_code is None else f"{s}_{t_code}"
+        chs, paths = [], []
+        for ch in cfg.channels:
+            p = chmap.get(ch)
+            if p is not None:
+                chs.append(ch)
+                paths.append(p)
+        if not chs:
+            return None
+        info = tiff_info(paths[0])
+        if info is None or info[2] != 16 or info[3] != 1:
+            return None
+        H, W = info[0], info[1]
+        base = naming.find_roi_basepath(
+            roi_dir, os.path.basename(paths[0]), cfg.timelapse, cfg.grammar)
+        if not os.path.exists(base + ".json"):
+            return None  # mask-only / missing ROI: the general path decides
+        polys = roiio.load_roi_polygons(base + ".json")
+        if not polys:
+            return None
+        t_need = choose_tile(polys, H, W)
+        if t_need is None:
+            return None
+        t_used = tile_hint.setdefault("tile", t_need)
+        nb_used = tile_hint.setdefault("nb", _bucket(len(polys), 2))
+        if not (t_need <= t_used <= min(H, W) and len(polys) <= nb_used):
+            return None
+        offs = tile_offsets(polys, H, W, t_used)
+        fuse_hist = cfg.bg_mode in ("percentile", "hist-mode")
+        t0 = time.perf_counter() if tm is not None else 0.0
+        res = decode_tiff_batch_hist_tiles(
+            paths, max(1, cfg.bg_stride) if fuse_hist else 0,
+            np.asarray(offs, np.int32), t_used,
+            pad_tiles=nb_used - len(polys), pool=frame_pool)
+        if res is None:
+            return None
+        imgs, hists, tiles_np = res
+        if tm is not None:
+            _tm_add("ld_decode", time.perf_counter() - t0)
+            t0 = time.perf_counter()
+        bgs = _host_bg(imgs, chs, hists)
+        if tm is not None:
+            _tm_add("ld_bg", time.perf_counter() - t0)
+            t0 = time.perf_counter()
+        try:
+            tiles = jax.device_put(tiles_np)
+        except Exception:
+            tiles, tiles_np = tiles_np, None  # host-side; dispatch pads
+        if tm is not None:
+            _tm_add("ld_upload", time.perf_counter() - t0)
+        vb_used = tile_hint.setdefault(
+            "vb", _bucket(max(len(p) for p in polys), 32))
+        lp = valid = None
+        if max(len(p) for p in polys) <= vb_used:
+            lp, _, valid = pad_local_polys(polys, offs, nb_used, vb_used)
+        # tiles_np rides along so finalize can recycle its pages only
+        # AFTER the chunk's results are back (the h2d transfer is
+        # certainly done then; recycling at upload time could race an
+        # asynchronous PJRT borrow of the host buffer)
+        pre = (t_used, tiles, offs, lp, valid, tiles_np)
+        return key, (stid, (chs, imgs, polys, None)), bgs, pre
+
     def _load(kv):
         # decode + ROI parse, plus tile-path host work moved into the
         # prefetch threads so it overlaps device compute: the exact native
@@ -546,6 +620,12 @@ def run_intensity_batched(
         # first loaded key establishes a tile-size hint; a later key whose
         # ROIs outgrow it is re-gathered by dispatch (rare — ROI sizes are
         # homogeneous within an experiment).
+        try:
+            item = _load_fused(kv)
+        except Exception:  # noqa: BLE001 — any fused-path surprise falls
+            item = None    # back to the general loader below
+        if item is not None:
+            return item
         key = kv[0]
         t0 = time.perf_counter() if tm is not None else 0.0
         # percentile AND hist-mode backgrounds ride the decoder's own
@@ -795,9 +875,14 @@ def run_intensity_batched(
                 rows_all.append(row)
         n_done += len(chunk)
         # the chunk's frames are dead past this point (tiles/results are
-        # separate arrays): recycle their pages for the next keys' decodes
+        # separate arrays): recycle their pages for the next keys' decodes,
+        # along with any fused-path host tile buffers (their h2d transfers
+        # are certainly complete once the chunk's results fetched)
         for entry in chunk:
             frame_pool.put(entry[2][1])
+            pre = entry[4] if len(entry) > 4 else None
+            if pre is not None and len(pre) >= 6:
+                frame_pool.put(pre[5])
         if tm is not None:
             tm["emit"] += time.perf_counter() - t0
         _maybe_grow_chunk()

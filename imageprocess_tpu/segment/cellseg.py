@@ -149,6 +149,6 @@ def segment_frame_unet(
     )
     if bool(over):
         raise ValueError(
-            f"component count exceeded max_labels={max_labels} — labels "
-            "would alias; raise AutoSegConfig.max_labels")
+            f"component count exceeded max_labels={max_labels} — downstream "
+            "per-label buffers are sized by it; raise AutoSegConfig.max_labels")
     return masks_to_polygons(np.asarray(labels), min_poly_area)

@@ -1043,10 +1043,12 @@ void ip_u16_hist(const uint16_t* buf, long long n_total, long long stride,
     for (long long i = 0; i < n_total; i += stride) ++hist[buf[i]];
 }
 
-int ip_tiff_decode_batch_hist(const char** paths, int n_files, int page,
-                              uint8_t* out, long long frame_bytes,
-                              int height, int width, int bits, int samples,
-                              long long hist_stride, uint32_t* hists) {
+int ip_tiff_decode_batch_hist_tiles(
+    const char** paths, int n_files, int page, uint8_t* out,
+    long long frame_bytes, int height, int width, int bits, int samples,
+    long long hist_stride, uint32_t* hists, int n_tiles, int tile,
+    const int32_t* offs /* n_tiles x [oy, ox] */,
+    uint8_t* tiles_out /* (n_tiles, n_files, tile, tile) element grid */) {
     // Decode n same-shaped files into one contiguous buffer, one worker
     // thread per file; the per-file strip decode runs single-threaded so
     // the pool never oversubscribes (file-level parallelism is the right
@@ -1058,6 +1060,33 @@ int ip_tiff_decode_batch_hist(const char** paths, int n_files, int page,
     // hist_stride >= 1, each 16-bit file also accumulates the strided
     // histogram of its flat pixels during the decode pass — the host
     // background/eps percentiles then cost no second frame scan.
+    //
+    // When n_tiles > 0, each worker additionally copies the requested ROI
+    // tile rectangles out of its just-decoded (cache-warm) frame into
+    // tiles_out[ti][file] — the batched runners' Python-side gather (numpy
+    // slicing under the GIL, racing the other prefetch threads on the
+    // 1-core host) disappears, and the whole per-key host pipeline
+    // (decode + histogram + tile gather) is ONE GIL-free native call
+    // (pipelines/intensity.py `_load`; reference analogue: the
+    // ProcessPoolExecutor worker body, src/INT/Fluor_INT.py:2216-2229).
+    // Single-sample frames only.
+    if (n_tiles > 0) {
+        if (samples != 1) {
+            g_error = "tile extraction requires samples == 1";
+            return -9;
+        }
+        if (!tiles_out || !offs) {
+            g_error = "tile extraction requires offs and tiles_out";
+            return -9;
+        }
+        for (int ti = 0; ti < n_tiles; ++ti) {
+            int32_t oy = offs[2 * ti], ox = offs[2 * ti + 1];
+            if (oy < 0 || ox < 0 || oy + tile > height || ox + tile > width) {
+                g_error = "tile offset out of bounds";
+                return -9;
+            }
+        }
+    }
     std::atomic<int> rc{0};
     std::atomic<int> next{0};
     std::mutex err_mu;
@@ -1087,6 +1116,21 @@ int ip_tiff_decode_batch_hist(const char** paths, int n_files, int page,
                                   frame_bytes, 1, &err,
                                   hists ? hists + (size_t)i * 65536 : nullptr,
                                   hist_stride);
+            if (frc == 0 && n_tiles > 0) {
+                const long long esize = bits / 8;
+                const long long row_bytes = (long long)tile * esize;
+                const uint8_t* frame = out + (long long)i * frame_bytes;
+                for (int ti = 0; ti < n_tiles; ++ti) {
+                    const long long oy = offs[2 * ti], ox = offs[2 * ti + 1];
+                    uint8_t* dst = tiles_out +
+                        (((long long)ti * n_files + i) * tile) * row_bytes;
+                    const uint8_t* src =
+                        frame + (oy * (long long)width + ox) * esize;
+                    for (int rr = 0; rr < tile; ++rr)
+                        memcpy(dst + (long long)rr * row_bytes,
+                               src + (long long)rr * width * esize, row_bytes);
+                }
+            }
             if (frc != 0) {
                 rc = frc;
                 std::lock_guard<std::mutex> g(err_mu);
@@ -1105,6 +1149,16 @@ int ip_tiff_decode_batch_hist(const char** paths, int n_files, int page,
     // propagate worker error text to the calling thread's error slot
     if (rc.load() != 0) g_error = first_err;
     return rc.load();
+}
+
+int ip_tiff_decode_batch_hist(const char** paths, int n_files, int page,
+                              uint8_t* out, long long frame_bytes,
+                              int height, int width, int bits, int samples,
+                              long long hist_stride, uint32_t* hists) {
+    return ip_tiff_decode_batch_hist_tiles(paths, n_files, page, out,
+                                           frame_bytes, height, width, bits,
+                                           samples, hist_stride, hists,
+                                           0, 0, nullptr, nullptr);
 }
 
 int ip_tiff_decode_batch(const char** paths, int n_files, int page,

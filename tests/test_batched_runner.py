@@ -286,27 +286,39 @@ def test_hist_mode_host_matches_device_on_golden(golden_intensity_dir):
 
 def test_batched_uses_prefetch_uploaded_tiles(timelapse_folder, tmp_path,
                                               monkeypatch):
-    """The minimum-transfer fast path: every key's ROI tiles are gathered
-    (and device_put) ONCE in its prefetch thread; dispatch must stack the
-    device-resident tiles, never re-gather on the main thread.  Guards the
-    pipelining that hides upload wire time behind the decode phase."""
+    """The minimum-transfer fast path: every key's ROI tiles come out of
+    ONE fused native call in its prefetch thread (decode + hist + tile
+    extraction, native.decode_tiff_batch_hist_tiles) and are device_put
+    there; dispatch must stack the device-resident tiles — the Python-side
+    gather_tiles must never run.  Guards the pipelining that hides upload
+    wire time behind the decode phase AND the fused-gather path itself."""
+    from imageprocess_tpu import native
     from imageprocess_tpu.ops import roistats
 
-    calls = []
-    real = roistats.gather_tiles
+    py_gathers = []
+    fused = []
+    real_gather = roistats.gather_tiles
+    real_fused = native.decode_tiff_batch_hist_tiles
 
-    def counting(*a, **k):
-        calls.append(a[2])  # n_bucket arg
-        return real(*a, **k)
+    def counting_gather(*a, **k):
+        py_gathers.append(a[2])
+        return real_gather(*a, **k)
 
-    monkeypatch.setattr(roistats, "gather_tiles", counting)
+    def counting_fused(paths, hist_stride, offsets, tile, **k):
+        fused.append(len(offsets) + k.get("pad_tiles", 0))
+        return real_fused(paths, hist_stride, offsets, tile, **k)
+
+    monkeypatch.setattr(roistats, "gather_tiles", counting_gather)
+    monkeypatch.setattr(native, "decode_tiff_batch_hist_tiles",
+                        counting_fused)
     cfg = IntensityConfig(channels=(1, 2), timelapse=True, do_xls=False)
     rows = run_intensity_batched(str(timelapse_folder), cfg,
                                  out_root=str(tmp_path / "b"),
                                  log=lambda *_: None, batch_size=3)
     assert len(rows) == 16
-    # exactly one gather per key (8 keys), all from the prefetch threads
-    assert len(calls) == 8, calls
+    # one fused native call per key (8 keys), zero Python-side gathers
+    assert len(fused) == 8, fused
+    assert py_gathers == [], py_gathers
 
 
 def test_batched_varying_roi_counts_one_shape(tmp_path, monkeypatch):
@@ -327,14 +339,23 @@ def test_batched_varying_roi_counts_one_shape(tmp_path, monkeypatch):
         roiio.save_roi_bundle(str(folder / "roi" / f"S{s:02d}.json"),
                               f"S{s:02d}", (H, W), [p1, p2][:n])
 
+    from imageprocess_tpu import native
+
     gathered_nb = []
     real = roistats.gather_tiles
+    real_fused = native.decode_tiff_batch_hist_tiles
 
     def counting(*a, **k):
         gathered_nb.append(a[2])
         return real(*a, **k)
 
+    def counting_fused(paths, hist_stride, offsets, tile, **k):
+        gathered_nb.append(len(offsets) + k.get("pad_tiles", 0))
+        return real_fused(paths, hist_stride, offsets, tile, **k)
+
     monkeypatch.setattr(roistats, "gather_tiles", counting)
+    monkeypatch.setattr(native, "decode_tiff_batch_hist_tiles",
+                        counting_fused)
     cfg = IntensityConfig(channels=(1,), do_xls=False)
     serial = run_intensity(str(folder), cfg, out_root=str(tmp_path / "s"),
                            log=lambda *_: None)

@@ -115,9 +115,9 @@ def test_label_8conn_partition_matches_cv2(seed):
 
 def test_label_overflow_flag():
     """with_overflow detects component counts beyond max_labels (labels
-    alias past the capacity: the size-limited unique truncates and dropped
-    roots searchsort onto wrong ranks) — the single-device counterpart of
-    sharded_label's ValueError."""
+    themselves stay exact since the cumsum-rank compaction, but callers
+    size per-label buffers by max_labels) — the single-device counterpart
+    of sharded_label's ValueError."""
     fg = np.zeros((16, 33), bool)
     fg[::2, ::2] = True  # 8 * 17 = 136 isolated pixels (4-conn components)
     lab, over = label(fg, connectivity=1, max_labels=8, with_overflow=True)

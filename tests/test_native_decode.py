@@ -1029,3 +1029,58 @@ def test_batch_mixed_compressions(tmp_path, rng):
         pytest.skip("native decoder unavailable")
     np.testing.assert_array_equal(out[0], arr1)
     np.testing.assert_array_equal(out[1], arr2)
+
+
+def test_decode_batch_hist_tiles_fused(tmp_path, rng):
+    """The decoder's fused ROI-tile extraction equals a numpy gather from
+    the decoded frames, with hists intact, zeroed pad lanes, and bounds
+    rejection (ip_tiff_decode_batch_hist_tiles)."""
+    from PIL import Image
+
+    from imageprocess_tpu.native import (
+        FrameBufferPool, decode_tiff_batch_hist, decode_tiff_batch_hist_tiles,
+    )
+
+    H, W = 96, 131
+    paths = []
+    for c in range(2):
+        img = rng.integers(0, 65536, (H, W)).astype(np.uint16)
+        p = str(tmp_path / f"c{c}.tif")
+        Image.fromarray(img).save(p, format="TIFF", compression="tiff_lzw")
+        paths.append(p)
+    tile = 32
+    offs = np.array([[0, 0], [64, 99], [13, 7], [64, 0]], np.int32)
+    out = decode_tiff_batch_hist_tiles(paths, 4, offs, tile, pad_tiles=2)
+    if out is None:
+        pytest.skip("native library unavailable")
+    frames, hists, tiles = out
+    ref = decode_tiff_batch_hist(paths, 4)
+    assert np.array_equal(frames, ref[0])
+    assert np.array_equal(hists, ref[1])
+    assert tiles.shape == (6, 2, tile, tile) and tiles.dtype == np.uint16
+    for ti, (oy, ox) in enumerate(offs):
+        for c in range(2):
+            assert np.array_equal(tiles[ti, c],
+                                  frames[c, oy:oy + tile, ox:ox + tile])
+    assert not tiles[4:].any()  # pad lanes zeroed
+
+    # out-of-bounds offsets are rejected (never a silent overrun)
+    bad = np.array([[H - tile + 1, 0]], np.int32)
+    assert decode_tiff_batch_hist_tiles(paths, 0, bad, tile) is None
+    assert decode_tiff_batch_hist_tiles(paths, 0,
+                                        np.array([[-1, 0]], np.int32),
+                                        tile) is None
+
+    # pooled variant recycles both the frame and the tile buffers
+    pool = FrameBufferPool()
+    out1 = decode_tiff_batch_hist_tiles(paths, 0, offs, tile, pad_tiles=2,
+                                        pool=pool)
+    f1, _, t1 = out1
+    assert np.array_equal(t1[:4], tiles[:4]) and not t1[4:].any()
+    pool.put(f1)
+    pool.put(t1)
+    out2 = decode_tiff_batch_hist_tiles(paths, 0, offs, tile, pad_tiles=2,
+                                        pool=pool)
+    f2, _, t2 = out2
+    assert f2 is f1 and t2 is t1  # same recycled pages
+    assert np.array_equal(t2[:4], tiles[:4]) and not t2[4:].any()
