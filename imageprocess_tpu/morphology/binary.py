@@ -14,8 +14,10 @@ Semantics replicated:
   (src/FRET/Nesprin2_FRET_Builder.py:416-427), done separably as two
   reduce-window max passes.
 
-Arbitrary (disk) footprints run as a single ``lax.conv`` — one fused MXU/VPU
-pass; separable square windows use ``lax.reduce_window``.
+Arbitrary (disk) DILATION footprints decompose exactly into shifted
+horizontal-run reduce-window maxima (see ``_dilate``); erosion counts
+neighbors with a single ``lax.conv``; separable square windows use
+``lax.reduce_window``.
 """
 
 from __future__ import annotations
@@ -46,8 +48,54 @@ def _conv_count(img_f32: jnp.ndarray, se: jnp.ndarray) -> jnp.ndarray:
 
 @partial(jax.jit, static_argnames=("se_tuple",))
 def _dilate(img: jnp.ndarray, se_tuple) -> jnp.ndarray:
+    """Dilation as a union of shifted horizontal-run maxima.
+
+    Dilation by ANY footprint is exactly the union of the input shifted
+    by every True offset; grouping each SE row's True runs gives
+    ``out = OR_rows vshift(window_max(img, run), dy)``.  One (1, w)
+    reduce-window per DISTINCT run extent plus a vertical shift per row
+    — all VPU-friendly vector ops.  The single-channel 11x11
+    ``lax.conv`` this replaces ran at ~1/128 MXU lane utilization
+    (107 ms for disk(5) on a 3.1 Mpix frame on chip); the decomposition
+    is bit-exact (same union, border False both ways)."""
     se = np.array(se_tuple, dtype=bool)
-    return _conv_count(img.astype(jnp.float32), se) > 0.5
+    ry, rx = se.shape[0] // 2, se.shape[1] // 2
+    # collect per-row runs of True cells, grouped by horizontal extent
+    groups: dict = {}
+    for i in range(se.shape[0]):
+        row = se[i]
+        j = 0
+        while j < row.size:
+            if row[j]:
+                k = j
+                while k + 1 < row.size and row[k + 1]:
+                    k += 1
+                groups.setdefault((j - rx, k - rx), []).append(i - ry)
+                j = k + 1
+            else:
+                j += 1
+    x = img.astype(jnp.float32)
+    H = img.shape[0]
+    acc = jnp.zeros_like(x)
+    for (lo, hi), dys in groups.items():
+        if lo == 0 and hi == 0:
+            h = x
+        else:
+            h = jax.lax.reduce_window(
+                x, -jnp.inf, jax.lax.max, (1, hi - lo + 1), (1, 1),
+                ((0, 0), (-lo, hi)))
+        for dy in dys:
+            d = min(abs(dy), H)      # shifts past the image contribute nothing
+            if dy == 0:
+                v = h
+            elif dy > 0:
+                v = jnp.concatenate(
+                    [h[d:], jnp.zeros((d,) + h.shape[1:], h.dtype)])
+            else:
+                v = jnp.concatenate(
+                    [jnp.zeros((d,) + h.shape[1:], h.dtype), h[:H - d]])
+            acc = jnp.maximum(acc, v)
+    return acc > 0.5
 
 
 @partial(jax.jit, static_argnames=("se_tuple", "border_true"))

@@ -145,10 +145,16 @@ def _seg_fused(
     if flow_follow and n_ch >= 3:
         from .flows import flow_label
 
-        return flow_label(bw, full[:H, :W, 1:3], max_labels=max_labels,
+        lab, over = flow_label(bw, full[:H, :W, 1:3], max_labels=max_labels,
+                               with_overflow=True)
+    else:
+        lab, over = label(bw, connectivity=2, max_labels=max_labels,
                           with_overflow=True)
-    return label(bw, connectivity=2, max_labels=max_labels,
-                 with_overflow=True)
+    if max_labels <= 0xFFFF:
+        # the label map is the ONLY device->host transfer of the fused
+        # program — u16 halves the 12.6 MB tunnel fetch (ids <= max_labels)
+        lab = lab.astype(jnp.uint16)
+    return lab, over
 
 
 def _host_stretch_lohi(img: np.ndarray) -> Optional[Tuple[float, float]]:
