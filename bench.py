@@ -270,10 +270,11 @@ def _decode_only_mpix_s(reps: int = 7) -> float:
     return best
 
 
-def _fret_e2e_mpix_s() -> float:
+def _fret_e2e_mpix_s(reps: int | None = None, warm: bool = True) -> float:
     """Second workload metric: two-channel ratiometric FRET tables
     (decode -> host BG/eps -> ROI tiles -> ratio stats -> XLSX) on the same
-    dataset, channels 2/3 as donor/acceptor."""
+    dataset, channels 2/3 as donor/acceptor.  ``warm=False`` counts every
+    rep (for a later re-sample after the first call paid the compile)."""
     import shutil as _sh
 
     from imageprocess_tpu.pipelines.fret import FretConfig, run_fret_batched
@@ -283,7 +284,8 @@ def _fret_e2e_mpix_s() -> float:
     mpix = N_STAGES * 2 * H * W / 1e6
     best = 0.0
     n_rows = 0
-    reps = int(os.environ.get("IP_BENCH_FRET_REPS", "6"))
+    if reps is None:
+        reps = int(os.environ.get("IP_BENCH_FRET_REPS", "4"))
     for rep in range(reps):
         _sh.rmtree(out_root, ignore_errors=True)
         t0 = time.perf_counter()
@@ -291,7 +293,7 @@ def _fret_e2e_mpix_s() -> float:
                                 log=lambda *_: None, batch_size=4)
         dt = time.perf_counter() - t0
         n_rows = len(rows)
-        if rep:  # rep 0 is compile warm-up
+        if rep or not warm:  # rep 0 is compile warm-up on the first call
             best = max(best, mpix / dt)
     if n_rows != N_STAGES * 18:
         # never crash the bench on dataset drift — the driver contract is
@@ -467,11 +469,29 @@ def _child_main() -> int:
             print(f"[bench] {label} failed: {e}", file=sys.stderr)
             return 0.0
 
+    # decode is sampled at THREE separate points of the run (3 reps each,
+    # best-of across all): one contiguous 7-rep window takes ~3 s, which
+    # fits entirely inside a single shared-box noise burst — an r5 driver
+    # run read 122.7 that way while the steady rate was ~250-300.
+    def _sample_decode():
+        RESULTS["decode_mpix_s"] = max(
+            RESULTS.get("decode_mpix_s", 0.0),
+            _safe(lambda: _decode_only_mpix_s(reps=3), "decode_mpix_s"))
+
+    _sample_decode()
     RESULTS["device_mpix_s"] = _safe(_device_only_mpix_s, "device_mpix_s")
-    RESULTS["decode_mpix_s"] = _safe(_decode_only_mpix_s, "decode_mpix_s")
-    RESULTS["fret_e2e_mpix_s"] = _safe(_fret_e2e_mpix_s, "fret_e2e_mpix_s")
+    _sample_decode()
+    # fret too is sampled at two separated points (4 reps incl. warm-up,
+    # then 2 counted reps after seg) for the same burst-robustness reason
+    RESULTS["fret_e2e_mpix_s"] = _safe(
+        lambda: _fret_e2e_mpix_s(), "fret_e2e_mpix_s")
     if os.environ.get("IP_BENCH_SEG", "1") == "1":
         RESULTS["seg_mpix_s"] = _safe(_seg_mpix_s, "seg_mpix_s")
+    _sample_decode()
+    RESULTS["fret_e2e_mpix_s"] = max(
+        RESULTS.get("fret_e2e_mpix_s", 0.0),
+        _safe(lambda: _fret_e2e_mpix_s(reps=2, warm=False),
+              "fret_e2e_mpix_s2"))
 
     PHASE["name"] = "emit"
     wd.done()

@@ -293,3 +293,59 @@ def test_find_contours_open_at_edge():
     cs = find_contours(fg, 0.5)
     assert len(cs) == 1
     assert not np.allclose(cs[0][0], cs[0][-1])
+
+
+# --- _dilate run-decomposition edge cases ------------------------------------
+# r5 rewrote arbitrary-footprint dilation from a single lax.conv into shifted
+# horizontal-run reduce-window maxima (binary.py::_dilate).  Disk callers only
+# ever exercise one run per SE row; these pin the general cases.
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_dilation_ring_se_vs_scipy(seed):
+    """Ring footprint: TWO separate True runs on middle rows."""
+    fg = _random_blobs(seed=seed)
+    y, x = np.mgrid[-4:5, -4:5]
+    r2 = x * x + y * y
+    se = (r2 <= 16) & (r2 > 4)  # 9x9 ring: two True runs on middle rows
+    assert np.array_equal(
+        np.asarray(binary_dilation(fg, se)), ndi.binary_dilation(fg, se)
+    )
+
+
+def test_dilation_sparse_rows_and_lines_vs_scipy():
+    fg = _random_blobs(seed=3)
+    plus = np.zeros((5, 5), bool)
+    plus[2, :] = True
+    plus[:, 2] = True  # plus: full-row run + four 1-px runs
+    row = np.ones((1, 7), bool)      # single-row SE (no vertical shift)
+    col = np.ones((7, 1), bool)      # single-column SE (1-px runs only)
+    empty_mid = np.ones((5, 3), bool)
+    empty_mid[1] = empty_mid[3] = False  # all-False SE rows must be skipped
+    for se in (plus, row, col, empty_mid):
+        assert np.array_equal(
+            np.asarray(binary_dilation(fg, se)), ndi.binary_dilation(fg, se)
+        ), se
+    # footprint taller than the image: vertical shifts clamp at H
+    tiny = np.zeros((3, 8), bool)
+    tiny[1, 2] = True
+    tall = np.ones((9, 3), bool)
+    assert np.array_equal(
+        np.asarray(binary_dilation(tiny, tall)), ndi.binary_dilation(tiny, tall)
+    )
+
+
+def test_dilation_asymmetric_se_keeps_correlation_convention():
+    """Asymmetric SEs keep the repo's historical (un-flipped, conv-SAME)
+    offset convention — pinned against the erosion-duality oracle
+    out = ~erode(~img, se) under the same _conv_count kernel."""
+    rng = np.random.default_rng(7)
+    fg = rng.random((40, 50)) > 0.6
+    se = np.array([[1, 0, 0], [1, 1, 0], [0, 0, 0]], bool)
+    got = np.asarray(binary_dilation(fg, se))
+    from imageprocess_tpu.morphology.binary import _conv_count
+    import jax.numpy as jnp
+    expect = np.asarray(
+        _conv_count(jnp.asarray(fg, jnp.float32), jnp.asarray(se)) > 0.5
+    )
+    assert np.array_equal(got, expect)
