@@ -172,9 +172,9 @@ def _host_stretch_lohi(img: np.ndarray) -> Optional[Tuple[float, float]]:
         iv = img.astype(np.uint16)
         if not np.array_equal(iv.astype(img.dtype, copy=False), img):
             return None
-    from ..native import percentile_from_hist
+    from ..native import percentile_from_hist, u16_hist
 
-    hist = np.bincount(iv.ravel(), minlength=65536)
+    hist = u16_hist(iv)  # native counting pass (np.bincount fallback)
     return (percentile_from_hist(hist, 1000),
             percentile_from_hist(hist, 99000))
 

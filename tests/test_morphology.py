@@ -349,3 +349,45 @@ def test_dilation_asymmetric_se_keeps_correlation_convention():
         _conv_count(jnp.asarray(fg, jnp.float32), jnp.asarray(se)) > 0.5
     )
     assert np.array_equal(got, expect)
+
+
+def test_masks_to_polygons_bbox_crop_exact_vs_naive():
+    """The r5 bbox-cropped fast path must return EXACTLY the naive
+    per-label full-frame cv2 result (same polys, same order) — including
+    frame-border labels, disjoint same-label blobs, and label-id gaps."""
+    import cv2
+
+    from imageprocess_tpu.morphology.contours import masks_to_polygons
+
+    rng = np.random.default_rng(11)
+    labels = np.zeros((90, 120), np.uint16)
+    labels[0:18, 0:25] = 1           # touches two frame borders
+    labels[40:60, 30:55] = 3         # id gap: 2 unused
+    labels[40:48, 100:120] = 3       # disjoint blob of the SAME label
+    labels[70:90, 60:90] = 4         # bottom border
+    blob = rng.random((12, 14)) > 0.35
+    labels[20:32, 70:84][blob] = 5   # ragged interior blob
+    labels[88:90, 0:3] = 6           # tiny: below min_area both ways
+
+    def naive(lab_img, min_area):
+        polys = []
+        for lab in range(1, int(lab_img.max()) + 1):
+            m = (lab_img == lab).astype(np.uint8)
+            if m.sum() == 0:
+                continue
+            cnts, _ = cv2.findContours(
+                m, cv2.RETR_EXTERNAL, cv2.CHAIN_APPROX_SIMPLE)
+            for c in cnts:
+                if cv2.contourArea(c) < float(min_area):
+                    continue
+                p = c[:, 0, :].astype(float)
+                if p.shape[0] >= 3:
+                    polys.append(p)
+        return polys
+
+    for min_area in (20.0, 0.0):
+        got = masks_to_polygons(labels, min_area)
+        want = naive(labels, min_area)
+        assert len(got) == len(want)
+        for g, w in zip(got, want):
+            assert np.array_equal(g, w)
