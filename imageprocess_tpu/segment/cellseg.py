@@ -53,7 +53,8 @@ from ..ops.view import stretch_view
 def _seg_fused(
     apply_fn,
     params,
-    img: jnp.ndarray,           # (H, W) float32 raw frame
+    img: jnp.ndarray,           # (H, W) raw frame — u16 when
+                                #   host_stretch (cast on device), else f32
     lo: jnp.ndarray,            # f32 stretch bounds (host path; dummy 0s
     hi: jnp.ndarray,            #   when host_stretch=False)
     keep_idx: jnp.ndarray,      # (n_keep,) i32 kept-tile ids, sentinel=T
@@ -74,9 +75,11 @@ def _seg_fused(
     """Frame -> (instance labels, overflow flag), entirely on device."""
     if host_stretch:
         # lo/hi computed host-side from the u16 histogram — elementwise
-        # only; degenerate-range denominator matches ops.view.stretch_view
+        # only; degenerate-range denominator matches ops.view.stretch_view.
+        # The frame arrives as raw u16 (halves the 12.6 MB frame upload,
+        # the program's only host->device transfer); u16->f32 is exact
         den = jnp.where(hi <= lo, jnp.float32(1e-6), hi - lo)
-        x = jnp.clip((img - lo) / den, 0.0, 1.0)
+        x = jnp.clip((img.astype(jnp.float32) - lo) / den, 0.0, 1.0)
     else:
         x = stretch_view(img, jnp.int32(1000), jnp.int32(99000),
                          jnp.float32(1.0), jnp.int32(0))
@@ -242,8 +245,12 @@ def segment_frame_unet(
         from jax.sharding import NamedSharding, PartitionSpec
 
         shard = NamedSharding(mesh, PartitionSpec(mesh.axis_names[0]))
+    # u16-valued frames ship raw u16 (half the bytes over the tunnel) and
+    # cast to f32 on device — exact; float frames keep the f32 upload
+    img_dev = (jnp.asarray(img_np.astype(np.uint16, copy=False))
+               if lohi is not None else jnp.asarray(img, jnp.float32))
     labels, over = _seg_fused(
-        apply_fn, params, jnp.asarray(img, jnp.float32),
+        apply_fn, params, img_dev,
         jnp.float32(lohi[0] if lohi else 0.0),
         jnp.float32(lohi[1] if lohi else 0.0),
         jnp.asarray(keep_idx),

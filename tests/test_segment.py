@@ -271,3 +271,29 @@ def test_run_auto_drawer_bad_checkpoint_fails_fast(tmp_path):
     with pytest.raises(Exception) as e:
         run_auto_drawer(str(tmp_path), cfg, log=lambda *_: None)
     assert "no_such_ckpt" in str(e.value)
+
+
+def test_segment_frame_unet_u16_upload_dtype_invariant():
+    """u16-valued frames ride the compact u16 upload (cast to f32 on
+    device); the polygons must be identical whether the caller hands the
+    frame as uint16 or as u16-valued float32, and float frames with
+    fractional values (no u16 round trip) must keep working via the
+    device-sort stretch path."""
+    from imageprocess_tpu.segment.cellseg import segment_frame_unet
+
+    rng = np.random.default_rng(3)
+    base = (rng.random((150, 150)) * 200).astype(np.uint16)
+    base[60:90, 60:90] = 4000
+
+    def apply_fn(params, tiles):
+        return (tiles - 0.5) * 20.0
+
+    kw = dict(tile=64, min_size_px=50, flow_follow=False)
+    p_u16 = segment_frame_unet(base, apply_fn, {}, **kw)
+    p_f32 = segment_frame_unet(base.astype(np.float32), apply_fn, {}, **kw)
+    assert len(p_u16) == len(p_f32) == 1
+    assert np.array_equal(p_u16[0], p_f32[0])
+
+    frac = base.astype(np.float32) + 0.25  # defeats the u16 round trip
+    p_frac = segment_frame_unet(frac, apply_fn, {}, **kw)
+    assert len(p_frac) == 1
