@@ -50,7 +50,11 @@ def _conv_count(img_f32: jnp.ndarray, se: jnp.ndarray) -> jnp.ndarray:
 def _dilate(img: jnp.ndarray, se_tuple) -> jnp.ndarray:
     """Dilation as a union of shifted horizontal-run maxima.
 
-    Dilation by ANY footprint is exactly the union of the input shifted
+    In this module's (un-flipped) CORRELATION convention —
+    ``out[x] = OR_{dx in SE} img[x + dx]``, pinned by
+    test_dilation_asymmetric_se_keeps_correlation_convention; identical
+    to Minkowski dilation for the symmetric disk/square footprints all
+    callers use — the result is exactly the union of the input shifted
     by every True offset; grouping each SE row's True runs gives
     ``out = OR_rows vshift(window_max(img, run), dy)``.  One (1, w)
     reduce-window per DISTINCT run extent plus a vertical shift per row

@@ -160,8 +160,12 @@ def _seg_fused(
     return lab, over
 
 
-def _host_stretch_lohi(img: np.ndarray) -> Optional[Tuple[float, float]]:
-    """(lo, hi) 1/99-percentile stretch bounds from a host u16 histogram,
+def _host_stretch_lohi(
+    img: np.ndarray,
+) -> Optional[Tuple[float, float, np.ndarray]]:
+    """(lo, hi, u16_frame): 1/99-percentile stretch bounds from a host u16
+    histogram plus the validated uint16 view of the frame (reused for the
+    compact upload and the cull prepass — one conversion pass, not three),
     or None when the frame isn't u16-valued (the device sort path then
     keeps exact generality).  Same (k, g) order-statistic arithmetic as
     the device op (``native.percentile_from_hist`` — the CLAUDE.md
@@ -179,7 +183,7 @@ def _host_stretch_lohi(img: np.ndarray) -> Optional[Tuple[float, float]]:
 
     hist = u16_hist(iv)  # native counting pass (np.bincount fallback)
     return (percentile_from_hist(hist, 1000),
-            percentile_from_hist(hist, 99000))
+            percentile_from_hist(hist, 99000), iv)
 
 
 def segment_frame_unet(
@@ -221,14 +225,16 @@ def segment_frame_unet(
 
     img_np = np.asarray(img)
     lohi = _host_stretch_lohi(img_np)
+    u16_frame = None
+    if lohi is not None:
+        lo_f, hi_f, u16_frame = lohi
     n_keep = 0
     keep_idx = np.zeros(1, np.int32)
     T = len(ys) * len(xs)
     if lohi is not None and cull_margin > 0 and T > 1:
-        lo_f, hi_f = lohi
         den = 1e-6 if hi_f <= lo_f else hi_f - lo_f
         thr = lo_f + float(cull_margin) * den
-        tmax = np.array([img_np[y:y + tile, x0:x0 + tile].max()
+        tmax = np.array([u16_frame[y:y + tile, x0:x0 + tile].max()
                          for y in ys for x0 in xs], np.float64)
         keep = np.flatnonzero(tmax > thr)
         if keep.size == 0:
@@ -247,12 +253,12 @@ def segment_frame_unet(
         shard = NamedSharding(mesh, PartitionSpec(mesh.axis_names[0]))
     # u16-valued frames ship raw u16 (half the bytes over the tunnel) and
     # cast to f32 on device — exact; float frames keep the f32 upload
-    img_dev = (jnp.asarray(img_np.astype(np.uint16, copy=False))
-               if lohi is not None else jnp.asarray(img, jnp.float32))
+    img_dev = (jnp.asarray(u16_frame) if lohi is not None
+               else jnp.asarray(img, jnp.float32))
     labels, over = _seg_fused(
         apply_fn, params, img_dev,
-        jnp.float32(lohi[0] if lohi else 0.0),
-        jnp.float32(lohi[1] if lohi else 0.0),
+        jnp.float32(lo_f if lohi is not None else 0.0),
+        jnp.float32(hi_f if lohi is not None else 0.0),
         jnp.asarray(keep_idx),
         ys=tuple(ys), xs=tuple(xs), tile=tile,
         pad_h=max(0, tile - H), pad_w=max(0, tile - W),

@@ -173,8 +173,8 @@ def flow_label(
     inst = sink_lab[ly, lx]
     out = jnp.where(fg, inst, 0)
     if with_overflow:
-        # >max_labels sink blobs alias exactly like plain CCL — surface
-        # the flag so host callers can raise instead of emitting merged
-        # instances (segment.cellseg does)
+        # label ids are exact at any count (r5 ccl.label), but ids may
+        # exceed max_labels — surface the flag so host callers sizing
+        # per-label buffers by it can raise (segment.cellseg does)
         return out, over
     return out
